@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Headline benchmark: EnSRF assimilation throughput on one chip.
+
+North-star metric (BASELINE.md): **obs x state-points assimilated per
+second** in the EnSRF update.  The workload is BASELINE config-2 scale
+(a ~1M-row single-level global state, 80 members, 2048 localized point
+obs) run with the blocked two-phase kernel in float32.
+
+``vs_baseline`` is measured, not assumed: the reference implementation's
+per-observation NumPy update (covariance contraction + rank-1 outer
+update + localization weights, float64 — exactly the ops of
+``efa_xray/assimilation/ensrf.py:95,99-115,130,141``) is timed on the same
+state for a small number of obs and extrapolated linearly in nobs (the
+reference loop is strictly linear in nobs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_workload(nstate=1 << 20, nmems=80, nobs=2048, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    # Global-ish scattered state rows and obs on the sphere.
+    state_lat = rng.uniform(-88.0, 88.0, nstate)
+    state_lon = rng.uniform(0.0, 360.0, nstate)
+    prior = rng.normal(280.0, 5.0, (nstate, nmems))
+
+    ob_rows = rng.integers(0, nstate, nobs)
+    ob_lat = state_lat[ob_rows]
+    ob_lon = state_lon[ob_rows]
+    ye = prior[ob_rows]  # identity-pick forward operator for the benchmark
+    values = ye.mean(axis=1) + rng.normal(0, 1.0, nobs)
+    errors = np.full(nobs, 1.0)
+    radii = np.full(nobs, 2000.0)
+    return dict(
+        prior=prior,
+        state_lat=state_lat,
+        state_lon=state_lon,
+        ye=ye,
+        values=values,
+        errors=errors,
+        radii=radii,
+        ob_lat=ob_lat,
+        ob_lon=ob_lon,
+        dtype=dtype,
+    )
+
+
+def run_tpu(w, block_size=64, localize=True, iters=3):
+    """Time the blocked update with the chained-iterations + scalar-sync
+    protocol.  NOTE: on tunneled/experimental platforms
+    ``jax.block_until_ready`` can return before execution finishes, so the
+    only trustworthy clock is a data-dependent chain whose final scalar is
+    pulled to the host.  Each iteration feeds its posterior back in as the
+    next prior, so nothing can be elided or overlapped past the pull."""
+    from efa_xray_tpu.assimilation import ensrf_core as core
+
+    dtype = w["dtype"]
+    prior = jnp.asarray(w["prior"], dtype=dtype)
+    body_mean = jnp.mean(prior, axis=1)
+    body_perts = prior - body_mean[:, None]
+    ye = jnp.asarray(w["ye"], dtype=dtype)
+    tail_mean = jnp.mean(ye, axis=1)
+    tail_perts = ye - tail_mean[:, None]
+    obs = core.ObsArrays(
+        values=jnp.asarray(w["values"], dtype=dtype),
+        errors=jnp.asarray(w["errors"], dtype=dtype),
+        lats=jnp.asarray(w["ob_lat"], dtype=dtype),
+        lons=jnp.asarray(w["ob_lon"], dtype=dtype),
+        radii=jnp.asarray(w["radii"], dtype=dtype),
+        assim=jnp.ones(len(w["values"]), dtype=bool),
+    )
+    blat = jnp.asarray(w["state_lat"], dtype=dtype)
+    blon = jnp.asarray(w["state_lon"], dtype=dtype)
+
+    @jax.jit
+    def step(bm, bp, tm, tp):
+        bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(
+            bm, bp, tm, tp, blat, blon, obs,
+            localize=localize, block_size=block_size,
+        )
+        return bm2, bp2, tm2, tp2
+
+    @jax.jit
+    def digest(bm, bp):
+        return jnp.sum(bm) + jnp.sum(bp[:, 0])
+
+    # compile + warmup both paths, then sync via a real host pull
+    carry = step(body_mean, body_perts, tail_mean, tail_perts)
+    _ = float(digest(carry[0], carry[1]))
+    t0 = time.perf_counter()
+    sync_lat = None
+    _ = float(digest(carry[0], carry[1]))
+    sync_lat = time.perf_counter() - t0
+
+    carry = (body_mean, body_perts, tail_mean, tail_perts)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(*carry)
+    _ = float(digest(carry[0], carry[1]))
+    dt = (time.perf_counter() - t0 - sync_lat) / iters
+    return max(dt, 1e-9)
+
+
+def run_reference_numpy(w, nobs_sample=8, localize=True):
+    """Time the reference's per-ob NumPy ops on the same state; returns
+    extrapolated seconds for the full nobs."""
+    prior = w["prior"]  # float64 as the reference runs
+    nstate, nens = prior.shape
+    nobs = len(w["values"])
+    xbm = prior.mean(axis=1)
+    Xbp = prior - xbm[:, None]
+
+    def gc_np(dist, halfwidth):
+        r = dist / abs(halfwidth)
+        wts = np.zeros_like(r)
+        m1 = r <= 1.0
+        m2 = (r > 1.0) & (r < 2.0)
+        wts[m1] = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2 + 1.0)[m1]
+        with np.errstate(divide="ignore"):
+            wts[m2] = (
+                ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
+                + 4.0
+                - 2.0 / (3.0 * r)
+            )[m2]
+        return wts
+
+    def hav_np(lat1, lon1, lat2, lon2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        a = (
+            np.sin((p2 - p1) / 2) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * 6371.0 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+    t0 = time.perf_counter()
+    for i in range(nobs_sample):
+        ye = w["ye"][i] - w["ye"][i].mean()
+        varye = np.var(ye)
+        kdenom = varye + w["errors"][i]
+        kcov = Xbp @ ye / (nens - 1)
+        if localize:
+            d = hav_np(w["state_lat"], w["state_lon"], w["ob_lat"][i], w["ob_lon"][i])
+            kcov = kcov * gc_np(d, w["radii"][i])
+        kmat = kcov / kdenom
+        innov = w["values"][i] - w["ye"][i].mean()
+        xbm2 = xbm + kmat * innov
+        beta = 1.0 / (1.0 + np.sqrt(w["errors"][i] / kdenom))
+        Xbp2 = Xbp - np.outer(beta * kmat, ye)
+        del xbm2, Xbp2
+    dt = time.perf_counter() - t0
+    return dt * (nobs / nobs_sample)
+
+
+def main():
+    nstate, nmems, nobs = 1 << 20, 80, 2048
+    w = build_workload(nstate=nstate, nmems=nmems, nobs=nobs)
+
+    dt_tpu = run_tpu(w)
+    dt_ref = run_reference_numpy(w)
+
+    points = nobs * nstate
+    value = points / dt_tpu
+    vs_baseline = dt_ref / dt_tpu  # speedup factor
+
+    print(
+        json.dumps(
+            {
+                "metric": "ensrf_obs_statepoints_per_sec",
+                "value": value,
+                "unit": "obs*points/s",
+                "vs_baseline": vs_baseline,
+                "detail": {
+                    "nstate": nstate,
+                    "nmems": nmems,
+                    "nobs": nobs,
+                    "tpu_seconds": dt_tpu,
+                    "reference_numpy_seconds_extrapolated": dt_ref,
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from efa_xray_tpu.assimilation.assimilation import Assimilation, update  # noqa: F401
+from efa_xray_tpu.assimilation.ensrf import EnSRF  # noqa: F401
+from efa_xray_tpu.assimilation.adaptive_inflation import AdaptiveInflation  # noqa: F401

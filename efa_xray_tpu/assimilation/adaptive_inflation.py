@@ -1,0 +1,210 @@
+"""Spatially/temporally varying adaptive covariance inflation.
+
+Capability parity with ``efa_xray/assimilation/adaptive_inflation.py:8-80``
+(Anderson 2009, Tellus 61A, 72-83): an inflation field with two moments
+(mean, std) per state variable on the state grid, load-or-initialize
+semantics, perturbation inflation by the mean field, and netCDF checkpoint.
+
+The reference never implemented the actual *adaptive* step — the Bayesian
+update of the inflation distribution from observation innovations (SURVEY.md
+§2/A8 notes its absence).  :meth:`AdaptiveInflation.update_inflation`
+implements it here following Anderson (2009) eqs. 3-10 (the same linearized
+Gaussian-likelihood scheme used by DART's ``adaptive_inflate_mod``):
+
+    for each observation with innovation d, prior obs-space ensemble
+    variance s², error variance r², and localization weight γ to a state
+    point with inflation mean λ̄:
+
+        λ̃      = (1 + γ(√λ̄ − 1))²          (localized inflation)
+        θ²     = λ̃ s² + r²                  (expected innovation variance)
+        l(λ̄)   = N(d; 0, θ²)                (likelihood at the prior mean)
+        l'(λ̄)  = dl/dλ via dθ/dλ = γ s² (1 + γ(√λ̄ − 1)) / (2 θ √λ̄)
+        posterior mode = root of λ² + bλ + c closest to λ̄, with
+        b = l/l' − 2λ̄,  c = λ̄² − σ_λ² − l λ̄ / l'
+
+    (σ_λ, the inflation standard deviation, is held fixed per Anderson's
+    recommendation for stability; a lower bound keeps λ ≥ λ_min.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+from efa_xray_tpu.state.ensemble import EnsembleState
+from efa_xray_tpu.utils import ncio, timeutil
+
+
+@functools.partial(jax.jit, static_argnames=("lambda_min", "lambda_max"))
+def _anderson_update(
+    lam_mean,  # [rows] current inflation mean per state row
+    lam_sd,  # scalar inflation std (held fixed)
+    gamma,  # [rows] localization weight of this ob at each row
+    innov2,  # scalar d^2
+    sigma_p2,  # scalar prior obs-space ensemble variance s^2
+    sigma_o2,  # scalar ob error variance r^2
+    lambda_min: float = 1.0,
+    lambda_max: float = 1e6,
+):
+    """One observation's Bayesian update of the inflation mean field."""
+    sqrt_lam = jnp.sqrt(jnp.maximum(lam_mean, 1e-12))
+    lam_loc = (1.0 + gamma * (sqrt_lam - 1.0)) ** 2
+    theta2 = lam_loc * sigma_p2 + sigma_o2
+    theta = jnp.sqrt(theta2)
+
+    # Gaussian likelihood of the innovation and its lambda-derivative.
+    l_bar = jnp.exp(-0.5 * innov2 / theta2) / (jnp.sqrt(2.0 * jnp.pi) * theta)
+    dtheta_dlam = (
+        0.5 * gamma * sigma_p2 * (1.0 + gamma * (sqrt_lam - 1.0)) / (theta * sqrt_lam)
+    )
+    l_prime = l_bar * (innov2 / theta2 - 1.0) / theta * dtheta_dlam
+
+    # Posterior mode: root of lambda^2 + b lambda + c closest to lam_mean.
+    safe = jnp.abs(l_prime) > 1e-30
+    lp = jnp.where(safe, l_prime, 1.0)
+    b = l_bar / lp - 2.0 * lam_mean
+    c = lam_mean**2 - lam_sd**2 - l_bar * lam_mean / lp
+    disc = jnp.maximum(b**2 - 4.0 * c, 0.0)
+    sq = jnp.sqrt(disc)
+    r1 = (-b + sq) / 2.0
+    r2 = (-b - sq) / 2.0
+    new_lam = jnp.where(jnp.abs(r1 - lam_mean) < jnp.abs(r2 - lam_mean), r1, r2)
+    new_lam = jnp.where(safe & (gamma > 0.0), new_lam, lam_mean)
+    return jnp.clip(new_lam, lambda_min, lambda_max)
+
+
+class AdaptiveInflation:
+    """Adaptive inflation state: per-variable (mean, std) fields of shape
+    ``[ntimes, ny, nx]`` on the prior's grid."""
+
+    def __init__(self, priorstate: EnsembleState, priorinf):
+        """``priorinf`` is ``(inftype, infile, initvals)`` exactly as in the
+        reference (``adaptive_inflation.py:16-28``): try to load ``infile``,
+        else build fresh fields from the ``(mean, std)`` tuple ``initvals``."""
+        assert isinstance(priorstate, EnsembleState)
+        inftype, infile, initvals = priorinf
+        self.structure = priorstate.structure
+        try:
+            self._load(infile)
+        except Exception:
+            self.build_initial_inflation(priorstate, initvals)
+
+    # -- construction / I/O ---------------------------------------------------
+    def build_initial_inflation(self, priorstate: EnsembleState, initvals) -> None:
+        """Uniform initial fields (reference ``adaptive_inflation.py:32-56``)."""
+        s = priorstate.structure
+        mean0, std0 = initvals
+        self.mean = {
+            v: np.full((s.ntimes, s.ny, s.nx), float(mean0), dtype=np.float64)
+            for v in s.var_names
+        }
+        self.std = {
+            v: np.full((s.ntimes, s.ny, s.nx), float(std0), dtype=np.float64)
+            for v in s.var_names
+        }
+
+    def _load(self, infile: str) -> None:
+        ds = ncio.read_dataset(infile)
+        s = self.structure
+        self.mean, self.std = {}, {}
+        for v in s.var_names:
+            arr = np.asarray(ds[v], dtype=np.float64)
+            self.mean[v] = arr[..., 0]
+            self.std[v] = arr[..., 1]
+
+    def save_to_disk(self, filename: str = "prior_inflation.nc") -> None:
+        """Checkpoint (reference ``adaptive_inflation.py:76-80``)."""
+        s = self.structure
+        valids = s.times64()
+        lead = timeutil.lead_hours(s.times_s, s.times_s[0])
+        variables = {
+            "validtime": (("validtime",), lead),
+            "lat": (("y", "x"), np.asarray(s.lat)),
+            "lon": (("y", "x"), np.asarray(s.lon)),
+        }
+        for v in s.var_names:
+            variables[v] = (
+                ("validtime", "y", "x", "moment"),
+                np.stack([self.mean[v], self.std[v]], axis=-1),
+            )
+        ds = ncio.NcDataset(
+            dims={"validtime": s.ntimes, "y": s.ny, "x": s.nx, "moment": 2},
+            variables=variables,
+        )
+        ncio.write_dataset(filename, ds)
+
+    # -- application ------------------------------------------------------------
+    def mean_field(self) -> np.ndarray:
+        """Stacked inflation means, shape ``[nvars, ntimes, ny, nx]``."""
+        return np.stack([self.mean[v] for v in self.structure.var_names], axis=0)
+
+    def inflate_state(self, priorstate: EnsembleState) -> EnsembleState:
+        """Multiply perturbations by the inflation mean field (reference
+        ``adaptive_inflation.py:59-74``)."""
+        factor = jnp.asarray(self.mean_field(), dtype=priorstate.data.dtype)
+        mean = priorstate.ensemble_mean()[..., None]
+        perts = priorstate.data - mean
+        return priorstate.replace_data(factor[..., None] * perts + mean)
+
+    # -- the adaptive (posterior) update the reference lacks ------------------
+    def update_inflation(
+        self,
+        obs_lats,
+        obs_lons,
+        obs_radii,
+        innovations,
+        prior_vars,
+        ob_err_vars,
+        assimilated=None,
+        lambda_min: float = 1.0,
+        lambda_sd_floor: float = 1e-4,
+    ) -> None:
+        """Anderson (2009) Bayesian update of the inflation mean fields from
+        a batch of observation innovations.
+
+        All arguments are 1-D arrays over the observation batch: the
+        innovation ``y - H x̄`` (``innovations``), the prior obs-space
+        ensemble variance (``prior_vars``, e.g. the filter's ``prior_var``
+        diagnostics), and the error variances.  ``obs_radii`` give the GC
+        localization halfwidth used to spread each update spatially
+        (``inf`` -> uniform weight 1).
+        """
+        s = self.structure
+        glat = jnp.asarray(s.lat.ravel())
+        glon = jnp.asarray(s.lon.ravel())
+        mask = (
+            np.ones(len(np.asarray(obs_lats)), dtype=bool)
+            if assimilated is None
+            else np.asarray(assimilated, dtype=bool)
+        )
+
+        for v in s.var_names:
+            lam = jnp.asarray(self.mean[v].reshape(s.ntimes, -1))  # [T, G]
+            lam_sd = float(max(np.mean(self.std[v]), lambda_sd_floor))
+
+            def step(lam, xs):
+                ob_lat, ob_lon, radius, d2, sp2, so2, use = xs
+                gamma = gaspari_cohn(
+                    haversine((glat, glon), (ob_lat, ob_lon)), radius
+                )  # [G]
+                new = _anderson_update(
+                    lam, lam_sd, gamma[None, :], d2, sp2, so2, lambda_min=lambda_min
+                )
+                return jnp.where(use, new, lam), None
+
+            xs = (
+                jnp.asarray(obs_lats, dtype=lam.dtype),
+                jnp.asarray(obs_lons, dtype=lam.dtype),
+                jnp.asarray(obs_radii, dtype=lam.dtype),
+                jnp.asarray(np.asarray(innovations) ** 2, dtype=lam.dtype),
+                jnp.asarray(prior_vars, dtype=lam.dtype),
+                jnp.asarray(ob_err_vars, dtype=lam.dtype),
+                jnp.asarray(mask),
+            )
+            lam, _ = jax.lax.scan(step, lam, xs)
+            self.mean[v] = np.asarray(lam).reshape(s.ntimes, s.ny, s.nx)

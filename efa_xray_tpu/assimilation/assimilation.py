@@ -1,0 +1,268 @@
+"""Assimilation driver layer: priors, inflation, state formatting.
+
+Functional parity with ``efa_xray/assimilation/assimilation.py``:
+
+* observation priors (``compute_ob_priors`` :36-49) — one vectorized gather
+  for the whole batch instead of a per-ob Python loop;
+* multiplicative inflation (``inflate_state`` :52-118) — float / dict /
+  file forms as a single broadcast multiply;
+* prior formatting with state augmentation (``format_prior_state``
+  :120-154) — the flattened state splits into mean + perturbations and the
+  obs-space priors are appended as a *separately carried* tail (replicated
+  under sharding while the body is sharded; SURVEY.md §5.8);
+* posterior formatting (``format_posterior_state`` :157-171).
+
+The module-level :func:`update` driver replaces the reference's dead
+multiprocessing fan-out (:176-230) with a working call that optionally
+shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation import forward as _fwd
+from efa_xray_tpu.observation.observation import Observation, ObservationBatch
+from efa_xray_tpu.state.ensemble import EnsembleState
+
+InflationSpec = Union[None, float, str, dict]
+
+
+def inflate_state(
+    state: EnsembleState, inflation: InflationSpec, verbose: bool = False
+) -> EnsembleState:
+    """Multiplicative prior-perturbation inflation.
+
+    Accepted specs (reference semantics,
+    ``efa_xray/assimilation/assimilation.py:52-118``):
+
+    * float — all variables' perturbations scaled by the factor;
+    * str — filename of a saved inflation dataset (netCDF/HDF5 written by
+      this package); per-variable fields broadcast-multiply that variable's
+      perturbations (fields may be any shape broadcastable to
+      ``(ntimes, ny, nx)``);
+    * dict — keys that are dimension names (``validtime``/``lat``/``lon``/
+      ``x``/``y``) map to 1-D arrays of per-element factors along that
+      dimension applied to all variables; keys that are variable names map
+      to scalar factors for that variable (unknown variables are skipped
+      with a warning, matching :107-109).
+
+    Returns a new inflated state (the reference mutates in place and needs
+    an ``is_inflated`` idempotence flag, :56-59; a pure function needs none).
+    """
+    if inflation is None:
+        return state
+    s = state.structure
+    mean = state.ensemble_mean()[..., None]  # [V,T,Y,X,1]
+    perts = state.data - mean
+
+    if isinstance(inflation, (int, float)) and not isinstance(inflation, bool):
+        if verbose:
+            print(f"Inflating all variables by factor: {float(inflation):3.2f}")
+        return state.replace_data(perts * float(inflation) + mean)
+
+    if isinstance(inflation, str):
+        from efa_xray_tpu.utils import ncio
+
+        if verbose:
+            print(f"Loading inflation from file: {inflation}")
+        ds = ncio.read_dataset(inflation)
+        factor = np.ones((s.nvars, s.ntimes, s.ny, s.nx), dtype=np.float64)
+        for vi, name in enumerate(s.var_names):
+            if name in ds.variables:
+                factor[vi] = np.broadcast_to(
+                    np.asarray(ds[name]), (s.ntimes, s.ny, s.nx)
+                )
+        return state.replace_data(
+            perts * jnp.asarray(factor, dtype=state.data.dtype)[..., None] + mean
+        )
+
+    if isinstance(inflation, dict):
+        data = state.data
+        dim_axis = {"validtime": 1, "y": 2, "lat": 2, "x": 3, "lon": 3}
+        for k, v in inflation.items():
+            mean = jnp.mean(data, axis=-1, keepdims=True)
+            perts = data - mean
+            if k in dim_axis:
+                if verbose:
+                    print(f"Inflating all variables along {k} dimension")
+                arr = np.asarray(v, dtype=np.float64)
+                axis = dim_axis[k]
+                assert arr.shape[0] == data.shape[axis], (
+                    f"inflation along {k} has length {arr.shape[0]}, "
+                    f"dimension has {data.shape[axis]}"
+                )
+                shape = [1] * 5
+                shape[axis] = arr.shape[0]
+                factor = jnp.asarray(arr, dtype=data.dtype).reshape(shape)
+                data = perts * factor + mean
+            else:
+                assert isinstance(v, float)
+                if k not in s.var_names:
+                    print(f"Unable to find variable {k} to inflate.  Skipping...")
+                    continue
+                if verbose:
+                    print(f"Inflating variable {k} by factor: {v:3.2f}")
+                vi = s.var_index(k)
+                data = data.at[vi].set(perts[vi] * v + mean[vi])
+        return state.replace_data(data)
+
+    raise TypeError(f"Unsupported inflation spec: {type(inflation)!r}")
+
+
+class Assimilation:
+    """Base driver: holds prior/obs, computes priors, formats state.
+
+    Reference parity: ``efa_xray/assimilation/assimilation.py:10-171``.
+    """
+
+    def __init__(
+        self,
+        state: EnsembleState,
+        obs,
+        nproc: int = 1,  # accepted for API parity; parallelism comes from `mesh`
+        inflation: InflationSpec = None,
+        verbose: bool = False,
+        config: Optional[FilterConfig] = None,
+        mesh=None,
+    ):
+        self.prior = state
+        self._user_obs = obs if isinstance(obs, (list, tuple)) else None
+        self.obs = ObservationBatch.coerce(obs)
+        self.verbose = verbose
+        self.nproc = nproc
+        self.inflation = inflation
+        self.config = config or FilterConfig(verbose=verbose)
+        self.mesh = mesh
+        self.is_inflated = False
+        self._taps = None
+
+    # -- observation priors ------------------------------------------------
+    def build_taps(self) -> _fwd.ObsTaps:
+        if self._taps is None:
+            cfg = self.config
+            self._taps = _fwd.build_taps(
+                self.prior.structure,
+                self.obs.lats,
+                self.obs.lons,
+                self.obs.times_s,
+                self.obs.var_indices(self.prior.structure),
+                npt=cfg.npt,
+                exact_match_km=cfg.exact_match_km,
+                metric=cfg.nearest_metric,
+                time_weighting=cfg.time_weighting,
+            )
+        return self._taps
+
+    def compute_ob_priors(self, state: Optional[EnsembleState] = None):
+        """Ensemble obs-space priors: means [No] and perts [No, M]
+        (reference: ``assimilation.py:36-49``, vectorized)."""
+        state = self.prior if state is None else state
+        taps = self.build_taps()
+        ye = _fwd.apply_taps_obj(state.to_vect(), taps)  # [No, M]
+        means = jnp.mean(ye, axis=1)
+        perts = ye - means[:, None]
+        return means, perts
+
+    def inflate_state(self) -> None:
+        if self.is_inflated:
+            print("State already inflated.  Skipping additional inflation.")
+            return
+        self.prior = inflate_state(self.prior, self.inflation, verbose=self.verbose)
+        self.is_inflated = True
+
+    # -- formatting ----------------------------------------------------------
+    def format_prior_state(self):
+        """Vectorize, split mean/perts, append obs-space tail.
+
+        Returns ``(body_mean [Ns], body_perts [Ns, M], tail_mean [No],
+        tail_perts [No, M])``.  Unlike the reference's single concatenated
+        augmented array (``assimilation.py:146-150``), body and tail stay
+        separate so the body can be sharded while the tail replicates.
+        """
+        if self.inflation is not None:
+            if self.verbose:
+                print("Inflating Prior State")
+            self.inflate_state()
+        if self.verbose:
+            print("Computing observation priors")
+        tail_mean, tail_perts = self.compute_ob_priors()
+        if self.verbose:
+            print("Converting state to vector")
+        prior = self.prior.to_vect()
+        body_mean = jnp.mean(prior, axis=1)
+        body_perts = prior - body_mean[:, None]
+        dtype = jnp.dtype(self.config.dtype)
+        return (
+            body_mean.astype(dtype),
+            body_perts.astype(dtype),
+            tail_mean.astype(dtype),
+            tail_perts.astype(dtype),
+        )
+
+    def format_posterior_state(self, body_mean, body_perts):
+        """Rebuild an EnsembleState from posterior mean + perts
+        (reference: ``assimilation.py:157-171``)."""
+        if self.verbose:
+            print("Formatting posterior")
+        post = body_mean[:, None] + body_perts
+        post_state = EnsembleState.from_vect(
+            post.astype(self.prior.data.dtype), self.prior.structure
+        )
+        return post_state, self.obs
+
+    # -- diagnostics write-back -------------------------------------------
+    def record_diagnostics(self, diags) -> None:
+        self.obs.prior_mean = np.asarray(diags.prior_mean, dtype=np.float64)
+        self.obs.prior_var = np.asarray(diags.prior_var, dtype=np.float64)
+        self.obs.post_mean = np.asarray(diags.post_mean, dtype=np.float64)
+        self.obs.post_var = np.asarray(diags.post_var, dtype=np.float64)
+        self.obs.assimilated = np.asarray(diags.assimilated, dtype=bool)
+        if self._user_obs is not None and all(
+            isinstance(o, Observation) for o in self._user_obs
+        ):
+            self.obs.writeback(self._user_obs)
+
+
+def update(
+    prior_state: EnsembleState,
+    obs,
+    inflate: InflationSpec = None,
+    loc=False,
+    nproc: int = 1,
+    verbose: bool = False,
+    mesh=None,
+    config: Optional[FilterConfig] = None,
+) -> Tuple[EnsembleState, ObservationBatch]:
+    """One-call EnSRF update (working replacement for the reference's dead
+    multiprocessing driver, ``assimilation.py:176-230``).
+
+    ``mesh``: optional ``jax.sharding.Mesh``; when given, the state body is
+    sharded across devices (the modern form of the reference's intended
+    state-chunk fan-out).  ``nproc`` is accepted for signature parity and
+    ignored.
+    """
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+
+    if config is None:
+        config = FilterConfig(
+            localization="GC" if loc not in (None, False) else None,
+            verbose=verbose,
+        )
+    filt = EnSRF(
+        prior_state,
+        obs,
+        nproc=nproc,
+        inflation=inflate,
+        verbose=verbose,
+        loc=loc,
+        config=config,
+        mesh=mesh,
+    )
+    return filt.update()

@@ -1,0 +1,142 @@
+"""EnSRF: the user-facing serial ensemble square-root filter.
+
+Drop-in capability match for the reference class
+(``efa_xray/assimilation/ensrf.py:8-151``): construct with a prior
+EnsembleState, observations, inflation and localization options; call
+``.update()`` to get ``(posterior_state, observations)`` with per-ob
+diagnostics recorded.
+
+Execution is TPU-native: the per-observation Python loop becomes either a
+``lax.scan`` (``method="serial"``) or the exact blocked two-phase algorithm
+(``method="blocked"``, default — see
+:mod:`efa_xray_tpu.assimilation.ensrf_core`), optionally sharded over a
+``jax.sharding.Mesh`` along the state dimension
+(:mod:`efa_xray_tpu.parallel.sharded`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation.assimilation import Assimilation
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation.observation import ObservationBatch
+from efa_xray_tpu.state.ensemble import EnsembleState
+
+
+class EnSRF(Assimilation):
+    def __init__(
+        self,
+        state: EnsembleState,
+        obs,
+        nproc: int = 1,
+        inflation=None,
+        verbose: bool = True,
+        loc=False,
+        config: Optional[FilterConfig] = None,
+        mesh=None,
+    ):
+        if config is None:
+            config = FilterConfig(
+                localization="GC" if loc not in (None, False) else None,
+                verbose=verbose,
+            )
+        super().__init__(
+            state,
+            obs,
+            nproc=nproc,
+            inflation=inflation,
+            verbose=verbose,
+            config=config,
+            mesh=mesh,
+        )
+        self.loc = loc if loc not in (None, False) else (config.localization or False)
+
+    def obs_arrays(self) -> core.ObsArrays:
+        """Device-ready per-ob arrays.  QC-failed obs (e.g. out of the
+        state's time range) are masked out of the update, generalizing the
+        reference's ``assimilate_this`` gate (``ensrf.py:74-76``)."""
+        taps = self.build_taps()
+        dtype = jnp.dtype(self.config.dtype)
+        radii = np.asarray(self.obs.localize_radius, dtype=np.float64).copy()
+        if self.config.default_radius is not None:
+            radii[np.isinf(radii)] = float(self.config.default_radius)
+        assim = np.asarray(self.obs.assimilate_flags) & np.asarray(taps.qc_ok)
+        return core.ObsArrays(
+            values=jnp.asarray(self.obs.values, dtype=dtype),
+            errors=jnp.asarray(self.obs.errors, dtype=dtype),
+            lats=jnp.asarray(self.obs.lats, dtype=dtype),
+            lons=jnp.asarray(self.obs.lons, dtype=dtype),
+            radii=jnp.asarray(radii, dtype=dtype),
+            assim=jnp.asarray(assim),
+        )
+
+    def update(self) -> Tuple[EnsembleState, ObservationBatch]:
+        """Assimilate all observations; return (posterior, observations).
+
+        Reference flow parity: ``efa_xray/assimilation/ensrf.py:33-151``.
+        """
+        cfg = self.config
+        if self.verbose:
+            print("Beginning update sequence")
+        body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
+        obs = self.obs_arrays()
+
+        row_lat, row_lon = self.prior.structure.row_latlon()
+        dtype = jnp.dtype(cfg.dtype)
+        body_lat = jnp.asarray(row_lat, dtype=dtype)
+        body_lon = jnp.asarray(row_lon, dtype=dtype)
+
+        if self.verbose:
+            print(f"Beginning observation loop ({cfg.method})")
+
+        if self.mesh is not None:
+            from efa_xray_tpu.parallel import sharded
+
+            bm, bp, tm, tp, diags = sharded.ensrf_update_sharded(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                mesh=self.mesh,
+                localize=cfg.localize,
+                method=cfg.method,
+                block_size=cfg.block_size,
+                unbiased=cfg.unbiased_variance,
+            )
+        elif cfg.method == "serial":
+            bm, bp, tm, tp, diags = core.ensrf_serial(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+            )
+        else:
+            bm, bp, tm, tp, diags = core.ensrf_blocked(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                localize=cfg.localize,
+                block_size=cfg.block_size,
+                unbiased=cfg.unbiased_variance,
+            )
+
+        self.record_diagnostics(diags)
+        self.post, _ = self.format_posterior_state(bm, bp)
+        return self.post, self.obs

@@ -1,0 +1,430 @@
+"""Pure-functional EnSRF update kernels (the algorithmic core).
+
+Implements the Whitaker & Hamill (2002) serial ensemble square-root filter
+in the augmented-state formulation of the reference
+(``efa_xray/assimilation/assimilation.py:146-150``: observation-space priors
+appended to the state so H is an index pick), with the reference's exact
+per-observation update sequence (``efa_xray/assimilation/ensrf.py:50-149``):
+
+    ye      = row (nstate + i) of the perturbation matrix
+    varye   = Var(ye)                      (population variance, np.var)
+    innov   = y_i - mean_row(nstate + i)
+    kdenom  = varye + R_i
+    kcov    = Xbp @ ye / (M - 1), localized by Gaspari-Cohn weights
+    K       = kcov / kdenom
+    mean   += K * innov
+    beta    = 1 / (1 + sqrt(R_i / kdenom))
+    Xbp    -= (beta * K) outer ye
+
+Two equivalent TPU execution strategies are provided:
+
+1. :func:`ensrf_serial` — a direct ``lax.scan`` over observations.  One
+   fused XLA step per ob; HBM-bound (state read+written once per ob).
+
+2. :func:`ensrf_blocked` — a mathematically *exact* two-phase reformulation
+   (same update sequence, re-associated):
+
+   * **Phase 1** (:func:`tail_scan`): run the serial filter on the tiny
+     observation-space tail only (``[nobs, nmems]``).  Because ``varye``,
+     ``innov``, ``kdenom`` and ``beta`` depend only on the tail, this yields
+     the exact per-step ``ye`` vectors and scalar coefficients of the full
+     serial algorithm, at O(nobs^2 * nmems) cost.
+   * **Phase 2** (:func:`apply_obs_block`): apply observations to the big
+     state body in blocks of B.  Within a block the sequential rank-1
+     updates compose through a small triangular recurrence on the
+     ``[rows, B]`` inner-product matrix, so the state is touched by TWO
+     MXU matmuls per block instead of 2B rank-1 passes — HBM traffic drops
+     by the block factor and the FLOPs move onto the systolic array.
+
+   Derivation: with per-row localization weights w_j, coefficients
+   g_j = beta_j / (kdenom_j (M-1)) and a_j = innov_j / (kdenom_j (M-1)),
+   the serial updates give X_j = X_0 - sum_{i<j} (w_i ∘ d_i) g_i y_i^T
+   where d_j = X_j-th-step dot: d_j = X_0 y_j - sum_{i<j} (w_i ∘ d_i) g_i
+   (y_i · y_j).  So D_0 = X_0 Y^T (one matmul), the d_j follow from a
+   B-step recurrence using the Gram matrix G = Y Y^T, and the final state
+   and mean are X_B = X_0 - (U ∘ g) Y and xm + U a with U = [w_j ∘ d_j].
+
+Both strategies are row-parallel in the state dimension: under
+``shard_map`` each device runs them on its shard with the tail replicated
+and **zero per-observation collectives** — the TPU-native realization of the
+reference's (broken) chunked-multiprocessing design
+(``efa_xray/assimilation/assimilation.py:176-230``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+
+
+class ObsArrays(NamedTuple):
+    """Per-observation device arrays consumed by the kernels."""
+
+    values: jnp.ndarray  # [No]
+    errors: jnp.ndarray  # [No] observation error variance R
+    lats: jnp.ndarray  # [No]
+    lons: jnp.ndarray  # [No]
+    radii: jnp.ndarray  # [No] GC halfwidth km; inf = no localization
+    assim: jnp.ndarray  # bool [No] assimilate_this AND qc_ok
+
+
+class ObsDiagnostics(NamedTuple):
+    """Per-observation filter diagnostics (reference writes these onto the
+    Observation objects: ``ensrf.py:66-70,144-149``)."""
+
+    prior_mean: jnp.ndarray
+    prior_var: jnp.ndarray
+    post_mean: jnp.ndarray
+    post_var: jnp.ndarray
+    assimilated: jnp.ndarray  # bool
+
+
+class TailSolution(NamedTuple):
+    """Phase-1 output: everything the state body needs, per observation."""
+
+    ye: jnp.ndarray  # [No, M] the pre-update obs-space perturbation rows
+    gain_coef: jnp.ndarray  # [No] a_j = innov / (kdenom (M-1)); 0 when skipped
+    sqrt_coef: jnp.ndarray  # [No] g_j = beta  / (kdenom (M-1)); 0 when skipped
+    tail_mean: jnp.ndarray  # [No] posterior tail mean
+    tail_perts: jnp.ndarray  # [No, M] posterior tail perts
+    diags: ObsDiagnostics
+
+
+def _ye_var(ye, unbiased: bool):
+    """Ensemble variance of the obs-space perturbation row.
+
+    ``unbiased=False`` reproduces the reference exactly: ``np.var(ye)``
+    (ddof=0, ``ensrf.py:69``) feeding a ddof=1 covariance (``ensrf.py:95``)
+    — an inconsistency that makes the analysis weakly observation-order
+    dependent.  ``unbiased=True`` uses ddof=1 throughout (textbook
+    Whitaker-Hamill), restoring exact order invariance of the analysis
+    mean for unlocalized serial assimilation.
+    """
+    m = jnp.mean(ye)
+    sq = (ye - m) ** 2
+    if unbiased:
+        return jnp.sum(sq) / (ye.shape[0] - 1)
+    return jnp.mean(sq)
+
+
+def _empty_diags(dtype) -> "ObsDiagnostics":
+    z = jnp.zeros((0,), dtype=dtype)
+    return ObsDiagnostics(z, z, z, z, jnp.zeros((0,), dtype=bool))
+
+
+def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype):
+    """Gaspari-Cohn weights from one ob to a set of rows; ones when
+    localization is globally off (reference ``ensrf.py:99``) or the ob's
+    radius is inf (reference crashes on that case; SURVEY.md §2.1/O3)."""
+    if not localize:
+        return None
+    d = haversine((row_lat, row_lon), (ob_lat, ob_lon))
+    return gaspari_cohn(d, radius).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: direct serial scan
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("localize", "unbiased"))
+def ensrf_serial(
+    body_mean,  # [Ns]
+    body_perts,  # [Ns, M]
+    tail_mean,  # [No]
+    tail_perts,  # [No, M]
+    body_lat,  # [Ns] per-row latitudes (grid tiled over vars/times)
+    body_lon,  # [Ns]
+    obs: ObsArrays,
+    localize: bool = True,
+    unbiased: bool = False,
+):
+    """Serial EnSRF as one ``lax.scan`` over observations.
+
+    Returns ``(body_mean, body_perts, tail_mean, tail_perts, diags)``.
+    """
+    nens = body_perts.shape[1]
+    dtype = body_perts.dtype
+    nobs = obs.values.shape[0]
+    if nobs == 0:
+        return body_mean, body_perts, tail_mean, tail_perts, _empty_diags(dtype)
+
+    def step(carry, xs):
+        bm, bp, tm, tp = carry
+        i, y, r_err, ob_lat, ob_lon, radius, do_assim = xs
+
+        ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)  # [M]
+        mye = tm[i]
+        varye = _ye_var(ye, unbiased)
+
+        innov = y - mye
+        kdenom = varye + r_err
+        scale = 1.0 / (kdenom * (nens - 1))
+        beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
+
+        kcov_b = bp @ ye  # [Ns]
+        kcov_t = tp @ ye  # [No]
+        w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius, localize, dtype)
+        w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+        if localize:
+            kcov_b = kcov_b * w_b
+            kcov_t = kcov_t * w_t
+
+        kmat_b = kcov_b * scale
+        kmat_t = kcov_t * scale
+
+        bm2 = bm + kmat_b * innov
+        tm2 = tm + kmat_t * innov
+        bp2 = bp - (beta * kmat_b)[:, None] * ye[None, :]
+        tp2 = tp - (beta * kmat_t)[:, None] * ye[None, :]
+
+        bm2 = jnp.where(do_assim, bm2, bm)
+        tm2 = jnp.where(do_assim, tm2, tm)
+        bp2 = jnp.where(do_assim, bp2, bp)
+        tp2 = jnp.where(do_assim, tp2, tp)
+
+        post_row = jax.lax.dynamic_index_in_dim(tp2, i, axis=0, keepdims=False)
+        diag = (
+            mye,
+            varye,
+            jnp.where(do_assim, tm2[i], jnp.nan),
+            jnp.where(do_assim, _ye_var(post_row, unbiased), jnp.nan),
+            do_assim,
+        )
+        return (bm2, bp2, tm2, tp2), diag
+
+    xs = (
+        jnp.arange(nobs),
+        obs.values.astype(dtype),
+        obs.errors.astype(dtype),
+        obs.lats.astype(dtype),
+        obs.lons.astype(dtype),
+        obs.radii.astype(dtype),
+        obs.assim,
+    )
+    (bm, bp, tm, tp), diags = jax.lax.scan(
+        step, (body_mean, body_perts, tail_mean, tail_perts), xs
+    )
+    return bm, bp, tm, tp, ObsDiagnostics(*diags)
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2, phase 1: tail-only scan
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("localize", "unbiased"))
+def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
+              unbiased: bool = False) -> TailSolution:
+    """Run the serial filter on the observation-space tail only.
+
+    Produces the exact ``ye`` sequence and scalar coefficients the full
+    serial algorithm would use, plus all per-ob diagnostics.
+    """
+    nens = tail_perts.shape[1]
+    dtype = tail_perts.dtype
+    nobs = obs.values.shape[0]
+    if nobs == 0:
+        z = jnp.zeros((0,), dtype=dtype)
+        return TailSolution(
+            ye=jnp.zeros((0, nens), dtype=dtype),
+            gain_coef=z,
+            sqrt_coef=z,
+            tail_mean=tail_mean,
+            tail_perts=tail_perts,
+            diags=_empty_diags(dtype),
+        )
+
+    def step(carry, xs):
+        tm, tp = carry
+        i, y, r_err, ob_lat, ob_lon, radius, do_assim = xs
+
+        ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
+        mye = tm[i]
+        varye = _ye_var(ye, unbiased)
+
+        innov = y - mye
+        kdenom = varye + r_err
+        scale = 1.0 / (kdenom * (nens - 1))
+        beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
+
+        kcov_t = tp @ ye
+        w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+        if localize:
+            kcov_t = kcov_t * w_t
+
+        kmat_t = kcov_t * scale
+        tm2 = jnp.where(do_assim, tm + kmat_t * innov, tm)
+        tp2 = jnp.where(do_assim, tp - (beta * kmat_t)[:, None] * ye[None, :], tp)
+
+        gain_coef = jnp.where(do_assim, innov * scale, 0.0)
+        sqrt_coef = jnp.where(do_assim, beta * scale, 0.0)
+
+        post_row = jax.lax.dynamic_index_in_dim(tp2, i, axis=0, keepdims=False)
+        out = (
+            ye,
+            gain_coef,
+            sqrt_coef,
+            mye,
+            varye,
+            jnp.where(do_assim, tm2[i], jnp.nan),
+            jnp.where(do_assim, _ye_var(post_row, unbiased), jnp.nan),
+            do_assim,
+        )
+        return (tm2, tp2), out
+
+    xs = (
+        jnp.arange(nobs),
+        obs.values.astype(dtype),
+        obs.errors.astype(dtype),
+        obs.lats.astype(dtype),
+        obs.lons.astype(dtype),
+        obs.radii.astype(dtype),
+        obs.assim,
+    )
+    (tm, tp), (ye, gain, sqrt_c, pm, pv, om, ov, asm) = jax.lax.scan(
+        step, (tail_mean, tail_perts), xs
+    )
+    return TailSolution(
+        ye=ye,
+        gain_coef=gain,
+        sqrt_coef=sqrt_c,
+        tail_mean=tm,
+        tail_perts=tp,
+        diags=ObsDiagnostics(pm, pv, om, ov, asm),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2, phase 2: blocked state-body update
+# ---------------------------------------------------------------------------
+
+
+def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef):
+    """Solve the within-block triangular recurrence.
+
+    d0:   [rows, B]  = X_0 @ Y^T
+    gram: [B, B]     = Y @ Y^T
+    w:    [rows, B]  per-row localization weights (or None)
+    Returns U = [w_j ∘ d_j] columns, shape [rows, B].
+    """
+    bsz = d0.shape[1]
+    gG = gram * sqrt_coef[:, None]  # row i scaled by g_i
+
+    def body(j, u):
+        # d_j = d0[:, j] - U @ (g ⊙ G[:, j]); columns >= j of U are zero.
+        d_j = d0[:, j] - u @ gG[:, j]
+        u_col = d_j if w is None else w[:, j] * d_j
+        return jax.lax.dynamic_update_index_in_dim(u, u_col, j, axis=1)
+
+    u0 = jnp.zeros_like(d0)
+    return jax.lax.fori_loop(0, bsz, body, u0)
+
+
+@jax.jit
+def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef, w_block):
+    """Apply one block of B pre-solved observations to the state body.
+
+    ``ye_block [B, M]``, coefficients ``[B]``, ``w_block [rows, B]`` (or
+    None for no localization).  Two MXU matmuls + a B-step recurrence.
+    """
+    y = ye_block.astype(body_perts.dtype)
+    d0 = jnp.dot(body_perts, y.T, preferred_element_type=body_perts.dtype)
+    gram = jnp.dot(y, y.T, preferred_element_type=body_perts.dtype)
+    u = _block_recurrence(d0, gram, w_block, gain_coef, sqrt_coef)
+    body_mean = body_mean + u @ gain_coef
+    body_perts = body_perts - jnp.dot(
+        u * sqrt_coef[None, :], y, preferred_element_type=body_perts.dtype
+    )
+    return body_mean, body_perts
+
+
+@functools.partial(jax.jit, static_argnames=("localize", "block_size"))
+def ensrf_blocked_body(
+    body_mean,
+    body_perts,
+    body_lat,
+    body_lon,
+    tail: TailSolution,
+    obs: ObsArrays,
+    localize: bool = True,
+    block_size: int = 32,
+):
+    """Phase 2: sweep the pre-solved observation sequence over the state
+    body in blocks.  Exact (up to fp reassociation) match of the serial
+    algorithm."""
+    nobs = tail.ye.shape[0]
+    dtype = body_perts.dtype
+    if nobs == 0:
+        return body_mean, body_perts
+    nblocks = -(-nobs // block_size)
+    pad = nblocks * block_size - nobs
+
+    ye = jnp.pad(tail.ye, ((0, pad), (0, 0)))
+    gain = jnp.pad(tail.gain_coef, (0, pad))
+    sqrtc = jnp.pad(tail.sqrt_coef, (0, pad))
+    ob_lat = jnp.pad(obs.lats.astype(dtype), (0, pad))
+    ob_lon = jnp.pad(obs.lons.astype(dtype), (0, pad))
+    radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+
+    ye_b = ye.reshape(nblocks, block_size, -1)
+    gain_b = gain.reshape(nblocks, block_size).astype(dtype)
+    sqrt_b = sqrtc.reshape(nblocks, block_size).astype(dtype)
+    lat_b = ob_lat.reshape(nblocks, block_size)
+    lon_b = ob_lon.reshape(nblocks, block_size)
+    rad_b = radii.reshape(nblocks, block_size)
+
+    def step(carry, xs):
+        bm, bp = carry
+        yb, gb, sb, latb, lonb, radb = xs
+        if localize:
+            d = haversine(
+                (body_lat[:, None], body_lon[:, None]), (latb[None, :], lonb[None, :])
+            )
+            w = gaspari_cohn(d, radb[None, :]).astype(dtype)
+        else:
+            w = None
+        bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w)
+        return (bm, bp), None
+
+    (bm, bp), _ = jax.lax.scan(
+        step,
+        (body_mean, body_perts),
+        (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b),
+    )
+    return bm, bp
+
+
+def ensrf_blocked(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    body_lat,
+    body_lon,
+    obs: ObsArrays,
+    localize: bool = True,
+    block_size: int = 32,
+    unbiased: bool = False,
+):
+    """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
+
+    Drop-in equivalent of :func:`ensrf_serial` (same returns).
+    """
+    tail = tail_scan(tail_mean, tail_perts, obs, localize=localize, unbiased=unbiased)
+    bm, bp = ensrf_blocked_body(
+        body_mean,
+        body_perts,
+        body_lat,
+        body_lon,
+        tail,
+        obs,
+        localize=localize,
+        block_size=block_size,
+    )
+    return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags

@@ -1,0 +1,56 @@
+"""Typed configuration for the filter.
+
+The reference configures everything through loose kwargs and a polymorphic
+``inflation`` argument (``efa_xray/assimilation/ensrf.py:28``,
+``efa_xray/assimilation/assimilation.py:15-25``); per-ob knobs ride on the
+Observation objects.  Here the run-level knobs live in one dataclass, while
+per-ob overrides (``localize_radius``, ``assimilate_this``) remain arrays on
+the :class:`~efa_xray_tpu.observation.observation.ObservationBatch`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+
+@dataclasses.dataclass
+class FilterConfig:
+    # Covariance localization: "GC" (Gaspari-Cohn) or None/False for off
+    # (reference ``loc`` kwarg, ensrf.py:28,99).
+    localization: Optional[str] = "GC"
+    # Default GC halfwidth (km) for obs without a per-ob radius; None means
+    # such obs are not localized (weights = 1).
+    default_radius: Optional[float] = None
+    # Execution strategy: "blocked" (two-phase, MXU matmuls, default) or
+    # "serial" (direct lax.scan, the literal reference algorithm).
+    method: str = "blocked"
+    # Observations applied to the state body per phase-2 block.
+    block_size: int = 32
+    # Forward-operator knobs (reference: efa_xray/state/ensemble.py:170-239).
+    npt: int = 4
+    exact_match_km: float = 1.0
+    nearest_metric: str = "haversine"  # or "reference_proxy"
+    time_weighting: str = "linear"  # or "reference" (reproduces swapped weights)
+    # Device dtype for the update ("float32" on TPU; "float64" for parity
+    # studies on CPU with jax_enable_x64).
+    dtype: str = "float32"
+    # False reproduces the reference's np.var (ddof=0) in the gain
+    # denominator against a ddof=1 covariance (ensrf.py:69,95) — weakly
+    # observation-order dependent.  True uses ddof=1 throughout (textbook
+    # Whitaker-Hamill; analysis mean exactly order-invariant when
+    # unlocalized).
+    unbiased_variance: bool = False
+    verbose: bool = False
+
+    @property
+    def localize(self) -> bool:
+        return self.localization not in (None, False)
+
+    def __post_init__(self):
+        if self.localization not in (None, False, "GC"):
+            raise ValueError(f"Unknown localization {self.localization!r}")
+        if self.method not in ("blocked", "serial"):
+            raise ValueError(f"Unknown method {self.method!r}")
+        if self.block_size < 1:
+            raise ValueError("block_size must be >= 1")

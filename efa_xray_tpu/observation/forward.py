@@ -1,0 +1,251 @@
+"""Forward operators H as precomputed gather taps.
+
+The reference evaluates H one observation at a time in Python:
+``Observation.estimate`` -> ``EnsembleState.interpolate``
+(``efa_xray/observation/observation.py:40-50``,
+``efa_xray/state/ensemble.py:170-239``): 4 nearest grid points with
+inverse-distance weights (exact-match short-circuit within 1 km), linear
+time interpolation, then a weighted gather-sum over members.
+
+H is linear, so TPU-natively it is a sparse matrix: per observation a fixed
+set of K = 4 (space) x 2 (time) *taps* — flattened state-row indices plus
+scalar weights.  ``build_taps`` constructs them for a whole observation
+batch at once (distance search runs on device, chunked over observations);
+``apply_taps`` evaluates ``ye = W @ gather(X)`` for all obs in one shot.
+
+Deliberate fixes vs. the reference (see SURVEY.md §2.1):
+
+* nearest-point ranking uses true great-circle distance, not the
+  sin(lat)/cos(lon) hypot proxy (``ensemble.py:160-163``) — the proxy is
+  not a metric and can select the wrong points; a ``metric="reference_proxy"``
+  mode reproduces the old ranking for comparison studies;
+* the exact-match branch one-hots the nearest point instead of crashing on
+  the reference's 2-D index into a 1-D array (``ensemble.py:196``);
+* linear time weights are proportional to proximity.  The reference assigns
+  the *reversed* weights (``ensemble.py:218-224`` gives the lower bracket
+  time the weight of the upper).  ``time_weighting="reference"`` reproduces
+  that behavior for bit-parity studies; the default is correct linear
+  interpolation;
+* an out-of-time-range observation becomes a QC flag (``qc_ok=False``,
+  zero weights) instead of a printed ``None`` (``ensemble.py:205-208``),
+  so batches stay dense and jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.observation import localization as _loc
+from efa_xray_tpu.state.structure import StateStructure
+
+EXACT_MATCH_KM = 1.0  # reference: efa_xray/state/ensemble.py:195
+
+
+@dataclasses.dataclass
+class ObsTaps:
+    """Sparse linear forward operator for a batch of observations.
+
+    ``ye[i] = sum_k weights[i, k] * state_vect[rows[i, k]]`` (per member).
+    """
+
+    rows: jnp.ndarray  # int32 [nobs, K] flattened state-row indices
+    weights: jnp.ndarray  # float [nobs, K]
+    qc_ok: np.ndarray  # bool [nobs] host array; False -> zero weights
+
+    @property
+    def nobs(self) -> int:
+        return self.rows.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("npt", "metric"))
+def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
+    """For each (lat, lon) in the batch return the ``npt`` nearest flat grid
+    indices and their true great-circle distances (km)."""
+    if metric == "haversine":
+        d = _loc.haversine(
+            (grid_lat[None, :], grid_lon[None, :]), (lats[:, None], lons[:, None])
+        )
+        score = -d
+    elif metric == "reference_proxy":
+        # The reference's periodic-safe proxy (efa_xray/state/ensemble.py:160-163)
+        score = -jnp.hypot(
+            jnp.sin(jnp.radians(grid_lat[None, :])) - jnp.sin(jnp.radians(lats[:, None])),
+            jnp.cos(jnp.radians(grid_lon[None, :])) - jnp.cos(jnp.radians(lons[:, None])),
+        )
+        d = _loc.haversine(
+            (grid_lat[None, :], grid_lon[None, :]), (lats[:, None], lons[:, None])
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    _, idx = jax.lax.top_k(score, npt)
+    dist = jnp.take_along_axis(d, idx, axis=1)
+    return idx, dist
+
+
+def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
+                   metric: str = "haversine") -> Tuple[np.ndarray, np.ndarray]:
+    """Indices of the ``npt`` nearest grid points to one (lat, lon), as
+    ``(y_idx, x_idx)`` arrays (reference: ``efa_xray/state/ensemble.py:152-168``)."""
+    grid_lat = np.asarray(grid_lat, dtype=np.float64)
+    shape = grid_lat.shape
+    flat_idx, _ = _topk_points(
+        jnp.asarray(grid_lat.ravel()),
+        jnp.asarray(np.asarray(grid_lon, dtype=np.float64).ravel()),
+        jnp.asarray([lat], dtype=jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
+        jnp.asarray([lon], dtype=jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
+        npt,
+        metric,
+    )
+    flat = np.asarray(flat_idx[0])
+    if len(shape) == 1:
+        # 1-D location list: (loc_idx, zeros) so callers can treat it as (y, x)
+        return flat, np.zeros(npt, dtype=np.int64)
+    return np.unravel_index(flat, shape)
+
+
+def _space_weights(dist: np.ndarray, exact_match_km: float) -> np.ndarray:
+    """Per-ob spatial weights over the selected points: one-hot within the
+    exact-match tolerance, inverse-distance otherwise
+    (reference: ``efa_xray/state/ensemble.py:193-200``)."""
+    nobs, npt = dist.shape
+    w = np.empty_like(dist)
+    exact = (dist < exact_match_km).any(axis=1)
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / dist
+    inv[~np.isfinite(inv)] = 0.0
+    denom = inv.sum(axis=1, keepdims=True)
+    # Degenerate all-zero denominators can't happen unless all 4 distances are
+    # inf; guard anyway.
+    w = inv / np.where(denom > 0, denom, 1.0)
+    onehot = np.zeros_like(dist)
+    onehot[np.arange(nobs), dist.argmin(axis=1)] = 1.0
+    w[exact] = onehot[exact]
+    return w
+
+
+def _time_weights(
+    times_s: np.ndarray, ob_times_s: np.ndarray, mode: str
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bracketing time indices [nobs, 2], weights [nobs, 2], in-range mask.
+
+    Reference semantics: ``efa_xray/state/ensemble.py:201-224``.
+    """
+    times_s = np.asarray(times_s, dtype=np.int64)
+    t = np.asarray(ob_times_s, dtype=np.int64)
+    nobs = t.shape[0]
+    ok = (t >= times_s[0]) & (t <= times_s[-1])
+    tc = np.clip(t, times_s[0], times_s[-1])
+    # first index with times >= t  (reference's (valids >= time64).argmax())
+    hi = np.searchsorted(times_s, tc, side="left")
+    exact = times_s[np.minimum(hi, len(times_s) - 1)] == tc
+    lo = np.where(exact, hi, np.maximum(hi - 1, 0))
+    idx = np.stack([lo, hi], axis=1).astype(np.int64)
+    w = np.zeros((nobs, 2), dtype=np.float64)
+    tot = (times_s[hi] - times_s[lo]).astype(np.float64)
+    tot = np.where(tot > 0, tot, 1.0)
+    frac_hi = (tc - times_s[lo]).astype(np.float64) / tot  # proximity-correct
+    if mode == "linear":
+        w[:, 1] = frac_hi
+        w[:, 0] = 1.0 - frac_hi
+    elif mode == "reference":
+        # reference swaps the bracket weights (ensemble.py:223-224)
+        w[:, 1] = 1.0 - frac_hi
+        w[:, 0] = frac_hi
+    else:
+        raise ValueError(f"unknown time_weighting {mode!r}")
+    w[exact, 0] = 0.0
+    w[exact, 1] = 1.0
+    w[~ok] = 0.0
+    return idx, w, ok
+
+
+def build_taps(
+    structure: StateStructure,
+    lats,
+    lons,
+    times_s,
+    var_idx,
+    npt: int = 4,
+    exact_match_km: float = EXACT_MATCH_KM,
+    metric: str = "haversine",
+    time_weighting: str = "linear",
+    obs_chunk_bytes: int = 1 << 28,
+) -> ObsTaps:
+    """Construct gather taps for a batch of point observations.
+
+    ``lats``/``lons``: float [nobs]; ``times_s``: int64 epoch seconds
+    [nobs]; ``var_idx``: int [nobs] index into ``structure.var_names``.
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    var_idx = np.asarray(var_idx, dtype=np.int64)
+    nobs = lats.shape[0]
+    ngrid = structure.ngrid
+
+    fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    glat = jnp.asarray(structure.lat.ravel(), dtype=fdtype)
+    glon = jnp.asarray(structure.lon.ravel(), dtype=fdtype)
+
+    # Device-side nearest-point search, chunked so the [chunk, ngrid]
+    # distance matrix stays within a bounded footprint.
+    chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * 4, 1)))
+    sp_idx = np.empty((nobs, npt), dtype=np.int64)
+    sp_dist = np.empty((nobs, npt), dtype=np.float64)
+    for s in range(0, nobs, chunk):
+        e = min(nobs, s + chunk)
+        idx, dist = _topk_points(
+            glat, glon,
+            jnp.asarray(lats[s:e], dtype=fdtype),
+            jnp.asarray(lons[s:e], dtype=fdtype),
+            npt, metric,
+        )
+        sp_idx[s:e] = np.asarray(idx)
+        sp_dist[s:e] = np.asarray(dist)
+
+    # Recompute the selected distances in f64 on host so the IDW weights and
+    # the exact-match test are precision-independent of the device dtype.
+    sel_lat = structure.lat.ravel()[sp_idx]
+    sel_lon = structure.lon.ravel()[sp_idx]
+    sp_dist = np.asarray(
+        _loc.haversine((sel_lat, sel_lon), (lats[:, None], lons[:, None]))
+    )
+    sw = _space_weights(sp_dist, exact_match_km)  # [nobs, npt]
+
+    t_idx, tw, ok = _time_weights(structure.times_s, times_s, time_weighting)
+
+    # Combine: rows[(i, p, q)] = flat(var, t_idx[i,q], grid=sp_idx[i,p])
+    # weights = sw[i,p] * tw[i,q]
+    ntimes = structure.ntimes
+    rows = (
+        (var_idx[:, None, None] * ntimes + t_idx[:, None, :]) * ngrid
+        + sp_idx[:, :, None]
+    ).reshape(nobs, npt * 2)
+    weights = (sw[:, :, None] * tw[:, None, :]).reshape(nobs, npt * 2)
+    weights[~ok] = 0.0
+
+    return ObsTaps(
+        rows=jnp.asarray(rows, dtype=jnp.int32),
+        weights=jnp.asarray(weights, dtype=fdtype),
+        qc_ok=np.asarray(ok),
+    )
+
+
+@jax.jit
+def apply_taps(state_vect, rows, weights):
+    """Evaluate all observation priors at once: ``[nobs, nmems]``.
+
+    ``state_vect``: ``[nstate, nmems]``; one vectorized gather replaces the
+    reference's per-ob Python loop (``efa_xray/assimilation/assimilation.py:45-48``).
+    """
+    gathered = jnp.take(state_vect, rows, axis=0)  # [nobs, K, nmems]
+    return jnp.einsum("okm,ok->om", gathered, weights.astype(state_vect.dtype))
+
+
+def apply_taps_obj(state_vect, taps: ObsTaps):
+    return apply_taps(state_vect, taps.rows, taps.weights)

@@ -1,0 +1,230 @@
+"""Observation records and the device-friendly struct-of-arrays batch.
+
+The reference models observations as a Python attribute bag, one object per
+ob (``efa_xray/observation/observation.py:17-36``), looped over in Python.
+TPU-natively a batch of observations is a *struct of arrays*
+(:class:`ObservationBatch`): values, error variances, coordinates, times,
+per-ob localization radii, and QC masks — everything a jitted kernel needs
+as dense arrays, with human metadata (descriptions, type names) kept on the
+host.  :class:`Observation` is retained as the per-ob user-facing record for
+drop-in familiarity, including the diagnostic result slots
+(``prior_mean/prior_var/post_mean/post_var/assimilated``) the filter writes
+back (reference: ``ensrf.py:66-70,144-149``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from efa_xray_tpu.observation import localization as _loc
+from efa_xray_tpu.utils import timeutil
+
+
+class Observation:
+    """One point observation (reference parity:
+    ``efa_xray/observation/observation.py:17-36``)."""
+
+    def __init__(
+        self,
+        value=None,
+        obtype=None,
+        time=None,
+        error=None,
+        lat=None,
+        lon=None,
+        vert=None,
+        prior_mean=None,
+        post_mean=None,
+        prior_var=None,
+        post_var=None,
+        assimilate_this=False,
+        description=None,
+        localize_radius=None,
+    ):
+        self.value = value
+        self.obtype = obtype
+        self.time = time
+        self.error = error  # observation error VARIANCE (R)
+        self.lat = lat
+        self.lon = lon
+        self.vert = vert
+        self.prior_mean = prior_mean
+        self.post_mean = post_mean
+        self.prior_var = prior_var
+        self.post_var = post_var
+        self.assimilate_this = assimilate_this
+        self.assimilated = False
+        self.description = description
+        self.localize_radius = localize_radius
+
+    def estimate(self, state):
+        """Ensemble estimate of this ob: H(x) for every member
+        (reference: ``efa_xray/observation/observation.py:40-50``)."""
+        return state.interpolate(self.obtype, self.time, self.lat, self.lon)
+
+    def distance_to_state(self, state):
+        """Distance (km) from this ob to every state grid point
+        (reference: ``efa_xray/observation/observation.py:53-56``)."""
+        return state.distance_to_point(self.lat, self.lon)
+
+    def localize(self, state, type="GC", full_state=False):
+        """Localization weights from this ob to a state grid or to a list
+        of observations (reference: ``efa_xray/observation/observation.py:59-87``).
+
+        ``localize_radius=None`` returns ones (the reference crashes on
+        this case; see SURVEY.md §2.1/O3)."""
+        halfwidth = self.localize_radius
+        if isinstance(state, (list, tuple)):
+            other_lats = np.asarray([ob.lat for ob in state], dtype=np.float64)
+            other_lons = np.asarray([ob.lon for ob in state], dtype=np.float64)
+            distances = np.asarray(
+                _loc.haversine((self.lat, self.lon), (other_lats, other_lons))
+            )
+        else:
+            distances = np.asarray(state.distance_to_point(self.lat, self.lon))
+        if halfwidth is None:
+            return np.ones(distances.shape)
+        if type == "GC":
+            return _loc.gaspari_cohn_np(distances, halfwidth)
+        raise ValueError(f"Unknown localization type {type!r}")
+
+    def map_localization(self, state, projection=None, type="GC", ax=None):
+        """Plot the localization footprint (reference:
+        ``efa_xray/observation/observation.py:94-115``, which needed
+        Basemap; here plain matplotlib / any callable projection)."""
+        import matplotlib.pyplot as plt
+
+        localization = np.asarray(self.localize(state, type=type))
+        if projection is not None:
+            gx, gy = state.project_coordinates(projection)
+        else:
+            gx, gy = np.asarray(state.structure.lon), np.asarray(state.structure.lat)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 8))
+        pm = ax.pcolormesh(gx, gy, localization.reshape(gx.shape), vmin=0.0, vmax=1.0)
+        plt.colorbar(pm, ax=ax)
+        ax.set_title(
+            "Localization Weights for {:s} ({:5.3f},{:5.3f})".format(
+                str(self.description), self.lat, self.lon
+            )
+        )
+        return ax
+
+    def __repr__(self):
+        return (
+            f"Observation({self.obtype!r}, value={self.value}, "
+            f"lat={self.lat}, lon={self.lon}, time={self.time})"
+        )
+
+
+@dataclasses.dataclass
+class ObservationBatch:
+    """Struct-of-arrays view of N observations (all host NumPy; converted
+    to device arrays at the assimilation boundary)."""
+
+    values: np.ndarray  # float64 [N]
+    errors: np.ndarray  # float64 [N], observation error variance R
+    lats: np.ndarray  # float64 [N]
+    lons: np.ndarray  # float64 [N]
+    times_s: np.ndarray  # int64 [N] epoch seconds
+    obtypes: List[str]  # length N variable names
+    localize_radius: np.ndarray  # float64 [N]; np.inf == no localization
+    assimilate_flags: np.ndarray  # bool [N]
+    verts: np.ndarray  # float64 [N] (carried metadata; NaN when absent)
+    descriptions: List[Optional[str]]
+
+    # Result slots (filled by the filter)
+    prior_mean: Optional[np.ndarray] = None
+    prior_var: Optional[np.ndarray] = None
+    post_mean: Optional[np.ndarray] = None
+    post_var: Optional[np.ndarray] = None
+    assimilated: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    @property
+    def nobs(self) -> int:
+        return len(self.values)
+
+    @classmethod
+    def from_observations(cls, obs: Sequence[Observation]) -> "ObservationBatch":
+        n = len(obs)
+        radius = np.full(n, np.inf, dtype=np.float64)
+        for i, ob in enumerate(obs):
+            if ob.localize_radius is not None:
+                radius[i] = float(ob.localize_radius)
+        return cls(
+            values=np.asarray([ob.value for ob in obs], dtype=np.float64),
+            errors=np.asarray([ob.error for ob in obs], dtype=np.float64),
+            lats=np.asarray([ob.lat for ob in obs], dtype=np.float64),
+            lons=np.asarray([ob.lon for ob in obs], dtype=np.float64),
+            times_s=timeutil.to_epoch_seconds([ob.time for ob in obs]),
+            obtypes=[ob.obtype for ob in obs],
+            localize_radius=radius,
+            assimilate_flags=np.asarray(
+                [bool(ob.assimilate_this) for ob in obs], dtype=bool
+            ),
+            verts=np.asarray(
+                [np.nan if ob.vert is None else float(ob.vert) for ob in obs],
+                dtype=np.float64,
+            ),
+            descriptions=[ob.description for ob in obs],
+            # carry result slots already present on the objects (the
+            # reference postprocess reads ob.assimilated, postprocess.py:29)
+            assimilated=np.asarray(
+                [bool(getattr(ob, "assimilated", False)) for ob in obs], dtype=bool
+            ),
+        )
+
+    @classmethod
+    def coerce(cls, obs) -> "ObservationBatch":
+        if isinstance(obs, ObservationBatch):
+            return obs
+        return cls.from_observations(list(obs))
+
+    def var_indices(self, structure) -> np.ndarray:
+        return np.asarray(
+            [structure.var_index(t) for t in self.obtypes], dtype=np.int32
+        )
+
+    def writeback(self, obs: Sequence[Observation]) -> None:
+        """Copy filter diagnostics back onto user Observation objects,
+        mirroring the in-place attribute writes of the reference loop
+        (``efa_xray/assimilation/ensrf.py:66-70,144-149``)."""
+        for i, ob in enumerate(obs):
+            ob.prior_mean = None if self.prior_mean is None else float(self.prior_mean[i])
+            ob.prior_var = None if self.prior_var is None else float(self.prior_var[i])
+            if self.assimilated is not None and self.assimilated[i]:
+                ob.post_mean = float(self.post_mean[i])
+                ob.post_var = float(self.post_var[i])
+                ob.assimilated = True
+            else:
+                ob.assimilated = False
+
+    def to_observations(self) -> List[Observation]:
+        out = []
+        for i in range(self.nobs):
+            ob = Observation(
+                value=float(self.values[i]),
+                obtype=self.obtypes[i],
+                time=timeutil.to_datetime64(self.times_s[i]),
+                error=float(self.errors[i]),
+                lat=float(self.lats[i]),
+                lon=float(self.lons[i]),
+                vert=None if np.isnan(self.verts[i]) else float(self.verts[i]),
+                assimilate_this=bool(self.assimilate_flags[i]),
+                description=self.descriptions[i],
+                localize_radius=(
+                    None
+                    if np.isinf(self.localize_radius[i])
+                    else float(self.localize_radius[i])
+                ),
+            )
+            out.append(ob)
+        if self.prior_mean is not None:
+            self.writeback(out)
+        return out

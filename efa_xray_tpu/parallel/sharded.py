@@ -1,0 +1,148 @@
+"""Multi-device EnSRF: state body sharded, observation tail replicated.
+
+The communication design follows SURVEY.md §5.8.  Both kernels in
+:mod:`efa_xray_tpu.assimilation.ensrf_core` are row-parallel in the state
+dimension — every per-observation quantity that couples rows (``ye``,
+``varye``, ``innov``, ``kdenom``, ``beta``) lives entirely in the
+replicated obs-space tail.  So under ``shard_map``:
+
+* the body mean/perts and per-row lat/lon shard along the ``state`` axis;
+* the tail and all per-ob arrays replicate;
+* the tail update runs redundantly (and bit-identically) on every device;
+* **zero collectives** are issued inside the observation loop — the ICI is
+  touched only by the initial gather of observation priors (outside this
+  module) and the final result layout.
+
+This is the working TPU realization of the reference's intended
+(broken) design: "obs-space priors computed once globally, then each worker
+runs the full serial EnSRF on its state chunk independently"
+(``efa_xray/assimilation/assimilation.py:176-230``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.parallel.mesh import STATE_AXIS, pad_rows, pad_to_multiple
+
+
+def _shard_specs(axis: str):
+    sharded = P(axis)
+    sharded2 = P(axis, None)
+    rep = P()
+    obs_spec = core.ObsArrays(*([rep] * 6))
+    in_specs = (sharded, sharded2, rep, rep, sharded, sharded, obs_spec)
+    out_specs = (
+        sharded,
+        sharded2,
+        rep,
+        rep,
+        core.ObsDiagnostics(*([rep] * 5)),
+    )
+    return in_specs, out_specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "localize", "method", "block_size", "axis_name", "unbiased"),
+)
+def _ensrf_sharded_jit(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    body_lat,
+    body_lon,
+    obs: core.ObsArrays,
+    *,
+    mesh: Mesh,
+    localize: bool,
+    method: str,
+    block_size: int,
+    axis_name: str,
+    unbiased: bool,
+):
+    in_specs, out_specs = _shard_specs(axis_name)
+
+    def local_update(bm, bp, tm, tp, blat, blon, ob):
+        if method == "serial":
+            return core.ensrf_serial(
+                bm, bp, tm, tp, blat, blon, ob, localize=localize, unbiased=unbiased
+            )
+        tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased)
+        bm, bp = core.ensrf_blocked_body(
+            bm, bp, blat, blon, tail, ob, localize=localize, block_size=block_size
+        )
+        return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
+
+    fn = jax.shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon, obs)
+
+
+def ensrf_update_sharded(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    body_lat,
+    body_lon,
+    obs: core.ObsArrays,
+    mesh: Mesh,
+    localize: bool = True,
+    method: str = "blocked",
+    block_size: int = 32,
+    axis_name: str = STATE_AXIS,
+    unbiased: bool = False,
+):
+    """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
+    size (pad rows carry zero perturbations and benign coordinates, so their
+    updates are no-ops that never touch real rows), shards the body, runs
+    the row-local kernel, and unpads."""
+    ns = body_mean.shape[0]
+    ndev = mesh.shape[axis_name]
+    ns_pad = pad_to_multiple(ns, ndev)
+
+    bm = pad_rows(body_mean, ns_pad)
+    bp = pad_rows(body_perts, ns_pad)
+    blat = pad_rows(body_lat, ns_pad)
+    blon = pad_rows(body_lon, ns_pad)
+
+    shard1 = NamedSharding(mesh, P(axis_name))
+    shard2 = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P())
+    bm = jax.device_put(bm, shard1)
+    bp = jax.device_put(bp, shard2)
+    blat = jax.device_put(blat, shard1)
+    blon = jax.device_put(blon, shard1)
+    tail_mean = jax.device_put(tail_mean, rep)
+    tail_perts = jax.device_put(tail_perts, rep)
+    obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs)
+
+    bm, bp, tm, tp, diags = _ensrf_sharded_jit(
+        bm,
+        bp,
+        tail_mean,
+        tail_perts,
+        blat,
+        blon,
+        obs,
+        mesh=mesh,
+        localize=localize,
+        method=method,
+        block_size=block_size,
+        axis_name=axis_name,
+        unbiased=unbiased,
+    )
+    return bm[:ns], bp[:ns], tm, tp, diags

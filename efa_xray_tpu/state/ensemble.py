@@ -1,0 +1,265 @@
+"""EnsembleState: the ensemble state vector as a JAX pytree.
+
+Replaces the reference's ``EnsembleState(xarray.Dataset)`` subclass
+(``efa_xray/state/ensemble.py:15-36``).  Design differences, all TPU-driven:
+
+* data lives in ONE dense device array ``[nvars, ntimes, ny, nx, nmems]``
+  rather than a dict of labeled variables — a single contiguous buffer that
+  flattens to the ``[nstate, nmems]`` matrix with zero copies;
+* all metadata (names, times, lat/lon) is static host data in
+  :class:`~efa_xray_tpu.state.structure.StateStructure`;
+* every method is functional (returns new values) so the whole object can
+  flow through ``jit``/``vmap``/``shard_map``.
+
+API parity map (reference ``efa_xray/state/ensemble.py``):
+``from_vardict`` :25-36, size accessors :40-56, ``to_vect``/``from_vect``
+:110-121, ``ensemble_mean``/``ensemble_perts``/``ensemble_times`` :123-135,
+``nearest_points`` :152-168, ``interpolate`` :170-239, ``haversine``/
+``distance_to_point`` :241-267, ``save_to_disk`` :269-273,
+``project_coordinates`` :138-150.  The broken multiprocessing helpers
+``split_state``/``reintegrate_state``/``chunk_bounds`` (:59-107) are
+superseded by mesh sharding (:meth:`shard`, and
+``efa_xray_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.observation import localization as _loc
+from efa_xray_tpu.state.structure import StateStructure
+from efa_xray_tpu.utils import timeutil
+
+_COORD_NAMES = ("validtime", "lat", "lon", "mem", "x", "y", "location")
+
+
+@jax.tree_util.register_pytree_node_class
+class EnsembleState:
+    """Dense ensemble state: ``data[var, time, y, x, member]`` + structure."""
+
+    def __init__(self, data, structure: StateStructure):
+        self.data = data
+        self.structure = structure
+
+    # --- pytree protocol --------------------------------------------------
+    def tree_flatten(self):
+        return (self.data,), self.structure
+
+    @classmethod
+    def tree_unflatten(cls, structure, children):
+        return cls(children[0], structure)
+
+    # --- constructors ------------------------------------------------------
+    @classmethod
+    def from_vardict(cls, vardict: Dict, coorddict: Dict, dtype=None) -> "EnsembleState":
+        """Build from xarray-style variable/coordinate dicts.
+
+        ``vardict``: ``{name: array}`` or ``{name: (dims, array)}`` with
+        per-variable shape ``(ntimes, ny, nx, nmems)`` (or
+        ``(ntimes, nloc, nmems)`` for 1-D location grids).
+        ``coorddict``: must contain ``validtime``, ``lat``, ``lon``, ``mem``
+        (``lat``/``lon`` may be given as ``(dims, array)`` tuples as in
+        xarray).  Mirrors the reference constructor
+        (``efa_xray/state/ensemble.py:25-36``) without the ``__class__``
+        rebranding hack.
+        """
+        def _unwrap(v):
+            if isinstance(v, tuple) and len(v) == 2 and not np.isscalar(v[0]):
+                return np.asarray(v[1])
+            return np.asarray(v)
+
+        times = coorddict["validtime"]
+        if isinstance(times, tuple):
+            times = times[1]
+        lat = _unwrap(coorddict["lat"])
+        lon = _unwrap(coorddict["lon"])
+        mems = coorddict.get("mem")
+
+        names = [k for k in vardict.keys() if k not in _COORD_NAMES]
+        fields = []
+        for name in names:
+            arr = _unwrap(vardict[name])
+            if arr.ndim == 3:  # (T, nloc, M) -> (T, nloc, 1, M)
+                arr = arr[:, :, None, :]
+            if arr.ndim != 4:
+                raise ValueError(
+                    f"Variable {name!r} must be (time, y, x, mem) or "
+                    f"(time, loc, mem); got shape {arr.shape}"
+                )
+            fields.append(arr)
+        if not fields:
+            raise ValueError("vardict contains no state variables")
+        nmems = fields[0].shape[-1] if mems is None else len(mems)
+        structure = StateStructure.build(names, times, lat, lon, nmems)
+        data = np.stack(fields, axis=0)
+        if data.shape != structure.shape:
+            raise ValueError(
+                f"Variable shapes {data.shape[1:]} inconsistent with "
+                f"coords {structure.shape[1:]}"
+            )
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return cls(jnp.asarray(data, dtype=dtype), structure)
+
+    @classmethod
+    def from_vect(cls, vect, structure: StateStructure) -> "EnsembleState":
+        """Inverse of :meth:`to_vect`: ``[nstate, nmems]`` -> EnsembleState
+        (reference: ``efa_xray/state/ensemble.py:116-121``, but functional)."""
+        data = jnp.reshape(vect, structure.shape)
+        return cls(data, structure)
+
+    # --- reference-compatible size accessors (methods, not properties) ----
+    def nmems(self) -> int:
+        return self.structure.nmems
+
+    def ny(self) -> int:
+        return self.structure.ny
+
+    def nx(self) -> int:
+        return self.structure.nx
+
+    def ntimes(self) -> int:
+        return self.structure.ntimes
+
+    def vars(self) -> list:
+        return list(self.structure.var_names)
+
+    def nvars(self) -> int:
+        return self.structure.nvars
+
+    def nstate(self) -> int:
+        return self.structure.nstate
+
+    def shape(self) -> Tuple[int, ...]:
+        return self.structure.shape
+
+    def __getitem__(self, name: str):
+        """Access one variable's dense block ``[time, y, x, mem]``."""
+        return self.data[self.structure.var_index(name)]
+
+    # --- (de)vectorization --------------------------------------------------
+    def to_vect(self):
+        """Flatten to ``[nstate, nmems]`` in (var, time, y, x) row order
+        (reference: ``efa_xray/state/ensemble.py:110-114``)."""
+        s = self.structure
+        return jnp.reshape(self.data, (s.nstate, s.nmems))
+
+    def update_from_vect(self, vect) -> "EnsembleState":
+        return EnsembleState.from_vect(vect, self.structure)
+
+    # --- ensemble statistics -------------------------------------------------
+    def ensemble_mean(self):
+        """Mean over the member axis -> ``[nvars, ntimes, ny, nx]``
+        (reference: ``efa_xray/state/ensemble.py:123-125``)."""
+        return jnp.mean(self.data, axis=-1)
+
+    def ensemble_perts(self) -> "EnsembleState":
+        """Perturbations from the ensemble mean, same shape as the state
+        (reference: ``efa_xray/state/ensemble.py:127-131``)."""
+        return EnsembleState(
+            self.data - self.ensemble_mean()[..., None], self.structure
+        )
+
+    def ensemble_times(self) -> np.ndarray:
+        return self.structure.times64()
+
+    def ensemble_spread(self):
+        """Member standard deviation ``[nvars, ntimes, ny, nx]`` (ddof=0)."""
+        return jnp.std(self.data, axis=-1)
+
+    # --- geometry / interpolation (delegates) ---------------------------------
+    def nearest_points(self, lat, lon, npt: int = 1):
+        """Indices of the ``npt`` grid points nearest to (lat, lon) as a
+        ``(y_idx, x_idx)`` pair of arrays, ranked by true great-circle
+        distance (the reference's sin/cos proxy metric at
+        ``efa_xray/state/ensemble.py:160-163`` is not a metric; see
+        SURVEY.md §2.1)."""
+        from efa_xray_tpu.observation import forward as _fwd
+
+        return _fwd.nearest_points(
+            self.structure.lat, self.structure.lon, lat, lon, npt
+        )
+
+    def interpolate(self, var: str, time, lat, lon):
+        """Ensemble estimate (length ``nmems``) of ``var`` at a point/time:
+        4-point inverse-distance spatial + linear time interpolation
+        (reference: ``efa_xray/state/ensemble.py:170-239``).  Returns None
+        if ``time`` is outside the state's valid-time range, matching
+        ``ensemble.py:205-208``."""
+        from efa_xray_tpu.observation import forward as _fwd
+
+        taps = _fwd.build_taps(
+            self.structure,
+            np.asarray([lat], dtype=np.float64),
+            np.asarray([lon], dtype=np.float64),
+            timeutil.to_epoch_seconds([time]),
+            np.asarray([self.structure.var_index(var)], dtype=np.int32),
+        )
+        if not bool(taps.qc_ok[0]):
+            print("Interpolation is outside of time range in state!")
+            return None
+        ye = _fwd.apply_taps_obj(self.to_vect(), taps)
+        return ye[0]
+
+    def haversine(self, loc1, loc2):
+        return _loc.haversine(loc1, loc2)
+
+    def distance_to_point(self, lat, lon):
+        """Great-circle km from (lat, lon) to every grid point,
+        shape ``[ny, nx]`` (reference: ``efa_xray/state/ensemble.py:254-267``)."""
+        return _loc.distance_to_point(
+            jnp.asarray(self.structure.lat), jnp.asarray(self.structure.lon), lat, lon
+        )
+
+    def project_coordinates(self, m):
+        """Project grid coordinates with projection callable ``m`` (any
+        ``m(lons, lats) -> (gx, gy)``, e.g. a cartopy/pyproj transformer),
+        wrapping longitudes to ±180 first (reference:
+        ``efa_xray/state/ensemble.py:138-150``, which required Basemap)."""
+        lons = np.array(self.structure.lon, copy=True)
+        lons[lons > 180] = lons[lons > 180] - 360
+        gx, gy = m(lons, np.asarray(self.structure.lat))
+        return gx, gy
+
+    # --- device placement -----------------------------------------------------
+    def shard(self, mesh, axis_name: str = "state") -> "EnsembleState":
+        """Place the state on a device mesh, sharded along the flattened
+        state dimension.  TPU-native replacement for the reference's broken
+        ``split_state``/``reintegrate_state`` multiprocessing decomposition
+        (``efa_xray/state/ensemble.py:59-107``)."""
+        from efa_xray_tpu.parallel import mesh as _mesh
+
+        data = _mesh.shard_state_array(self.data, mesh, axis_name)
+        return EnsembleState(data, self.structure)
+
+    # --- I/O --------------------------------------------------------------------
+    def save_to_disk(self, filename: str = "ens_state.nc"):
+        """Checkpoint to a netCDF4(HDF5)-compatible file
+        (reference: ``efa_xray/state/ensemble.py:269-273``)."""
+        from efa_xray_tpu.utils import ncio
+
+        ncio.write_state(filename, self)
+
+    @classmethod
+    def from_netcdf(cls, filename: str, dtype=None) -> "EnsembleState":
+        from efa_xray_tpu.utils import ncio
+
+        return ncio.read_state(filename, dtype=dtype)
+
+    # --- misc -------------------------------------------------------------------
+    def replace_data(self, data) -> "EnsembleState":
+        return EnsembleState(data, self.structure)
+
+    def astype(self, dtype) -> "EnsembleState":
+        return EnsembleState(self.data.astype(dtype), self.structure)
+
+    def __repr__(self):
+        s = self.structure
+        return (
+            f"EnsembleState(vars={list(s.var_names)}, ntimes={s.ntimes}, "
+            f"grid={s.ny}x{s.nx}, nmems={s.nmems}, dtype={self.data.dtype})"
+        )

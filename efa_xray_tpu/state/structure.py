@@ -1,0 +1,168 @@
+"""Static description of an ensemble state's geometry and labels.
+
+The reference keeps all of this implicitly inside an ``xarray.Dataset``
+(dims ``validtime, y, x, mem`` and coordinate variables ``lat``/``lon``;
+``efa_xray/state/ensemble.py:40-56``).  For a TPU-native design the labeled
+metadata must be *static host data* so that jitted functions see only dense
+arrays with static shapes.  ``StateStructure`` is that metadata: variable
+names, valid times, and the lat/lon grid.  It is carried as the aux_data of
+the :class:`~efa_xray_tpu.state.ensemble.EnsembleState` pytree.
+
+Canonical dense layout: ``data[var, time, y, x, member]``.
+Canonical flattened ("state vector") ordering matches the reference's
+``to_vect`` (``efa_xray/state/ensemble.py:110-114``): C-order over
+``(var, time, y, x)`` with members as the trailing axis.
+
+1-D location grids (a list of points rather than a raster) are represented
+with ``nx == 1``: ``lat``/``lon`` of shape ``(nloc,)`` become ``(nloc, 1)``.
+The reference's 1-D branch double-indexes and is broken
+(``efa_xray/state/ensemble.py:186-188,226``); this layout sidesteps it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from efa_xray_tpu.utils import timeutil
+
+
+@dataclasses.dataclass(frozen=True)
+class StateStructure:
+    """Immutable geometry + labels for an ensemble state."""
+
+    var_names: Tuple[str, ...]
+    times_s: np.ndarray  # int64 epoch seconds, shape [T], ascending
+    lat: np.ndarray  # float64, shape [Y, X]
+    lon: np.ndarray  # float64, shape [Y, X]
+    grid_is_2d: bool  # False when built from a 1-D location list
+    nmems: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "var_names", tuple(self.var_names))
+        times = timeutil.to_epoch_seconds(self.times_s)
+        if times.ndim != 1:
+            raise ValueError("times must be 1-D")
+        lat = np.asarray(self.lat, dtype=np.float64)
+        lon = np.asarray(self.lon, dtype=np.float64)
+        if lat.ndim == 1:
+            lat = lat[:, None]
+            lon = lon[:, None]
+        if lat.shape != lon.shape or lat.ndim != 2:
+            raise ValueError(f"lat/lon shape mismatch: {lat.shape} vs {lon.shape}")
+        for arr, name in ((times, "times_s"), (lat, "lat"), (lon, "lon")):
+            arr.setflags(write=False)
+            object.__setattr__(self, name, arr)
+
+    @classmethod
+    def build(
+        cls,
+        var_names: Sequence[str],
+        times,
+        lat,
+        lon,
+        nmems: int,
+    ) -> "StateStructure":
+        lat_arr = np.asarray(lat, dtype=np.float64)
+        return cls(
+            var_names=tuple(var_names),
+            times_s=timeutil.to_epoch_seconds(times),
+            lat=lat_arr,
+            lon=np.asarray(lon, dtype=np.float64),
+            grid_is_2d=lat_arr.ndim == 2,
+            nmems=int(nmems),
+        )
+
+    # --- size accessors (reference: efa_xray/state/ensemble.py:40-56) ---
+    @property
+    def nvars(self) -> int:
+        return len(self.var_names)
+
+    @property
+    def ntimes(self) -> int:
+        return len(self.times_s)
+
+    @property
+    def ny(self) -> int:
+        return self.lat.shape[0]
+
+    @property
+    def nx(self) -> int:
+        return self.lat.shape[1]
+
+    @property
+    def ngrid(self) -> int:
+        return self.ny * self.nx
+
+    @property
+    def nstate(self) -> int:
+        """Total flattened state length: nvars * ntimes * ny * nx
+        (reference: ``efa_xray/state/ensemble.py:52-53``)."""
+        return self.nvars * self.ntimes * self.ngrid
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int, int]:
+        """Dense array shape ``(nvars, ntimes, ny, nx, nmems)``."""
+        return (self.nvars, self.ntimes, self.ny, self.nx, self.nmems)
+
+    def var_index(self, name: str) -> int:
+        try:
+            return self.var_names.index(name)
+        except ValueError:
+            raise KeyError(
+                f"Variable {name!r} not in state (has {self.var_names})"
+            ) from None
+
+    def times64(self) -> np.ndarray:
+        """Valid times as datetime64[s] (reference ``ensemble_times``,
+        ``efa_xray/state/ensemble.py:133-135``)."""
+        return timeutil.to_datetime64(self.times_s)
+
+    # --- flattened-row geometry -----------------------------------------
+    def flat_index(self, v, t, y, x) -> np.ndarray:
+        """Row index in the flattened state for (var, time, y, x)."""
+        return ((np.asarray(v) * self.ntimes + np.asarray(t)) * self.ny
+                + np.asarray(y)) * self.nx + np.asarray(x)
+
+    def row_latlon(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-state-row (lat, lon), each shape ``[nstate]``: the grid
+        coordinates tiled over vars and times.  Used to broadcast
+        localization weights across the whole state vector, the moral
+        equivalent of the reference's ``dum_localize`` expansion
+        (``efa_xray/assimilation/ensrf.py:35-38,108-111``)."""
+        reps = self.nvars * self.ntimes
+        return (
+            np.tile(self.lat.ravel(), reps),
+            np.tile(self.lon.ravel(), reps),
+        )
+
+    def with_nmems(self, nmems: int) -> "StateStructure":
+        return dataclasses.replace(self, nmems=int(nmems))
+
+    # Structures containing identical metadata compare equal, so they can
+    # gate cached jit closures at the Python level.
+    def __eq__(self, other):
+        if not isinstance(other, StateStructure):
+            return NotImplemented
+        return (
+            self.var_names == other.var_names
+            and self.nmems == other.nmems
+            and self.grid_is_2d == other.grid_is_2d
+            and np.array_equal(self.times_s, other.times_s)
+            and np.array_equal(self.lat, other.lat)
+            and np.array_equal(self.lon, other.lon)
+        )
+
+    def __hash__(self):
+        return hash(
+            (
+                self.var_names,
+                self.nmems,
+                self.grid_is_2d,
+                self.times_s.tobytes(),
+                self.lat.tobytes(),
+                self.lon.tobytes(),
+            )
+        )

@@ -1,0 +1,191 @@
+"""Minimal netCDF4-compatible I/O built on h5py.
+
+The reference checkpoints state and inflation fields via
+``xarray.Dataset.to_netcdf`` (``efa_xray/state/ensemble.py:269-273``,
+``efa_xray/assimilation/adaptive_inflation.py:76-80``) and consumes
+inflation files via ``xarray.open_dataset``
+(``efa_xray/assimilation/assimilation.py:74``).  This environment ships
+neither xarray nor netCDF4, but netCDF-4 files ARE HDF5 files with a small
+set of conventions (named dimensions as HDF5 *dimension scales*, attached
+to variables).  This module implements exactly that subset, so files written
+here open cleanly in netCDF4/xarray and vice versa for the common case.
+
+``NcDataset`` is the in-memory form: named dimensions, variables as
+``(dims, ndarray)``, plus attrs — the structural equivalent of the
+xarray.Dataset the reference passes around.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+
+    _HAS_H5PY = True
+except ImportError:  # pragma: no cover - h5py is expected in this image
+    _HAS_H5PY = False
+
+
+@dataclasses.dataclass
+class NcDataset:
+    dims: Dict[str, int]
+    variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]]
+    attrs: Dict[str, object] = dataclasses.field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.variables[name][1]
+
+    def var_dims(self, name: str) -> Tuple[str, ...]:
+        return self.variables[name][0]
+
+    @property
+    def data_vars(self):
+        return {k: v for k, v in self.variables.items()}
+
+
+def write_dataset(filename: str, ds: NcDataset) -> None:
+    if not _HAS_H5PY:
+        raise RuntimeError("h5py is required for netCDF I/O")
+    with h5py.File(filename, "w") as f:
+        # Create dimension-scale datasets for dims that have no variable.
+        for dim, size in ds.dims.items():
+            if dim not in ds.variables:
+                d = f.create_dataset(dim, data=np.zeros(size, dtype=np.float32))
+                d.make_scale(dim)
+                d.attrs["NAME"] = np.bytes_(
+                    f"This is a netCDF dimension but not a netCDF variable.{size:>10}"
+                )
+        # Coordinate variables (name == one of their dims) become scales.
+        for name, (dims, arr) in ds.variables.items():
+            arr = np.asarray(arr)
+            if arr.dtype.kind == "M":  # datetime64 -> int64 seconds + units
+                arr = arr.astype("datetime64[s]").astype(np.int64)
+                v = f.create_dataset(name, data=arr)
+                v.attrs["units"] = np.bytes_("seconds since 1970-01-01 00:00:00")
+                v.attrs["calendar"] = np.bytes_("standard")
+            elif arr.dtype == object or arr.dtype.kind == "U":
+                v = f.create_dataset(
+                    name, data=np.asarray([str(x).encode() for x in arr.ravel()])
+                )
+            else:
+                v = f.create_dataset(name, data=arr)
+            v.attrs["_dims"] = np.bytes_(",".join(dims))
+            if name in dims:
+                v.make_scale(name)
+        # Attach dimension scales (netCDF4 convention).
+        for name, (dims, _) in ds.variables.items():
+            v = f[name]
+            if name in dims:
+                continue
+            for axis, dim in enumerate(dims):
+                if dim in f and f[dim].attrs.get("CLASS", b"") == b"DIMENSION_SCALE":
+                    v.dims[axis].attach_scale(f[dim])
+        for k, val in ds.attrs.items():
+            f.attrs[k] = val
+
+
+def read_dataset(filename: str) -> NcDataset:
+    if not _HAS_H5PY:
+        raise RuntimeError("h5py is required for netCDF I/O")
+    dims: Dict[str, int] = {}
+    variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+    attrs: Dict[str, object] = {}
+    with h5py.File(filename, "r") as f:
+        for name in f:
+            obj = f[name]
+            if not isinstance(obj, h5py.Dataset):
+                continue
+            is_pure_dim = (
+                obj.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+                and b"not a netCDF variable" in obj.attrs.get("NAME", b"")
+            )
+            if is_pure_dim:
+                dims[name] = obj.shape[0]
+                continue
+            if "_dims" in obj.attrs:
+                vdims = tuple(
+                    d for d in obj.attrs["_dims"].decode().split(",") if d
+                )
+            else:
+                # Fall back to attached dimension scales (files written by
+                # real netCDF4), else synthetic names.
+                vdims = []
+                for axis in range(obj.ndim):
+                    scales = obj.dims[axis].items() if obj.dims else []
+                    vdims.append(
+                        scales[0][1].name.lstrip("/") if scales else f"dim_{axis}"
+                    )
+                vdims = tuple(vdims)
+            arr = obj[()]
+            units = obj.attrs.get("units", b"")
+            if isinstance(units, bytes) and units.startswith(b"seconds since 1970"):
+                arr = np.asarray(arr, dtype=np.int64).astype("datetime64[s]")
+            variables[name] = (vdims, arr)
+            for d, size in zip(vdims, np.shape(arr)):
+                dims.setdefault(d, size)
+        for k in f.attrs:
+            attrs[k] = f.attrs[k]
+    return NcDataset(dims=dims, variables=variables, attrs=attrs)
+
+
+# --- EnsembleState round-trip -------------------------------------------------
+
+
+def write_state(filename: str, state) -> None:
+    """Checkpoint an EnsembleState (reference ``save_to_disk``,
+    ``efa_xray/state/ensemble.py:269-273``)."""
+    s = state.structure
+    data = np.asarray(state.data)
+    dims = {"validtime": s.ntimes, "y": s.ny, "x": s.nx, "mem": s.nmems}
+    grid_dims = ("y", "x")
+    variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {
+        "validtime": (("validtime",), s.times64()),
+        "lat": (grid_dims, np.asarray(s.lat)),
+        "lon": (grid_dims, np.asarray(s.lon)),
+        "mem": (("mem",), np.arange(s.nmems, dtype=np.int32)),
+    }
+    for vi, name in enumerate(s.var_names):
+        variables[name] = (("validtime", "y", "x", "mem"), data[vi])
+    ds = NcDataset(
+        dims=dims,
+        variables=variables,
+        attrs={
+            "grid_is_2d": np.int8(s.grid_is_2d),
+            "var_order": ",".join(s.var_names),
+        },
+    )
+    write_dataset(filename, ds)
+
+
+def read_state(filename: str, dtype=None):
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    ds = read_dataset(filename)
+    coord_names = {"validtime", "lat", "lon", "mem", "x", "y"}
+    order = ds.attrs.get("var_order")
+    if order is not None:
+        if isinstance(order, bytes):
+            order = order.decode()
+        var_names = [v for v in str(order).split(",") if v]
+    else:
+        var_names = [k for k in ds.variables if k not in coord_names]
+    vardict = {k: ds[k] for k in var_names}
+    lat = ds["lat"]
+    grid_is_2d = bool(ds.attrs.get("grid_is_2d", lat.ndim == 2))
+    if not grid_is_2d:
+        lat = lat.reshape(-1)
+        lon = ds["lon"].reshape(-1)
+        vardict = {k: v.reshape(v.shape[0], -1, v.shape[-1]) for k, v in vardict.items()}
+    else:
+        lon = ds["lon"]
+    coorddict = {
+        "validtime": ds["validtime"],
+        "lat": lat,
+        "lon": lon,
+        "mem": ds["mem"],
+    }
+    return EnsembleState.from_vardict(vardict, coorddict, dtype=dtype)

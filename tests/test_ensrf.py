@@ -1,0 +1,246 @@
+"""EnSRF correctness: JAX kernels vs the independent NumPy oracle, blocked
+vs serial equivalence, masking semantics, and filter sanity properties."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import oracle_numpy as oracle
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.observation import forward as fwd
+from efa_xray_tpu.observation.observation import ObservationBatch
+
+
+def _setup(nobs=12, localized=True, seed=3, nvars=1, some_skipped=False):
+    state = make_demo_state(nvars=nvars, ntimes=3, ny=6, nx=8, nmems=20, seed=seed)
+    obs = make_demo_obs(
+        state,
+        nobs=nobs,
+        seed=seed + 1,
+        radius=800.0 if localized else None,
+        all_assim=not some_skipped,
+    )
+    batch = ObservationBatch.coerce(obs)
+    s = state.structure
+    taps = fwd.build_taps(
+        s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s)
+    )
+    prior_vect = np.asarray(state.to_vect(), dtype=np.float64)
+    ye = np.asarray(fwd.apply_taps_obj(jnp.asarray(prior_vect), taps))
+    row_lat, row_lon = s.row_latlon()
+    radii = batch.localize_radius
+    assim = batch.assimilate_flags & taps.qc_ok
+    return state, batch, prior_vect, ye, row_lat, row_lon, radii, assim
+
+
+def _run_core(prior_vect, ye, row_lat, row_lon, batch, radii, assim, localize, method,
+              block_size=5, unbiased=False):
+    xbm = jnp.asarray(prior_vect.mean(axis=1))
+    Xbp = jnp.asarray(prior_vect - prior_vect.mean(axis=1, keepdims=True))
+    tm = jnp.asarray(ye.mean(axis=1))
+    tp = jnp.asarray(ye - ye.mean(axis=1, keepdims=True))
+    obs_arr = core.ObsArrays(
+        values=jnp.asarray(batch.values),
+        errors=jnp.asarray(batch.errors),
+        lats=jnp.asarray(batch.lats),
+        lons=jnp.asarray(batch.lons),
+        radii=jnp.asarray(radii),
+        assim=jnp.asarray(assim),
+    )
+    fn = core.ensrf_serial if method == "serial" else core.ensrf_blocked
+    kw = {"unbiased": unbiased}
+    if method != "serial":
+        kw["block_size"] = block_size
+    bm, bp, tm2, tp2, diags = fn(
+        xbm,
+        Xbp,
+        tm,
+        tp,
+        jnp.asarray(row_lat),
+        jnp.asarray(row_lon),
+        obs_arr,
+        localize=localize,
+        **kw,
+    )
+    post = np.asarray(bm)[:, None] + np.asarray(bp)
+    return post, diags
+
+
+@pytest.mark.parametrize("localized", [True, False])
+@pytest.mark.parametrize("method", ["serial", "blocked"])
+def test_parity_vs_numpy_oracle(localized, method):
+    """North-star requirement: analysis parity <= 1e-6 RMSE vs the
+    reference algorithm on identical inputs (BASELINE.md)."""
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(
+        nobs=15, localized=localized
+    )
+    want, want_diags = oracle.serial_ensrf(
+        prior_vect, ye, batch.values, batch.errors, batch.lats, batch.lons,
+        radii, row_lat, row_lon, assim, localize=localized,
+    )
+    got, diags = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, localized, method
+    )
+    rmse = np.sqrt(np.mean((got - want) ** 2))
+    assert rmse < 1e-9, f"posterior RMSE {rmse}"
+    np.testing.assert_allclose(
+        np.asarray(diags.prior_mean), want_diags["prior_mean"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(diags.prior_var), want_diags["prior_var"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(diags.post_mean), want_diags["post_mean"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(diags.post_var), want_diags["post_var"], rtol=1e-8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(diags.assimilated), want_diags["assimilated"]
+    )
+
+
+@pytest.mark.parametrize("block_size", [1, 3, 7, 32])
+def test_blocked_equals_serial_any_block_size(block_size):
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(nobs=13)
+    got_s, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "serial"
+    )
+    got_b, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked",
+        block_size=block_size,
+    )
+    np.testing.assert_allclose(got_b, got_s, rtol=1e-10, atol=1e-10)
+
+
+def test_skipped_obs_record_priors_but_not_posteriors():
+    """assimilate_this=False must skip the update but still record prior
+    stats (reference ensrf.py:66-76)."""
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(
+        nobs=8, some_skipped=True
+    )
+    want, want_diags = oracle.serial_ensrf(
+        prior_vect, ye, batch.values, batch.errors, batch.lats, batch.lons,
+        radii, row_lat, row_lon, assim, localize=True,
+    )
+    got, diags = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked"
+    )
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    skipped = ~np.asarray(assim)
+    assert skipped.any() and (~skipped).any()
+    assert np.isfinite(np.asarray(diags.prior_mean)).all()
+    assert np.isnan(np.asarray(diags.post_mean)[skipped]).all()
+    np.testing.assert_array_equal(np.asarray(diags.assimilated), ~skipped)
+
+
+def test_no_obs_assimilated_is_identity():
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, _ = _setup(nobs=4)
+    assim = np.zeros(4, dtype=bool)
+    got, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked"
+    )
+    np.testing.assert_allclose(got, prior_vect, atol=1e-12)
+
+
+def test_assimilation_reduces_obs_space_variance():
+    """Physical sanity: posterior obs-space variance <= prior variance."""
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(nobs=10)
+    _, diags = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked"
+    )
+    pv = np.asarray(diags.prior_var)
+    qv = np.asarray(diags.post_var)
+    ok = np.asarray(diags.assimilated)
+    assert (qv[ok] <= pv[ok] + 1e-12).all()
+
+
+def test_ob_order_invariance_of_analysis_mean_without_localization():
+    """With consistent ddof (unbiased_variance=True) the unlocalized serial
+    EnSRF analysis mean is ob-order independent in exact arithmetic (the
+    demo notebook exploits this by shuffling ob order, efa_demo.ipynb
+    cell 11).  NOTE: the reference's own ddof-0/ddof-1 mix (ensrf.py:69,95)
+    breaks this at the ~1e-2 level — verified during development; the
+    default mode reproduces that reference behavior."""
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(
+        nobs=6, localized=False
+    )
+    got1, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, False, "serial",
+        unbiased=True,
+    )
+    perm = np.array([3, 0, 5, 1, 4, 2])
+
+    class B:  # permuted view of the batch fields used by _run_core
+        values = batch.values[perm]
+        errors = batch.errors[perm]
+        lats = batch.lats[perm]
+        lons = batch.lons[perm]
+
+    got2, _ = _run_core(
+        prior_vect, ye[perm], row_lat, row_lon, B, radii[perm], assim[perm],
+        False, "serial", unbiased=True,
+    )
+    np.testing.assert_allclose(got1.mean(axis=1), got2.mean(axis=1), atol=1e-8)
+
+
+def test_unbiased_mode_parity_vs_oracle():
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(nobs=10)
+    want, _ = oracle.serial_ensrf(
+        prior_vect, ye, batch.values, batch.errors, batch.lats, batch.lons,
+        radii, row_lat, row_lon, assim, localize=True, unbiased=True,
+    )
+    got, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked",
+        unbiased=True,
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_end_to_end_class_api(demo_state=None):
+    """EnSRF class: update() returns a posterior state + diagnostics, and
+    the posterior pulls the obs-space estimate toward the ob values."""
+    state = make_demo_state(nmems=20)
+    obs = make_demo_obs(state, nobs=6, radius=1500.0)
+    filt = EnSRF(state, obs, inflation=None, verbose=False, loc="GC")
+    post, batch = filt.update()
+    assert post.shape() == state.shape()
+    assert batch.assimilated.all()
+    # innovation shrinks on average
+    prior_innov = np.abs(batch.values - batch.prior_mean)
+    post_innov = np.abs(batch.values - batch.post_mean)
+    assert post_innov.mean() < prior_innov.mean()
+    # user Observation objects got the write-back (reference ensrf.py:66-70)
+    assert obs[0].prior_mean is not None
+    assert obs[0].assimilated
+    assert obs[0].post_var <= obs[0].prior_var + 1e-12
+
+
+def test_serial_and_blocked_class_methods_agree():
+    from efa_xray_tpu.config import FilterConfig
+
+    state = make_demo_state(nmems=15, seed=9)
+    obs = make_demo_obs(state, nobs=9, seed=10, radius=1000.0)
+    posts = {}
+    for method in ("serial", "blocked"):
+        cfg = FilterConfig(localization="GC", method=method, dtype="float64")
+        filt = EnSRF(state, list(obs), config=cfg)
+        post, _ = filt.update()
+        posts[method] = np.asarray(post.data)
+    np.testing.assert_allclose(posts["serial"], posts["blocked"], atol=1e-9)
+
+
+def test_empty_observation_batch_is_identity():
+    """Zero obs must be a clean no-op (found by runtime probing: the scan
+    core used to crash slicing a (0, M) tail)."""
+    from efa_xray_tpu.config import FilterConfig
+
+    state = make_demo_state(nmems=8)
+    for method in ("serial", "blocked"):
+        cfg = FilterConfig(localization="GC", method=method, dtype="float64")
+        post, batch = EnSRF(state, [], config=cfg).update()
+        np.testing.assert_allclose(np.asarray(post.data), np.asarray(state.data))
+        assert len(batch) == 0

@@ -1,0 +1,151 @@
+"""Forward operator: nearest points, interpolation weights, batched apply."""
+
+import numpy as np
+import pytest
+
+from conftest import make_demo_state
+from efa_xray_tpu.observation import forward as fwd
+from efa_xray_tpu.utils import timeutil
+
+
+def _taps_for(state, lats, lons, times, var_idx=None, **kw):
+    s = state.structure
+    n = len(lats)
+    vi = np.zeros(n, dtype=np.int32) if var_idx is None else np.asarray(var_idx)
+    return fwd.build_taps(
+        s,
+        np.asarray(lats, dtype=np.float64),
+        np.asarray(lons, dtype=np.float64),
+        timeutil.to_epoch_seconds(times),
+        vi,
+        **kw,
+    )
+
+
+def test_exact_gridpoint_exact_time_is_identity_pick():
+    state = make_demo_state(ny=5, nx=6, ntimes=3)
+    s = state.structure
+    y0, x0, t0 = 2, 3, 1
+    taps = _taps_for(
+        state, [s.lat[y0, x0]], [s.lon[y0, x0]], [s.times64()[t0]]
+    )
+    ye = np.asarray(fwd.apply_taps_obj(state.to_vect(), taps))
+    np.testing.assert_allclose(ye[0], np.asarray(state.data)[0, t0, y0, x0], rtol=1e-12)
+
+
+def test_idw_weights_sum_to_one_and_are_positive():
+    state = make_demo_state(ny=8, nx=8)
+    s = state.structure
+    taps = _taps_for(
+        state,
+        [44.37, 46.11],
+        [236.2, 239.9],
+        [s.times64()[0], s.times64()[1]],
+    )
+    w = np.asarray(taps.weights)
+    assert (w >= 0).all()
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_time_interpolation_linear():
+    state = make_demo_state(ntimes=3)
+    s = state.structure
+    t64 = s.times64()
+    # Pick an exact grid point so only time weighting matters.
+    y0, x0 = 2, 2
+    mid = t64[0] + (t64[1] - t64[0]) // 3  # 1/3 of the way to t1
+    taps = _taps_for(state, [s.lat[y0, x0]], [s.lon[y0, x0]], [mid])
+    ye = np.asarray(fwd.apply_taps_obj(state.to_vect(), taps))
+    dense = np.asarray(state.data)
+    want = (2.0 / 3.0) * dense[0, 0, y0, x0] + (1.0 / 3.0) * dense[0, 1, y0, x0]
+    np.testing.assert_allclose(ye[0], want, rtol=1e-9)
+
+
+def test_time_weighting_reference_mode_swaps_brackets():
+    state = make_demo_state(ntimes=2)
+    s = state.structure
+    t64 = s.times64()
+    y0, x0 = 1, 1
+    mid = t64[0] + (t64[1] - t64[0]) // 4
+    ours = _taps_for(state, [s.lat[y0, x0]], [s.lon[y0, x0]], [mid])
+    ref = _taps_for(
+        state, [s.lat[y0, x0]], [s.lon[y0, x0]], [mid], time_weighting="reference"
+    )
+    w_ours = np.asarray(ours.weights).reshape(4, 2)
+    w_ref = np.asarray(ref.weights).reshape(4, 2)
+    # The reference mode gives the bracket weights swapped (ensemble.py:218-224)
+    np.testing.assert_allclose(w_ours[:, 0], w_ref[:, 1], atol=1e-12)
+    np.testing.assert_allclose(w_ours[:, 1], w_ref[:, 0], atol=1e-12)
+
+
+def test_out_of_time_range_sets_qc_flag_and_zero_weights():
+    state = make_demo_state(ntimes=2)
+    s = state.structure
+    before = s.times64()[0] - np.timedelta64(1, "h")
+    after = s.times64()[-1] + np.timedelta64(1, "h")
+    inside = s.times64()[0]
+    taps = _taps_for(
+        state, [45.0, 45.0, 45.0], [236.0, 236.0, 236.0], [before, after, inside]
+    )
+    np.testing.assert_array_equal(taps.qc_ok, [False, False, True])
+    w = np.asarray(taps.weights)
+    assert (w[:2] == 0).all()
+    assert w[2].sum() == pytest.approx(1.0)
+
+
+def test_multi_variable_taps_select_right_variable():
+    state = make_demo_state(nvars=2)
+    s = state.structure
+    y0, x0 = 1, 2
+    taps = _taps_for(
+        state,
+        [s.lat[y0, x0]] * 2,
+        [s.lon[y0, x0]] * 2,
+        [s.times64()[0]] * 2,
+        var_idx=[0, 1],
+    )
+    ye = np.asarray(fwd.apply_taps_obj(state.to_vect(), taps))
+    dense = np.asarray(state.data)
+    np.testing.assert_allclose(ye[0], dense[0, 0, y0, x0], rtol=1e-12)
+    np.testing.assert_allclose(ye[1], dense[1, 0, y0, x0], rtol=1e-12)
+
+
+def test_interpolate_matches_manual_idw():
+    """Full interpolate path vs a hand-rolled IDW + linear-time oracle."""
+    state = make_demo_state(ny=6, nx=6, ntimes=2)
+    s = state.structure
+    lat, lon = 45.3, 237.1
+    t = s.times64()[0] + np.timedelta64(2, "h")  # 1/3 between 6-hourly times
+    est = np.asarray(state.interpolate(state.vars()[0], t, lat, lon))
+
+    # oracle
+    from efa_xray_tpu.observation.localization import gaspari_cohn_np
+
+    def hav(lat1, lon1, lat2, lon2):
+        R = 6371.0
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        a = (
+            np.sin((p2 - p1) / 2) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * R * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+    d = hav(s.lat, s.lon, lat, lon).ravel()
+    near = np.argsort(d)[:4]
+    wsp = 1.0 / d[near]
+    wsp /= wsp.sum()
+    dense = np.asarray(state.data)[0].reshape(2, -1, s.nmems)
+    f0 = (dense[0][near] * wsp[:, None]).sum(axis=0)
+    f1 = (dense[1][near] * wsp[:, None]).sum(axis=0)
+    want = (2.0 / 3.0) * f0 + (1.0 / 3.0) * f1
+    np.testing.assert_allclose(est, want, rtol=1e-9)
+
+
+def test_nearest_metric_reference_proxy_runs():
+    state = make_demo_state()
+    s = state.structure
+    taps = _taps_for(
+        state, [45.0], [236.0], [s.times64()[0]], metric="reference_proxy"
+    )
+    assert taps.qc_ok[0]
+    assert np.asarray(taps.weights).sum() == pytest.approx(1.0)

@@ -1,0 +1,156 @@
+"""Inflation: static (float/dict/file) and adaptive (Anderson 2009)."""
+
+import numpy as np
+import pytest
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation.adaptive_inflation import AdaptiveInflation
+from efa_xray_tpu.assimilation.assimilation import inflate_state
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.utils import ncio
+
+
+def _spread(state):
+    return np.asarray(state.ensemble_spread())
+
+
+def test_scalar_inflation_scales_spread_preserves_mean():
+    state = make_demo_state(nmems=12)
+    inflated = inflate_state(state, 1.5)
+    np.testing.assert_allclose(
+        np.asarray(inflated.ensemble_mean()),
+        np.asarray(state.ensemble_mean()),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(_spread(inflated), 1.5 * _spread(state), rtol=1e-10)
+
+
+def test_none_inflation_is_identity():
+    state = make_demo_state()
+    assert inflate_state(state, None) is state
+
+
+def test_dict_per_variable_inflation():
+    state = make_demo_state(nvars=2, nmems=10)
+    v0, v1 = state.vars()
+    inflated = inflate_state(state, {v1: 2.0})
+    sp0, sp1 = _spread(state)[0], _spread(state)[1]
+    np.testing.assert_allclose(_spread(inflated)[0], sp0, rtol=1e-10)
+    np.testing.assert_allclose(_spread(inflated)[1], 2.0 * sp1, rtol=1e-10)
+
+
+def test_dict_unknown_variable_is_skipped():
+    state = make_demo_state()
+    inflated = inflate_state(state, {"no_such_var": 2.0})
+    np.testing.assert_allclose(np.asarray(inflated.data), np.asarray(state.data))
+
+
+def test_dict_per_dimension_inflation():
+    state = make_demo_state(ntimes=3, nmems=10)
+    factors = np.array([1.0, 2.0, 3.0])
+    inflated = inflate_state(state, {"validtime": factors})
+    for t, f in enumerate(factors):
+        np.testing.assert_allclose(
+            _spread(inflated)[:, t], f * _spread(state)[:, t], rtol=1e-10
+        )
+
+
+def test_dict_dimension_length_mismatch_raises():
+    state = make_demo_state(ntimes=3)
+    with pytest.raises(AssertionError):
+        inflate_state(state, {"validtime": np.ones(5)})
+
+
+def test_file_inflation_roundtrip(tmp_path):
+    state = make_demo_state(nvars=2, ntimes=2, ny=3, nx=4, nmems=8)
+    s = state.structure
+    path = str(tmp_path / "inflation.nc")
+    fields = {
+        name: (
+            ("validtime", "y", "x"),
+            np.full((s.ntimes, s.ny, s.nx), 1.0 + 0.5 * i),
+        )
+        for i, name in enumerate(s.var_names)
+    }
+    ncio.write_dataset(
+        path,
+        ncio.NcDataset(
+            dims={"validtime": s.ntimes, "y": s.ny, "x": s.nx}, variables=fields
+        ),
+    )
+    inflated = inflate_state(state, path)
+    np.testing.assert_allclose(_spread(inflated)[0], _spread(state)[0], rtol=1e-10)
+    np.testing.assert_allclose(
+        _spread(inflated)[1], 1.5 * _spread(state)[1], rtol=1e-10
+    )
+
+
+def test_ensrf_with_inflation_runs_and_increases_prior_var():
+    state = make_demo_state(nmems=15)
+    obs = make_demo_obs(state, nobs=4, radius=1500.0)
+    plain = EnSRF(state, list(obs), verbose=False, loc="GC")
+    plain.update()
+    inflated = EnSRF(state, list(obs), inflation=1.4, verbose=False, loc="GC")
+    inflated.update()
+    assert (inflated.obs.prior_var > plain.obs.prior_var).all()
+
+
+# --- adaptive inflation ------------------------------------------------------
+
+
+def test_adaptive_build_and_apply():
+    state = make_demo_state(nmems=10)
+    adapt = AdaptiveInflation(state, ("adaptive", "/nonexistent/file.nc", (1.2, 0.3)))
+    assert set(adapt.mean) == set(state.vars())
+    np.testing.assert_allclose(adapt.mean[state.vars()[0]], 1.2)
+    inflated = adapt.inflate_state(state)
+    np.testing.assert_allclose(_spread(inflated), 1.2 * _spread(state), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inflated.ensemble_mean()),
+        np.asarray(state.ensemble_mean()),
+        rtol=1e-10,
+    )
+
+
+def test_adaptive_save_load_roundtrip(tmp_path):
+    state = make_demo_state(nmems=8)
+    adapt = AdaptiveInflation(state, ("adaptive", "/nonexistent.nc", (1.1, 0.2)))
+    path = str(tmp_path / "prior_inflation.nc")
+    adapt.mean[state.vars()[0]][0, 0, 0] = 1.7  # make it nonuniform
+    adapt.save_to_disk(path)
+    adapt2 = AdaptiveInflation(state, ("adaptive", path, (9.9, 9.9)))
+    np.testing.assert_allclose(
+        adapt2.mean[state.vars()[0]], adapt.mean[state.vars()[0]]
+    )
+    np.testing.assert_allclose(adapt2.std[state.vars()[0]], 0.2)
+
+
+def test_anderson_update_raises_inflation_for_large_innovations():
+    """A string of too-large innovations must raise inflation near the obs;
+    consistent innovations must leave it ~unchanged (Anderson 2009)."""
+    state = make_demo_state(ny=10, nx=10, nmems=10)
+    adapt = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    v = state.vars()[0]
+    nobs = 8
+    lats = np.full(nobs, 46.0)
+    lons = np.full(nobs, 237.0)
+    radii = np.full(nobs, 200.0)  # support 400 km; far corner is ~700 km away
+    prior_vars = np.full(nobs, 1.0)
+    errs = np.full(nobs, 1.0)
+    big = np.full(nobs, 4.0)  # innovations >> sqrt(varye + R) = sqrt(2)
+    adapt.update_inflation(lats, lons, radii, big, prior_vars, errs)
+    # nearest grid point to the obs
+    d = np.asarray(state.distance_to_point(46.0, 237.0))
+    iy, ix = np.unravel_index(d.argmin(), d.shape)
+    assert adapt.mean[v][0, iy, ix] > 1.05
+    # far corner (outside 2*radius) untouched
+    far = np.unravel_index(d.argmax(), d.shape)
+    assert adapt.mean[v][0, far[0], far[1]] == pytest.approx(1.0, abs=1e-9)
+
+    # consistent innovations -> inflation shrinks back toward 1 (but stays >= 1)
+    adapt2 = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.5, 0.6)))
+    small = np.full(nobs, 0.1)
+    pv = np.full(nobs, 1.0)
+    adapt2.update_inflation(lats, lons, radii, small, pv, errs)
+    assert adapt2.mean[v][0, iy, ix] < 1.5
+    assert (adapt2.mean[v] >= 1.0 - 1e-12).all()

@@ -1,0 +1,123 @@
+"""Unit tests for Gaspari-Cohn and great-circle geometry."""
+
+import numpy as np
+import pytest
+
+from efa_xray_tpu.observation.localization import (
+    distance_to_point,
+    gaspari_cohn,
+    gaspari_cohn_np,
+    haversine,
+    localization_weights,
+    pairwise_distance,
+)
+
+
+def gc_reference_poly(r):
+    """Direct evaluation of Gaspari & Cohn (1999) eq 4.10 for scalar r."""
+    if r <= 1.0:
+        return (
+            -0.25 * r**5 + 0.5 * r**4 + 0.625 * r**3 - (5.0 / 3.0) * r**2 + 1.0
+        )
+    if r < 2.0:
+        return (
+            r**5 / 12.0
+            - 0.5 * r**4
+            + 0.625 * r**3
+            + (5.0 / 3.0) * r**2
+            - 5.0 * r
+            + 4.0
+            - 2.0 / (3.0 * r)
+        )
+    return 0.0
+
+
+def test_gaspari_cohn_matches_published_polynomial():
+    halfwidth = 1000.0
+    dists = np.linspace(0.0, 2500.0, 101)
+    got = np.asarray(gaspari_cohn(dists, halfwidth))
+    want = np.array([gc_reference_poly(d / halfwidth) for d in dists])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_gaspari_cohn_boundary_values():
+    assert float(gaspari_cohn(0.0, 100.0)) == pytest.approx(1.0)
+    # At r=1 both branches agree: value = 1 - 5/3 + 0.625 + 0.5 - 0.25
+    assert float(gaspari_cohn(100.0, 100.0)) == pytest.approx(
+        gc_reference_poly(1.0), abs=1e-12
+    )
+    # Compact support: zero at and beyond 2*halfwidth
+    assert float(gaspari_cohn(200.0, 100.0)) == pytest.approx(0.0, abs=1e-12)
+    assert float(gaspari_cohn(1e6, 100.0)) == 0.0
+
+
+def test_gaspari_cohn_negative_halfwidth_uses_abs():
+    # reference divides by abs(halfwidth) (observation.py:120)
+    np.testing.assert_allclose(
+        np.asarray(gaspari_cohn(50.0, -100.0)), np.asarray(gaspari_cohn(50.0, 100.0))
+    )
+
+
+def test_gaspari_cohn_infinite_halfwidth_is_identity():
+    d = np.array([0.0, 100.0, 1e7])
+    np.testing.assert_allclose(np.asarray(gaspari_cohn(d, np.inf)), 1.0)
+
+
+def test_gaspari_cohn_np_matches_jax():
+    d = np.linspace(0, 300, 57)
+    np.testing.assert_allclose(
+        gaspari_cohn_np(d, 80.0), np.asarray(gaspari_cohn(d, 80.0)), atol=1e-12
+    )
+
+
+def test_haversine_known_city_pairs():
+    # Seattle <-> Portland ~= 234 km; London <-> Paris ~= 344 km
+    sea = (47.6062, -122.3321)
+    pdx = (45.5152, -122.6784)
+    assert float(haversine(sea, pdx)) == pytest.approx(234.0, abs=3.0)
+    lon_ = (51.5074, -0.1278)
+    par = (48.8566, 2.3522)
+    assert float(haversine(lon_, par)) == pytest.approx(344.0, abs=3.0)
+
+
+def test_haversine_zero_and_antipode():
+    assert float(haversine((10.0, 20.0), (10.0, 20.0))) == pytest.approx(0.0, abs=1e-9)
+    half_circumference = np.pi * 6371.0
+    assert float(haversine((0.0, 0.0), (0.0, 180.0))) == pytest.approx(
+        half_circumference, rel=1e-6
+    )
+
+
+def test_haversine_longitude_wrap_equivalence():
+    # 350E == -10E
+    d1 = float(haversine((0.0, 350.0), (0.0, 0.0)))
+    d2 = float(haversine((0.0, -10.0), (0.0, 0.0)))
+    assert d1 == pytest.approx(d2, rel=1e-9)
+
+
+def test_distance_to_point_field_shape_and_values():
+    lat = np.array([[0.0, 0.0], [1.0, 1.0]])
+    lon = np.array([[0.0, 1.0], [0.0, 1.0]])
+    d = np.asarray(distance_to_point(lat, lon, 0.0, 0.0))
+    assert d.shape == (2, 2)
+    assert d[0, 0] == pytest.approx(0.0, abs=1e-9)
+    # one degree of latitude ~= 111.2 km
+    assert d[1, 0] == pytest.approx(111.2, abs=0.5)
+
+
+def test_pairwise_distance_matrix():
+    lats1, lons1 = np.array([0.0, 10.0]), np.array([0.0, 10.0])
+    lats2, lons2 = np.array([0.0]), np.array([0.0])
+    d = np.asarray(pairwise_distance(lats1, lons1, lats2, lons2))
+    assert d.shape == (2, 1)
+    assert d[0, 0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_localization_weights_compact_support():
+    lat = np.zeros((1, 100))
+    lon = np.linspace(0, 99, 100)[None, :]
+    w = np.asarray(localization_weights(lat, lon, 0.0, 0.0, 500.0))
+    assert w[0, 0] == pytest.approx(1.0)
+    assert (np.diff(w[0]) <= 1e-12).all()  # monotone decreasing along the ray
+    far = np.asarray(localization_weights(lat, lon, 0.0, 0.0, 100.0))
+    assert far[0, -1] == 0.0

@@ -1,0 +1,104 @@
+"""Cycling-DA integration test on Lorenz-96 (BASELINE.md config 1).
+
+The canonical EnKF sanity check: cycling assimilation of noisy obs of a
+chaotic L96 truth must keep the analysis RMSE well below the observation
+error, and far below the free-running (no DA) ensemble error.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.models import lorenz96 as l96
+
+
+def _obs_arrays(values, errors, lats, lons, radii, assim):
+    return core.ObsArrays(
+        values=jnp.asarray(values),
+        errors=jnp.asarray(errors),
+        lats=jnp.asarray(lats),
+        lons=jnp.asarray(lons),
+        radii=jnp.asarray(radii),
+        assim=jnp.asarray(assim),
+    )
+
+
+def test_l96_dynamics_conserve_shape_and_are_chaotic():
+    truth, ens = l96.spinup_ensemble(nvars=40, nmems=20, seed=0)
+    assert truth.shape == (40,)
+    assert ens.shape == (20, 40)
+    # Chaos: two nearby states diverge
+    x2 = truth + 1e-4
+    a = l96.integrate(truth, nsteps=200)
+    b = l96.integrate(x2, nsteps=200)
+    assert float(jnp.abs(a - b).max()) > 0.1
+
+
+def test_l96_cycling_da_beats_free_run():
+    nvars, nmems, ncycles = 40, 20, 30
+    steps_per_cycle = 4  # 0.2 model-time units
+    ob_err = 1.0
+    rng = np.random.default_rng(42)
+
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=1)
+    free = ens
+    lats, lons = l96.fake_latlon(nvars)
+    # ~4000 km halfwidth on the L96 ring (40 points around the equator)
+    radii_val = 4000.0
+
+    obs_idx = np.arange(0, nvars, 2)  # observe every other variable
+    nobs = len(obs_idx)
+
+    analysis_rmse = []
+    free_rmse = []
+    for cycle in range(ncycles):
+        truth = l96.integrate(truth, nsteps=steps_per_cycle)
+        ens = l96.integrate(ens, nsteps=steps_per_cycle)
+        free = l96.integrate(free, nsteps=steps_per_cycle)
+
+        yobs = np.asarray(truth)[obs_idx] + rng.normal(0, np.sqrt(ob_err), nobs)
+
+        # identity-pick H on the observed variables: tail = ens[:, obs_idx]
+        state_vect = jnp.asarray(ens).T  # [nvars, nmems]
+        body_mean = jnp.mean(state_vect, axis=1)
+        body_perts = state_vect - body_mean[:, None]
+        ye = state_vect[obs_idx]
+        tail_mean = jnp.mean(ye, axis=1)
+        tail_perts = ye - tail_mean[:, None]
+
+        obs_arr = _obs_arrays(
+            yobs,
+            np.full(nobs, ob_err),
+            lats[obs_idx],
+            lons[obs_idx],
+            np.full(nobs, radii_val),
+            np.ones(nobs, dtype=bool),
+        )
+        bm, bp, _, _, diags = core.ensrf_blocked(
+            body_mean,
+            body_perts,
+            tail_mean,
+            tail_perts,
+            jnp.asarray(lats),
+            jnp.asarray(lons),
+            obs_arr,
+            localize=True,
+            block_size=8,
+        )
+        ens = (bm[:, None] + bp).T  # back to [nmems, nvars]
+
+        analysis_rmse.append(
+            float(jnp.sqrt(jnp.mean((jnp.mean(ens, axis=0) - truth) ** 2)))
+        )
+        free_rmse.append(
+            float(jnp.sqrt(jnp.mean((jnp.mean(free, axis=0) - truth) ** 2)))
+        )
+
+    tail_a = np.mean(analysis_rmse[-10:])
+    tail_f = np.mean(free_rmse[-10:])
+    # Converged analysis must beat observation error and crush the free run.
+    assert tail_a < np.sqrt(ob_err), f"analysis RMSE {tail_a} too high"
+    assert tail_a < 0.5 * tail_f, f"DA ({tail_a}) not beating free run ({tail_f})"
+    assert np.isfinite(analysis_rmse).all()

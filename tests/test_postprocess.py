@@ -1,0 +1,53 @@
+"""Postprocess verification statistics (reference parity:
+efa_xray/postprocess/postprocess.py:8-39)."""
+
+import numpy as np
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.postprocess import obs_assimilation_statistics
+
+
+def test_statistics_dataframe_columns_and_consistency():
+    state = make_demo_state(nmems=15)
+    obs = make_demo_obs(state, nobs=6, radius=1500.0)
+    filt = EnSRF(state, list(obs), verbose=False, loc="GC")
+    post, batch = filt.update()
+
+    df = obs_assimilation_statistics(state, post, obs)
+    expected_cols = {
+        "validtime", "flead", "lat", "lon", "obtype", "description",
+        "ob error", "value", "assimilated", "prior mean", "post mean",
+        "prior variance", "post variance",
+    }
+    assert expected_cols <= set(df.columns)
+    assert len(df) == 6
+    assert df["assimilated"].all()
+
+    # The DataFrame recomputes obs-space stats against the ORIGINAL prior
+    # (reference postprocess.py:30-35), whereas the filter's prior_mean
+    # diagnostic is sequential (recorded after earlier obs updated the
+    # tail, ensrf.py:66).  Only the FIRST ob sees the untouched prior in
+    # both, so only it must agree exactly.
+    np.testing.assert_allclose(df["prior mean"].iloc[0], batch.prior_mean[0], rtol=1e-8)
+    # ...but they should be close for all obs (same prior, small updates)
+    np.testing.assert_allclose(df["prior mean"].to_numpy(), batch.prior_mean, rtol=5e-3)
+    # posterior pulls obs-space estimate toward the ob values
+    prior_dist = np.abs(df["value"] - df["prior mean"])
+    post_dist = np.abs(df["value"] - df["post mean"])
+    assert post_dist.mean() < prior_dist.mean()
+    # posterior variance shrinks
+    assert (df["post variance"] <= df["prior variance"] + 1e-12).all()
+    # lead hours within the forecast range
+    assert (df["flead"] >= 0).all()
+
+
+def test_statistics_accepts_batch_and_marks_unassimilated():
+    state = make_demo_state(nmems=10)
+    obs = make_demo_obs(state, nobs=4)
+    for ob in obs[:2]:
+        ob.assimilate_this = False
+    filt = EnSRF(state, list(obs), verbose=False, loc="GC")
+    post, batch = filt.update()
+    df = obs_assimilation_statistics(state, post, batch)
+    assert list(df["assimilated"]) == [False, False, True, True]

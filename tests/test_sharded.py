@@ -1,0 +1,96 @@
+"""Multi-device sharding: N-device shard_map run must match single-device.
+
+Runs on 8 virtual CPU devices (conftest sets
+``xla_force_host_platform_device_count=8``), standing in for a TPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation.observation import ObservationBatch
+from efa_xray_tpu.parallel import make_mesh
+from efa_xray_tpu.parallel.sharded import ensrf_update_sharded
+
+
+requires_multi = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >= 2 devices"
+)
+
+
+def _problem(nmems=20, seed=5, ny=7, nx=9):
+    """State whose nstate does NOT divide 8, to exercise padding."""
+    state = make_demo_state(ntimes=3, ny=ny, nx=nx, nmems=nmems, seed=seed)
+    obs = make_demo_obs(state, nobs=11, seed=seed + 1, radius=900.0)
+    batch = ObservationBatch.coerce(obs)
+    return state, obs, batch
+
+
+@requires_multi
+@pytest.mark.parametrize("method", ["serial", "blocked"])
+def test_sharded_matches_single_device(method):
+    state, obs, batch = _problem()
+    cfg = FilterConfig(localization="GC", method=method, dtype="float64")
+
+    single = EnSRF(state, list(obs), config=cfg)
+    post_single, _ = single.update()
+
+    mesh = make_mesh()
+    multi = EnSRF(state, list(obs), config=cfg, mesh=mesh)
+    post_multi, batch_multi = multi.update()
+
+    np.testing.assert_allclose(
+        np.asarray(post_multi.data), np.asarray(post_single.data), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        batch_multi.post_mean, single.obs.post_mean, atol=1e-10
+    )
+
+
+@requires_multi
+def test_sharded_diags_match_single():
+    state, obs, batch = _problem(seed=11)
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    single = EnSRF(state, list(obs), config=cfg)
+    single.update()
+    mesh = make_mesh()
+    multi = EnSRF(state, list(obs), config=cfg, mesh=mesh)
+    multi.update()
+    for field in ("prior_mean", "prior_var", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            getattr(multi.obs, field), getattr(single.obs, field), atol=1e-10
+        )
+
+
+@requires_multi
+def test_sharded_padding_rows_are_inert():
+    """nstate = 3*7*9 = 189, not divisible by 8: the padded rows must not
+    perturb real rows' results (checked implicitly by equality above, and
+    explicitly here for mean-zero pad rows)."""
+    state, obs, batch = _problem()
+    ns = state.nstate()
+    assert ns % len(jax.devices()) != 0  # the interesting case
+
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    mesh = make_mesh()
+    filt = EnSRF(state, list(obs), config=cfg, mesh=mesh)
+    post, _ = filt.update()
+    assert np.isfinite(np.asarray(post.data)).all()
+
+
+@requires_multi
+def test_state_shard_placement():
+    state = make_demo_state(ny=8, nx=8, ntimes=2)  # y divides the mesh
+    mesh = make_mesh()
+    sharded = state.shard(mesh)
+    assert len(sharded.data.sharding.device_set) == len(jax.devices())
+    # actually sharded (not just replicated): per-device shard is smaller
+    shard_shape = sharded.data.sharding.shard_shape(sharded.data.shape)
+    assert shard_shape[2] == 8 // len(jax.devices())
+    np.testing.assert_allclose(np.asarray(sharded.data), np.asarray(state.data))
