@@ -56,6 +56,20 @@ class EnSRF(Assimilation):
         )
         self.loc = loc if loc not in (None, False) else (config.localization or False)
 
+    def _use_pallas(self) -> bool:
+        """Auto-select the fused Pallas kernel: TPU backend + blocked method
+        + float32 (the kernel is written for the MXU's f32 path)."""
+        import jax
+
+        cfg = self.config
+        if cfg.use_pallas is not None:
+            return bool(cfg.use_pallas)
+        return (
+            jax.default_backend() == "tpu"
+            and cfg.method == "blocked"
+            and jnp.dtype(cfg.dtype) == jnp.float32
+        )
+
     def obs_arrays(self) -> core.ObsArrays:
         """Device-ready per-ob arrays.  QC-failed obs (e.g. out of the
         state's time range) are masked out of the update, generalizing the
@@ -123,6 +137,33 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 unbiased=cfg.unbiased_variance,
             )
+        elif self._use_pallas():
+            from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+
+            tail = core.tail_scan(
+                tail_mean,
+                tail_perts,
+                obs,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+            )
+            import jax
+
+            bm, bp = ensrf_blocked_body_pallas(
+                body_mean,
+                body_perts,
+                body_lat,
+                body_lon,
+                tail,
+                obs,
+                localize=cfg.localize,
+                block_size=cfg.block_size,
+                tile=cfg.pallas_tile,
+                # Off-TPU (explicit use_pallas=True on CPU) runs the kernel
+                # in the Pallas interpreter.
+                interpret=jax.default_backend() != "tpu",
+            )
+            tm, tp, diags = tail.tail_mean, tail.tail_perts, tail.diags
         else:
             bm, bp, tm, tp, diags = core.ensrf_blocked(
                 body_mean,

@@ -35,6 +35,11 @@ class FilterConfig:
     # Device dtype for the update ("float32" on TPU; "float64" for parity
     # studies on CPU with jax_enable_x64).
     dtype: str = "float32"
+    # Fused Pallas TPU kernel for the blocked state update: True / False /
+    # None (auto: on when running on a TPU backend with the blocked method).
+    use_pallas: Optional[bool] = None
+    # Row-tile size for the Pallas kernel (rows resident in VMEM per step).
+    pallas_tile: int = 2048
     # False reproduces the reference's np.var (ddof=0) in the gain
     # denominator against a ddof=1 covariance (ensrf.py:69,95) — weakly
     # observation-order dependent.  True uses ddof=1 throughout (textbook

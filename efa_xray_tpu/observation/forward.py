@@ -94,6 +94,7 @@ def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
     ``(y_idx, x_idx)`` arrays (reference: ``efa_xray/state/ensemble.py:152-168``)."""
     grid_lat = np.asarray(grid_lat, dtype=np.float64)
     shape = grid_lat.shape
+    npt = min(npt, grid_lat.size)
     flat_idx, _ = _topk_points(
         jnp.asarray(grid_lat.ravel()),
         jnp.asarray(np.asarray(grid_lon, dtype=np.float64).ravel()),
@@ -187,6 +188,9 @@ def build_taps(
     var_idx = np.asarray(var_idx, dtype=np.int64)
     nobs = lats.shape[0]
     ngrid = structure.ngrid
+    # Tiny grids (e.g. a single-point EFA trajectory state) have fewer
+    # points than the default 4-point stencil; use what exists.
+    npt = min(npt, ngrid)
 
     fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     glat = jnp.asarray(structure.lat.ravel(), dtype=fdtype)

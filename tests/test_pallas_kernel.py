@@ -1,0 +1,95 @@
+"""Fused Pallas phase-2 kernel vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles with Mosaic on real TPUs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.observation import forward as fwd
+from efa_xray_tpu.observation.observation import ObservationBatch
+from efa_xray_tpu.ops.ensrf_pallas import (
+    apply_obs_block_pallas,
+    ensrf_blocked_body_pallas,
+)
+
+
+def _setup(nobs=12, nmems=16, seed=4, dtype=jnp.float32):
+    state = make_demo_state(ntimes=2, ny=8, nx=8, nmems=nmems, seed=seed)
+    obs = make_demo_obs(state, nobs=nobs, seed=seed + 1, radius=700.0)
+    batch = ObservationBatch.coerce(obs)
+    s = state.structure
+    taps = fwd.build_taps(s, batch.lats, batch.lons, batch.times_s,
+                          batch.var_indices(s))
+    prior = jnp.asarray(np.asarray(state.to_vect()), dtype=dtype)
+    ye = fwd.apply_taps_obj(prior, taps)
+    row_lat, row_lon = s.row_latlon()
+    obs_arr = core.ObsArrays(
+        values=jnp.asarray(batch.values, dtype=dtype),
+        errors=jnp.asarray(batch.errors, dtype=dtype),
+        lats=jnp.asarray(batch.lats, dtype=dtype),
+        lons=jnp.asarray(batch.lons, dtype=dtype),
+        radii=jnp.asarray(batch.localize_radius, dtype=dtype),
+        assim=jnp.asarray(batch.assimilate_flags & taps.qc_ok),
+    )
+    bm = jnp.mean(prior, axis=1)
+    bp = prior - bm[:, None]
+    tm = jnp.mean(ye, axis=1).astype(dtype)
+    tp = (ye - jnp.mean(ye, axis=1)[:, None]).astype(dtype)
+    return (bm, bp, tm, tp,
+            jnp.asarray(row_lat, dtype=dtype), jnp.asarray(row_lon, dtype=dtype),
+            obs_arr)
+
+
+@pytest.mark.parametrize("localize", [True, False])
+def test_single_block_matches_xla(localize):
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=8)
+    tail = core.tail_scan(tm, tp, obs, localize=localize)
+
+    if localize:
+        from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+
+        d = haversine((blat[:, None], blon[:, None]),
+                      (obs.lats[None, :], obs.lons[None, :]))
+        w = gaspari_cohn(d, obs.radii[None, :]).astype(bp.dtype)
+    else:
+        w = None
+    bm_x, bp_x = core.apply_obs_block(bm, bp, tail.ye, tail.gain_coef,
+                                      tail.sqrt_coef, w)
+    bm_p, bp_p = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii,
+        localize=localize, tile=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(bm_p), np.asarray(bm_x), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bp_p), np.asarray(bp_x), rtol=2e-5, atol=1e-4)
+
+
+def test_full_blocked_body_matches_xla_multiple_blocks():
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=13)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    bm_x, bp_x = core.ensrf_blocked_body(bm, bp, blat, blon, tail, obs,
+                                         localize=True, block_size=4)
+    bm_p, bp_p = ensrf_blocked_body_pallas(bm, bp, blat, blon, tail, obs,
+                                           localize=True, block_size=4,
+                                           tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(bm_p), np.asarray(bm_x), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bp_p), np.asarray(bp_x), rtol=2e-5, atol=1e-4)
+
+
+def test_pallas_respects_row_padding():
+    """Row count not a multiple of the tile: padded rows must not leak."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=5)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    nrows = bm.shape[0]
+    assert nrows % 48 != 0
+    bm_p, bp_p = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii, localize=True, tile=48, interpret=True,
+    )
+    assert bm_p.shape == (nrows,)
+    assert bp_p.shape == bp.shape
+    assert np.isfinite(np.asarray(bp_p)).all()
