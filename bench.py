@@ -54,7 +54,7 @@ def build_workload(nstate=1 << 20, nmems=80, nobs=2048, seed=0, dtype=jnp.float3
     )
 
 
-def run_tpu(w, block_size=64, localize=True, iters=3):
+def run_tpu(w, block_size=128, localize=True, iters=3):
     """Time the blocked update with the chained-iterations + scalar-sync
     protocol.  NOTE: on tunneled/experimental platforms
     ``jax.block_until_ready`` can return before execution finishes, so the
@@ -81,8 +81,19 @@ def run_tpu(w, block_size=64, localize=True, iters=3):
     blat = jnp.asarray(w["state_lat"], dtype=dtype)
     blon = jnp.asarray(w["state_lon"], dtype=dtype)
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def step(bm, bp, tm, tp):
+        if use_pallas:
+            from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+
+            tail = core.tail_scan(tm, tp, obs, localize=localize)
+            bm2, bp2 = ensrf_blocked_body_pallas(
+                bm, bp, blat, blon, tail, obs,
+                localize=localize, block_size=block_size,
+            )
+            return bm2, bp2, tail.tail_mean, tail.tail_perts
         bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(
             bm, bp, tm, tp, blat, blon, obs,
             localize=localize, block_size=block_size,

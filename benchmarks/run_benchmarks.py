@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Benchmark suite over the BASELINE.md configs.
+
+Covers:
+  0. demo-scale: ~20-member 2-D surface-temperature ensemble, 5 point obs
+  1. Lorenz-96 cycling DA: 40 vars, 20 members, GC localization, 30 cycles
+  2. 0.5-deg-like global single-level field (~260k points), 40 members,
+     2k surface obs
+  3. multi-variable 3-D GEFS-like state (4 vars x 20 levels treated as the
+     time/level axis), horizontal localization, 5k obs
+  (4. pod-scale 1e7 x 80 x 10k is a multi-chip v5p config; bench.py runs
+     the single-chip slice and `parallel/` holds the sharded path.)
+
+Timing uses the chained-iteration + scalar-pull protocol (see bench.py)
+because block_until_ready is unreliable through tunneled device backends.
+
+Usage: python benchmarks/run_benchmarks.py [--configs 0 1 2 3] [--json out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from efa_xray_tpu.assimilation import ensrf_core as core
+
+
+def _obs_arrays(values, errors, lats, lons, radii, dtype):
+    n = len(values)
+    return core.ObsArrays(
+        values=jnp.asarray(values, dtype=dtype),
+        errors=jnp.asarray(errors, dtype=dtype),
+        lats=jnp.asarray(lats, dtype=dtype),
+        lons=jnp.asarray(lons, dtype=dtype),
+        radii=jnp.asarray(radii, dtype=dtype),
+        assim=jnp.ones(n, dtype=bool),
+    )
+
+
+def _timed_update(prior, state_lat, state_lon, obs, block_size=64, iters=3,
+                  use_pallas=None, dtype=jnp.float32):
+    """Chained timing of the blocked update; returns seconds/update."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    pj = jnp.asarray(prior, dtype=dtype)
+    nobs = len(np.asarray(obs.values))
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, pj.shape[0], nobs)
+    ye0 = pj[rows]
+
+    blat = jnp.asarray(state_lat, dtype=dtype)
+    blon = jnp.asarray(state_lon, dtype=dtype)
+
+    @jax.jit
+    def step(bm, bp, tm, tp):
+        tail = core.tail_scan(tm, tp, obs, localize=True)
+        if use_pallas:
+            from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+
+            bm2, bp2 = ensrf_blocked_body_pallas(
+                bm, bp, blat, blon, tail, obs, localize=True,
+                block_size=block_size,
+            )
+        else:
+            bm2, bp2 = core.ensrf_blocked_body(
+                bm, bp, blat, blon, tail, obs, localize=True,
+                block_size=block_size,
+            )
+        return bm2, bp2, tail.tail_mean, tail.tail_perts
+
+    @jax.jit
+    def digest(bm, bp):
+        return jnp.sum(bm) + jnp.sum(bp[:, 0])
+
+    bm = jnp.mean(pj, axis=1)
+    bp = pj - bm[:, None]
+    tm = jnp.mean(ye0, axis=1)
+    tp = ye0 - tm[:, None]
+
+    carry = step(bm, bp, tm, tp)
+    _ = float(digest(carry[0], carry[1]))
+    t0 = time.perf_counter()
+    _ = float(digest(carry[0], carry[1]))
+    sync = time.perf_counter() - t0
+
+    c = (bm, bp, tm, tp)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = step(*c)
+    _ = float(digest(c[0], c[1]))
+    return max((time.perf_counter() - t0 - sync) / iters, 1e-9)
+
+
+def bench_config0():
+    """Demo scale via the full public API (includes taps/host overhead)."""
+    from efa_xray_tpu import EnSRF
+    from efa_xray_tpu.utils.demo_data import gefs_like_state, observations_from_truth
+
+    state, truth = gefs_like_state(ny=20, nx=30, nmems=21, ntimes=8)
+    obs = observations_from_truth(state, truth, 5, radius=2000.0)
+    filt = EnSRF(state, obs, loc="GC", verbose=False)
+    t0 = time.perf_counter()
+    post, batch = filt.update()
+    np.asarray(post.data)
+    dt = time.perf_counter() - t0
+    return {
+        "config": "0-demo",
+        "nstate": state.nstate(),
+        "nmems": state.nmems(),
+        "nobs": len(obs),
+        "seconds": dt,
+        "obs_points_per_sec": len(obs) * state.nstate() / dt,
+    }
+
+
+def bench_config1(ncycles=30):
+    from efa_xray_tpu.models import lorenz96 as l96
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=1)
+    lats, lons = l96.fake_latlon(nvars)
+    rng = np.random.default_rng(0)
+    obs_idx = np.arange(0, nvars, 2)
+    nobs = len(obs_idx)
+    dtype = jnp.float32
+
+    rmse = []
+    t0 = time.perf_counter()
+    for _ in range(ncycles):
+        truth = l96.integrate(truth, nsteps=4)
+        ens = l96.integrate(ens, nsteps=4)
+        yobs = np.asarray(truth)[obs_idx] + rng.normal(0, 1.0, nobs)
+        sv = jnp.asarray(ens, dtype=dtype).T
+        bm = jnp.mean(sv, axis=1)
+        bp = sv - bm[:, None]
+        ye = sv[obs_idx]
+        obs = _obs_arrays(yobs, np.ones(nobs), lats[obs_idx], lons[obs_idx],
+                          np.full(nobs, 4000.0), dtype)
+        bm2, bp2, _, _, _ = core.ensrf_blocked(
+            bm, bp, jnp.mean(ye, axis=1), ye - jnp.mean(ye, axis=1)[:, None],
+            jnp.asarray(lats, dtype=dtype), jnp.asarray(lons, dtype=dtype),
+            obs, localize=True, block_size=8,
+        )
+        ens = (bm2[:, None] + bp2).T
+        rmse.append(float(jnp.sqrt(jnp.mean((jnp.mean(ens, 0) - truth) ** 2))))
+    dt = time.perf_counter() - t0
+    return {
+        "config": "1-lorenz96",
+        "ncycles": ncycles,
+        "seconds": dt,
+        "cycles_per_sec": ncycles / dt,
+        "mean_analysis_rmse_last10": float(np.mean(rmse[-10:])),
+    }
+
+
+def bench_config2():
+    rng = np.random.default_rng(2)
+    ngrid, nmems, nobs = 720 * 361, 40, 2000  # 0.5-degree single level
+    lat1d = np.linspace(-90, 90, 361)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    rows = rng.integers(0, ngrid, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        lat.ravel()[rows], lon.ravel()[rows], np.full(nobs, 2000.0),
+        jnp.float32,
+    )
+    dt = _timed_update(prior, lat.ravel(), lon.ravel(), obs)
+    return {
+        "config": "2-global-0.5deg",
+        "nstate": ngrid,
+        "nmems": nmems,
+        "nobs": nobs,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * ngrid / dt,
+    }
+
+
+def bench_config3():
+    rng = np.random.default_rng(3)
+    nvars, nlev, ny, nx, nmems, nobs = 4, 20, 90, 180, 30, 5000
+    ngrid = ny * nx
+    nstate = nvars * nlev * ngrid
+    lat1d = np.linspace(-89, 89, ny)
+    lon1d = np.arange(0, 360, 2.0)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    row_lat = np.tile(lat.ravel(), nvars * nlev)
+    row_lon = np.tile(lon.ravel(), nvars * nlev)
+    prior = rng.normal(0, 5, (nstate, nmems)).astype(np.float32)
+    rows = rng.integers(0, nstate, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        row_lat[rows], row_lon[rows], np.full(nobs, 2000.0), jnp.float32,
+    )
+    dt = _timed_update(prior, row_lat, row_lon, obs)
+    return {
+        "config": "3-gefs-3d",
+        "nstate": nstate,
+        "nmems": nmems,
+        "nobs": nobs,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * nstate / dt,
+    }
+
+
+BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2, 3: bench_config3}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[0, 1, 2, 3])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    results = []
+    for c in args.configs:
+        r = BENCHES[c]()
+        r["backend"] = jax.default_backend()
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,9 @@ class Assimilation:
         config: Optional[FilterConfig] = None,
         mesh=None,
     ):
+        from efa_xray_tpu.utils.logging import verbose_logger
+
+        self.log = verbose_logger(verbose)
         self.prior = state
         self._user_obs = obs if isinstance(obs, (list, tuple)) else None
         self.obs = ObservationBatch.coerce(obs)
@@ -172,7 +175,7 @@ class Assimilation:
 
     def inflate_state(self) -> None:
         if self.is_inflated:
-            print("State already inflated.  Skipping additional inflation.")
+            self.log.warning("State already inflated.  Skipping additional inflation.")
             return
         self.prior = inflate_state(self.prior, self.inflation, verbose=self.verbose)
         self.is_inflated = True
@@ -188,13 +191,13 @@ class Assimilation:
         """
         if self.inflation is not None:
             if self.verbose:
-                print("Inflating Prior State")
+                self.log.info("Inflating Prior State")
             self.inflate_state()
         if self.verbose:
-            print("Computing observation priors")
+            self.log.info("Computing observation priors")
         tail_mean, tail_perts = self.compute_ob_priors()
         if self.verbose:
-            print("Converting state to vector")
+            self.log.info("Converting state to vector")
         prior = self.prior.to_vect()
         body_mean = jnp.mean(prior, axis=1)
         body_perts = prior - body_mean[:, None]
@@ -210,7 +213,7 @@ class Assimilation:
         """Rebuild an EnsembleState from posterior mean + perts
         (reference: ``assimilation.py:157-171``)."""
         if self.verbose:
-            print("Formatting posterior")
+            self.log.info("Formatting posterior")
         post = body_mean[:, None] + body_perts
         post_state = EnsembleState.from_vect(
             post.astype(self.prior.data.dtype), self.prior.structure

@@ -96,7 +96,7 @@ class EnSRF(Assimilation):
         """
         cfg = self.config
         if self.verbose:
-            print("Beginning update sequence")
+            self.log.info("Beginning update sequence")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
         obs = self.obs_arrays()
 
@@ -106,7 +106,7 @@ class EnSRF(Assimilation):
         body_lon = jnp.asarray(row_lon, dtype=dtype)
 
         if self.verbose:
-            print(f"Beginning observation loop ({cfg.method})")
+            self.log.info("Beginning observation loop (%s)", cfg.method)
 
         if self.mesh is not None:
             from efa_xray_tpu.parallel import sharded

@@ -305,25 +305,36 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
 # ---------------------------------------------------------------------------
 
 
-def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef):
-    """Solve the within-block triangular recurrence.
+def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef, panel: int = 8):
+    """Solve the within-block triangular recurrence (panel-blocked).
 
     d0:   [rows, B]  = X_0 @ Y^T
     gram: [B, B]     = Y @ Y^T
     w:    [rows, B]  per-row localization weights (or None)
     Returns U = [w_j ∘ d_j] columns, shape [rows, B].
+
+    Forward substitution is panel-blocked: corrections against already-
+    solved columns are dense [rows, done] x [done, P] matmuls (one per
+    panel) instead of one [rows, B] matvec per step — this cuts re-reads
+    of U from B to B/P passes and keeps the FLOPs on the MXU.
     """
     bsz = d0.shape[1]
-    gG = gram * sqrt_coef[:, None]  # row i scaled by g_i
+    gG = gram * sqrt_coef[:, None]  # [B, B], row i scaled by g_i
 
-    def body(j, u):
-        # d_j = d0[:, j] - U @ (g ⊙ G[:, j]); columns >= j of U are zero.
-        d_j = d0[:, j] - u @ gG[:, j]
-        u_col = d_j if w is None else w[:, j] * d_j
-        return jax.lax.dynamic_update_index_in_dim(u, u_col, j, axis=1)
-
-    u0 = jnp.zeros_like(d0)
-    return jax.lax.fori_loop(0, bsz, body, u0)
+    cols = []
+    for base in range(0, bsz, panel):
+        width = min(panel, bsz - base)
+        d_panel = jax.lax.slice_in_dim(d0, base, base + width, axis=1)
+        if base > 0:
+            u_done = jnp.stack(cols, axis=1)  # [rows, base]
+            d_panel = d_panel - u_done @ gG[:base, base : base + width]
+        for t in range(width):
+            d_j = d_panel[:, t]
+            if t > 0:
+                u_p = jnp.stack(cols[base:], axis=1)  # [rows, t]
+                d_j = d_j - u_p @ gG[base : base + t, base + t]
+            cols.append(d_j if w is None else w[:, base + t] * d_j)
+    return jnp.stack(cols, axis=1)
 
 
 @jax.jit

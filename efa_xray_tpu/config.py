@@ -26,7 +26,7 @@ class FilterConfig:
     # "serial" (direct lax.scan, the literal reference algorithm).
     method: str = "blocked"
     # Observations applied to the state body per phase-2 block.
-    block_size: int = 32
+    block_size: int = 128
     # Forward-operator knobs (reference: efa_xray/state/ensemble.py:170-239).
     npt: int = 4
     exact_match_km: float = 1.0
@@ -39,7 +39,7 @@ class FilterConfig:
     # None (auto: on when running on a TPU backend with the blocked method).
     use_pallas: Optional[bool] = None
     # Row-tile size for the Pallas kernel (rows resident in VMEM per step).
-    pallas_tile: int = 2048
+    pallas_tile: int = 16384
     # False reproduces the reference's np.var (ddof=0) in the gain
     # denominator against a ddof=1 covariance (ensrf.py:69,95) — weakly
     # observation-order dependent.  True uses ddof=1 throughout (textbook

@@ -1,29 +1,42 @@
 """Fused Pallas TPU kernel for the blocked EnSRF state update (phase 2).
 
 Why this kernel exists: the XLA formulation of
-:func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block` materializes
-three ``[rows, B]`` intermediates in HBM (the inner-product matrix D0, the
-localization weights W, and the recurrence accumulator U) and re-reads U
-once per recurrence step — ``O(B^2 * rows)`` HBM traffic per block, which
-caps the speedup from blocking.  This kernel processes one row *tile* at a
-time with everything resident in VMEM:
+:func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block` keeps the
+``[rows, B]`` recurrence accumulator U in HBM and re-reads it once per
+recurrence step — ``O(B^2 * rows)`` HBM bytes per block, which caps the
+speedup from blocking.  This kernel runs the whole block update one row
+*tile* at a time with D0 and U resident in VMEM:
 
   per grid step (one tile of TILE state rows):
-    read   Xbp tile [TILE, M], mean tile, per-row lat/lon   (HBM -> VMEM)
-    D0^T   = Y @ Xbp^T                      [B, TILE]   (MXU)
-    W^T    = GaspariCohn(haversine(rows, obs), radii)    (VPU, VMEM only)
-    B-step recurrence on U^T in VMEM scratch (one [1,B]x[B,TILE] matmul each)
-    Xap    = Xbp - (g*U)^T Y                [TILE, M]   (MXU)
-    xam    = xbm + gain @ U^T               [TILE]
-    write  tile                             (VMEM -> HBM)
+    read   Xbp tile [TILE, M], mean tile, weights tile [B, TILE]
+    D0^T   = Y @ Xbp^T                                  (MXU)
+    panel-blocked forward substitution on U^T in VMEM scratch:
+      bulk cross-panel corrections as [P, done]x[done, TILE] MXU matmuls,
+      P tiny in-panel steps (statically unrolled)
+    Xap    = Xbp - (g*U)^T Y                            (MXU)
+    xam    = xbm + gain @ U^T
+    write  tile
 
-HBM traffic per obs-block = one read + one write of the state tile — the
-theoretical minimum; localization weights never touch HBM (the reference
-materializes a full state-length weight vector per observation,
-``efa_xray/assimilation/ensrf.py:99-115``).
+Design notes (v2, informed by on-TPU measurement of v1):
 
-The transposed ``[B, TILE]`` layout keeps the recurrence's per-step writes
-on the sublane axis (row stores) instead of strided lane-dim column stores.
+* The localization weights are computed OUTSIDE the kernel by XLA (one
+  fused streaming elementwise pass, written once to HBM and read once
+  here).  v1 computed haversine+Gaspari-Cohn inside the kernel; Mosaic
+  stack-allocates every elementwise temporary of that ~45-op chain at
+  ``[B, TILE]``, which blew scoped VMEM at production tiles and forced
+  tiles too small to amortize the recurrence loop.  The extra HBM traffic
+  is one ``[rows, B]`` read per block — ~1/3 of the state read — a good
+  trade for 8x larger tiles.
+* The recurrence is panel-blocked (PANEL=8): corrections against already-
+  solved panels are dense MXU matmuls; only the in-panel dependency chain
+  runs as single-row steps, statically unrolled (B and PANEL are trace-time
+  constants, so all slicing is static — no dynamic_slice in the kernel).
+* Transposed ``[B, TILE]`` layout keeps single-row writes on the sublane
+  axis instead of strided lane-dim column stores.
+
+HBM traffic per obs-block = read + write of the state tile + one weights
+read; the reference materializes a full state-length localization vector
+per *observation* (``efa_xray/assimilation/ensrf.py:99-115``).
 """
 
 from __future__ import annotations
@@ -37,125 +50,80 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from efa_xray_tpu.assimilation.ensrf_core import TailSolution, ObsArrays
-from efa_xray_tpu.observation.localization import EARTH_RADIUS_KM
+from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+
+PANEL = 8
 
 
-def _arccos_poly(x):
-    """arccos for x in [0, 1] via Abramowitz & Stegun 4.4.46 (|err| <= 2e-8
-    rad).  Mosaic has no atan2/asin lowering, so the great-circle angle is
-    computed from the haversine's asin form: c = pi - 2*arccos(sqrt(a))."""
-    p = jnp.float32(-0.0012624911)
-    for c in (
-        0.0066700901,
-        -0.0170881256,
-        0.0308918810,
-        -0.0501743046,
-        0.0889789874,
-        -0.2145988016,
-        1.5707963050,
+def _make_block_kernel(bsz: int, localize: bool):
+    def kernel(
+        xbm_ref,  # [TILE, 1]
+        xbp_ref,  # [TILE, M]
+        w_ref,  # [B, TILE] GC weights (all-ones placeholder when !localize)
+        y_ref,  # [B, M]
+        ggt_ref,  # [B, B]  ggt[j, i] = (y_i . y_j) * sqrt_coef_i
+        gain_ref,  # [1, B]
+        sqrtc_ref,  # [1, B]
+        xbm_out_ref,  # [TILE, 1]
+        xbp_out_ref,  # [TILE, M]
+        u_ref,  # [B, TILE] scratch
+        d0_ref,  # [B, TILE] scratch
     ):
-        p = p * x + jnp.float32(c)
-    return jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+        f32 = xbp_ref.dtype
+        xbp = xbp_ref[:]  # [T, M]
+        y = y_ref[:]  # [B, M]
 
-
-def _gc_poly(r):
-    """Gaspari-Cohn with branch select, VPU-friendly (no indexing)."""
-    inner = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2) + 1.0
-    r_safe = jnp.maximum(r, 1e-12)
-    outer = (
-        ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
-        + 4.0
-        - 2.0 / (3.0 * r_safe)
-    )
-    return jnp.where(r <= 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
-
-
-def _block_kernel(
-    # inputs ([B,*] operands replicated across the grid)
-    xbm_ref,  # [TILE, 1]
-    xbp_ref,  # [TILE, M]
-    lat_ref,  # [TILE, 1] radians
-    lon_ref,  # [TILE, 1] radians
-    y_ref,  # [B, M]
-    ggt_ref,  # [B, B]  Gg^T: ggt[j, i] = (y_i . y_j) * sqrt_coef_i
-    gain_ref,  # [1, B]
-    sqrtc_ref,  # [1, B]
-    oblat_ref,  # [1, B] radians
-    oblon_ref,  # [1, B] radians
-    invrad_ref,  # [1, B] 1/halfwidth (0 == no localization for that ob)
-    # outputs
-    xbm_out_ref,  # [TILE, 1]
-    xbp_out_ref,  # [TILE, M]
-    # scratch
-    u_ref,  # [B, TILE]
-    d0_ref,  # [B, TILE]
-    w_ref,  # [B, TILE] localization weights (untouched when localize=False)
-    *,
-    bsz: int,
-    localize: bool,
-):
-    f32 = xbp_ref.dtype
-    xbp = xbp_ref[:]  # [T, M]
-    y = y_ref[:]  # [B, M]
-
-    # D0^T = Y @ Xbp^T  -> [B, TILE] on the MXU
-    d0_ref[:] = jax.lax.dot_general(
-        y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )
-
-    if localize:
-        # Haversine + GC from each ob (rows) to each state row (lanes).
-        lat_r = lat_ref[:].reshape(1, -1)  # [1, T]
-        lon_r = lon_ref[:].reshape(1, -1)
-        ob_lat = oblat_ref[0, :].reshape(-1, 1)  # [B, 1]
-        ob_lon = oblon_ref[0, :].reshape(-1, 1)
-        dlat = ob_lat - lat_r
-        dlon = ob_lon - lon_r
-        a = (
-            jnp.sin(dlat * 0.5) ** 2
-            + jnp.cos(lat_r) * jnp.cos(ob_lat) * jnp.sin(dlon * 0.5) ** 2
+        # D0^T = Y @ Xbp^T on the MXU.
+        d0_ref[:] = jax.lax.dot_general(
+            y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
-        sqrt_a = jnp.sqrt(jnp.clip(a, 0.0, 1.0))
-        c = jnp.float32(np.pi) - 2.0 * _arccos_poly(sqrt_a)  # = 2*asin(sqrt(a))
-        dist = EARTH_RADIUS_KM * c
-        invrad = invrad_ref[0, :].reshape(-1, 1)  # [B, 1]
-        r = dist * invrad
-        w_ref[:] = jnp.where(invrad > 0, _gc_poly(r), 1.0)  # [B, T]
 
-    u_ref[:] = jnp.zeros_like(u_ref)
+        # Panel-blocked forward substitution.  All indices static.
+        npanels = -(-bsz // PANEL)
+        for q in range(npanels):
+            base = q * PANEL
+            width = min(PANEL, bsz - base)
+            if base > 0:
+                # bulk correction against all solved panels: one MXU matmul
+                corr = jax.lax.dot_general(
+                    ggt_ref[base : base + width, 0:base],
+                    u_ref[0:base, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                d_panel = d0_ref[base : base + width, :] - corr
+            else:
+                d_panel = d0_ref[0:width, :]
+            for t in range(width):
+                j = base + t
+                if t > 0:
+                    corr2 = jax.lax.dot_general(
+                        ggt_ref[j : j + 1, base : base + t],
+                        u_ref[base : base + t, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    d_j = d_panel[t : t + 1, :] - corr2
+                else:
+                    d_j = d_panel[0:1, :]
+                if localize:
+                    d_j = d_j * w_ref[j : j + 1, :]
+                u_ref[j : j + 1, :] = d_j
 
-    def body(j, _):
-        # d_j = D0^T[j] - (GgT[j] @ U^T): rows of U with i >= j are zero.
-        ggt_row = ggt_ref[pl.ds(j, 1), :]  # [1, B]
-        corr = jax.lax.dot_general(
-            ggt_row, u_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+        u_t = u_ref[:]  # [B, TILE]
+        mean_upd = jax.lax.dot_general(
+            gain_ref[:], u_t, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )  # [1, TILE]
-        d_j = d0_ref[pl.ds(j, 1), :] - corr
-        if localize:
-            d_j = d_j * w_ref[pl.ds(j, 1), :]
-        u_ref[pl.ds(j, 1), :] = d_j
-        return 0
+        xbm_out_ref[:] = xbm_ref[:] + mean_upd.reshape(-1, 1)
+        gu = u_t * sqrtc_ref[0, :].reshape(-1, 1)  # [B, TILE]
+        xbp_out_ref[:] = xbp - jax.lax.dot_general(
+            gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
 
-    jax.lax.fori_loop(0, bsz, body, 0, unroll=False)
-
-    u_t = u_ref[:]  # [B, TILE]
-    # mean update: xam = xbm + gain @ U^T
-    mean_upd = jax.lax.dot_general(
-        gain_ref[:], u_t, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )  # [1, TILE]
-    xbm_out_ref[:] = xbm_ref[:] + mean_upd.reshape(-1, 1)
-    # perturbation update: Xap = Xbp - (sqrt_coef * U)^T @ Y
-    gu = u_t * sqrtc_ref[0, :].reshape(-1, 1)  # [B, TILE]
-    upd = jax.lax.dot_general(
-        gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )  # [TILE, M]
-    xbp_out_ref[:] = xbp - upd
+    return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("localize", "tile", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("localize", "tile", "interpret"))
 def apply_obs_block_pallas(
     body_mean,  # [R]
     body_perts,  # [R, M]
@@ -168,21 +136,21 @@ def apply_obs_block_pallas(
     ob_lon,  # [B] degrees
     radii,  # [B] km (inf == no localization)
     localize: bool = True,
-    tile: int = 1024,
+    tile: int = 16384,
     interpret: bool = False,
 ):
     """Apply one pre-solved obs block to the state body (fused kernel).
 
     Exact drop-in for
-    :func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block` (with the
-    localization weights computed inside).  Rows are padded to the tile
-    size internally.
+    :func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block` with the
+    localization weights computed here (streamed by XLA, consumed by the
+    kernel).  Rows are padded to the tile size internally.
     """
     dtype = body_perts.dtype
     nrows, nmems = body_perts.shape
     bsz = ye_block.shape[0]
 
-    grid = -(-nrows // tile)
+    grid = max(1, -(-nrows // tile))
     rpad = grid * tile - nrows
     if rpad:
         body_mean = jnp.pad(body_mean, (0, rpad))
@@ -192,45 +160,35 @@ def apply_obs_block_pallas(
 
     y = ye_block.astype(dtype)
     gram = jnp.dot(y, y.T, preferred_element_type=dtype)
-    ggt = (gram * sqrt_coef[:, None].astype(dtype)).T  # [B, B], ggt[j, i]
+    ggt = (gram * sqrt_coef[:, None].astype(dtype)).T  # ggt[j, i]
 
-    deg2rad = np.pi / 180.0
-    inv_rad = jnp.where(
-        jnp.isinf(radii), 0.0, 1.0 / jnp.abs(radii)
-    ).astype(dtype)
-
-    args = (
-        body_mean.reshape(-1, 1),
-        body_perts,
-        (body_lat * deg2rad).astype(dtype).reshape(-1, 1),
-        (body_lon * deg2rad).astype(dtype).reshape(-1, 1),
-        y,
-        ggt,
-        gain_coef.astype(dtype).reshape(1, -1),
-        sqrt_coef.astype(dtype).reshape(1, -1),
-        (ob_lat * deg2rad).astype(dtype).reshape(1, -1),
-        (ob_lon * deg2rad).astype(dtype).reshape(1, -1),
-        inv_rad.reshape(1, -1),
-    )
+    if localize:
+        # One fused streaming pass in XLA; the kernel reads it tile-wise.
+        d = haversine(
+            (ob_lat[:, None].astype(dtype), ob_lon[:, None].astype(dtype)),
+            (body_lat[None, :].astype(dtype), body_lon[None, :].astype(dtype)),
+        )
+        w_t = gaspari_cohn(d, radii[:, None].astype(dtype)).astype(dtype)  # [B, R]
+    else:
+        w_t = jnp.ones((bsz, 1), dtype=dtype)  # placeholder, broadcast via spec
 
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    tiled = lambda shape: pl.BlockSpec(
-        shape, lambda i: (i, 0), memory_space=pltpu.VMEM
+    tiled = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_spec = (
+        pl.BlockSpec((bsz, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        if localize
+        else rep((bsz, 1))
     )
 
     out_mean, out_perts = pl.pallas_call(
-        functools.partial(_block_kernel, bsz=bsz, localize=localize),
+        _make_block_kernel(bsz, localize),
         grid=(grid,),
         in_specs=[
             tiled((tile, 1)),
             tiled((tile, nmems)),
-            tiled((tile, 1)),
-            tiled((tile, 1)),
+            w_spec,
             rep((bsz, nmems)),
             rep((bsz, bsz)),
-            rep((1, bsz)),
-            rep((1, bsz)),
-            rep((1, bsz)),
             rep((1, bsz)),
             rep((1, bsz)),
         ],
@@ -245,16 +203,20 @@ def apply_obs_block_pallas(
         scratch_shapes=[
             pltpu.VMEM((bsz, tile), dtype),
             pltpu.VMEM((bsz, tile), dtype),
-            pltpu.VMEM((bsz, tile), dtype),
         ],
-        # Mosaic stack-allocates every elementwise temp of the haversine/GC
-        # chain ([B, TILE] each); the default 16 MB scoped-VMEM limit OOMs
-        # at production tiles, so raise it (v5e/v5p have 128 MB VMEM).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*args)
+    )(
+        body_mean.reshape(-1, 1),
+        body_perts,
+        w_t,
+        y,
+        ggt,
+        gain_coef.astype(dtype).reshape(1, -1),
+        sqrt_coef.astype(dtype).reshape(1, -1),
+    )
 
     return out_mean[:nrows, 0], out_perts[:nrows]
 
@@ -267,8 +229,8 @@ def ensrf_blocked_body_pallas(
     tail: TailSolution,
     obs: ObsArrays,
     localize: bool = True,
-    block_size: int = 64,
-    tile: int = 1024,
+    block_size: int = 128,
+    tile: int = 16384,
     interpret: bool = False,
 ):
     """Phase 2 with the fused kernel: scan obs blocks, one pallas_call per
