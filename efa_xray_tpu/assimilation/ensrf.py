@@ -124,6 +124,8 @@ class EnSRF(Assimilation):
                 method=cfg.method,
                 block_size=cfg.block_size,
                 unbiased=cfg.unbiased_variance,
+                use_pallas=self._use_pallas(),
+                interpret=__import__("jax").default_backend() != "tpu",
             )
         elif cfg.method == "serial":
             bm, bp, tm, tp, diags = core.ensrf_serial(

@@ -50,7 +50,10 @@ def _shard_specs(axis: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "localize", "method", "block_size", "axis_name", "unbiased"),
+    static_argnames=(
+        "mesh", "localize", "method", "block_size", "axis_name", "unbiased",
+        "use_pallas", "interpret",
+    ),
 )
 def _ensrf_sharded_jit(
     body_mean,
@@ -67,6 +70,8 @@ def _ensrf_sharded_jit(
     block_size: int,
     axis_name: str,
     unbiased: bool,
+    use_pallas: bool,
+    interpret: bool,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
 
@@ -76,9 +81,18 @@ def _ensrf_sharded_jit(
                 bm, bp, tm, tp, blat, blon, ob, localize=localize, unbiased=unbiased
             )
         tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased)
-        bm, bp = core.ensrf_blocked_body(
-            bm, bp, blat, blon, tail, ob, localize=localize, block_size=block_size
-        )
+        if use_pallas:
+            from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+
+            bm, bp = ensrf_blocked_body_pallas(
+                bm, bp, blat, blon, tail, ob,
+                localize=localize, block_size=block_size, interpret=interpret,
+            )
+        else:
+            bm, bp = core.ensrf_blocked_body(
+                bm, bp, blat, blon, tail, ob,
+                localize=localize, block_size=block_size,
+            )
         return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
     fn = jax.shard_map(
@@ -105,6 +119,8 @@ def ensrf_update_sharded(
     block_size: int = 32,
     axis_name: str = STATE_AXIS,
     unbiased: bool = False,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -144,5 +160,7 @@ def ensrf_update_sharded(
         block_size=block_size,
         axis_name=axis_name,
         unbiased=unbiased,
+        use_pallas=use_pallas,
+        interpret=interpret,
     )
     return bm[:ns], bp[:ns], tm, tp, diags

@@ -102,3 +102,33 @@ def test_l96_cycling_da_beats_free_run():
     assert tail_a < np.sqrt(ob_err), f"analysis RMSE {tail_a} too high"
     assert tail_a < 0.5 * tail_f, f"DA ({tail_a}) not beating free run ({tail_f})"
     assert np.isfinite(analysis_rmse).all()
+
+
+def test_cycling_harness_api():
+    """The generic CyclingHarness drives L96 to sub-obs-error analyses."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=2)
+    lats, lons = l96.fake_latlon(nvars)
+    harness = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=1.0,
+        localize_radius=4000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        inflation=1.05,
+    )
+    stats = harness.run(ens, truth, ncycles=25)
+    tail = np.mean([s.analysis_rmse for s in stats[-8:]])
+    assert tail < 1.0, f"analysis RMSE {tail}"
+    # analysis must improve on the background every late cycle on average
+    gain = np.mean(
+        [s.background_rmse - s.analysis_rmse for s in stats[-8:]]
+    )
+    assert gain > 0
+    # obs-space posterior closer to obs than prior
+    assert stats[-1].obs_post_rmse < stats[-1].obs_prior_rmse

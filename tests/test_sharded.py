@@ -94,3 +94,32 @@ def test_state_shard_placement():
     shard_shape = sharded.data.sharding.shard_shape(sharded.data.shape)
     assert shard_shape[2] == 8 // len(jax.devices())
     np.testing.assert_allclose(np.asarray(sharded.data), np.asarray(state.data))
+
+
+@requires_multi
+def test_sharded_pallas_matches_single_device():
+    """Pallas kernel under shard_map (interpret mode on the CPU mesh)."""
+    from efa_xray_tpu.parallel.sharded import ensrf_update_sharded
+    from efa_xray_tpu.assimilation import ensrf_core as core
+    import jax.numpy as jnp
+
+    state, obs, batch = _problem(seed=21)
+    cfg = FilterConfig(localization="GC", dtype="float32")
+    single = EnSRF(state, list(obs), config=cfg)
+    post_single, _ = single.update()
+
+    filt = EnSRF(state, list(obs), config=cfg)
+    bm, bp, tm, tp = filt.format_prior_state()
+    oarr = filt.obs_arrays()
+    row_lat, row_lon = state.structure.row_latlon()
+    mesh = make_mesh()
+    bm2, bp2, _, _, _ = ensrf_update_sharded(
+        bm, bp, tm, tp,
+        jnp.asarray(row_lat, dtype=jnp.float32),
+        jnp.asarray(row_lon, dtype=jnp.float32),
+        oarr, mesh=mesh, localize=True, method="blocked", block_size=8,
+        use_pallas=True, interpret=True,
+    )
+    post = np.asarray(bm2)[:, None] + np.asarray(bp2)
+    want = np.asarray(post_single.to_vect())
+    np.testing.assert_allclose(post, want, rtol=2e-4, atol=2e-3)
