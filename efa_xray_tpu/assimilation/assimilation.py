@@ -133,11 +133,14 @@ class Assimilation:
         mesh=None,
     ):
         from efa_xray_tpu.utils.logging import verbose_logger
+        from efa_xray_tpu.utils.validation import validate_obs, validate_state
 
         self.log = verbose_logger(verbose)
         self.prior = state
         self._user_obs = obs if isinstance(obs, (list, tuple)) else None
         self.obs = ObservationBatch.coerce(obs)
+        validate_state(state)
+        validate_obs(self.obs, state.structure)
         self.verbose = verbose
         self.nproc = nproc
         self.inflation = inflation

@@ -207,9 +207,10 @@ def ensrf_serial(
         obs.radii.astype(dtype),
         obs.assim,
     )
-    (bm, bp, tm, tp), diags = jax.lax.scan(
-        step, (body_mean, body_perts, tail_mean, tail_perts), xs
-    )
+    with jax.named_scope("ensrf/serial_scan"):
+        (bm, bp, tm, tp), diags = jax.lax.scan(
+            step, (body_mean, body_perts, tail_mean, tail_perts), xs
+        )
     return bm, bp, tm, tp, ObsDiagnostics(*diags)
 
 
@@ -287,9 +288,10 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         obs.radii.astype(dtype),
         obs.assim,
     )
-    (tm, tp), (ye, gain, sqrt_c, pm, pv, om, ov, asm) = jax.lax.scan(
-        step, (tail_mean, tail_perts), xs
-    )
+    with jax.named_scope("ensrf/tail_scan"):
+        (tm, tp), (ye, gain, sqrt_c, pm, pv, om, ov, asm) = jax.lax.scan(
+            step, (tail_mean, tail_perts), xs
+        )
     return TailSolution(
         ye=ye,
         gain_coef=gain,
@@ -403,11 +405,12 @@ def ensrf_blocked_body(
         bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w)
         return (bm, bp), None
 
-    (bm, bp), _ = jax.lax.scan(
-        step,
-        (body_mean, body_perts),
-        (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b),
-    )
+    with jax.named_scope("ensrf/block_update"):
+        (bm, bp), _ = jax.lax.scan(
+            step,
+            (body_mean, body_perts),
+            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b),
+        )
     return bm, bp
 
 
