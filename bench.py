@@ -88,10 +88,11 @@ def run_tpu(w, block_size=128, localize=True, iters=3):
         if use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
-            tail = core.tail_scan(tm, tp, obs, localize=localize)
+            tail = core.tail_scan(tm, tp, obs, localize=localize,
+                                  fast_geometry=True)
             bm2, bp2 = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, obs,
-                localize=localize, block_size=block_size,
+                localize=localize, block_size=block_size, fast_geometry=True,
             )
             return bm2, bp2, tail.tail_mean, tail.tail_perts
         bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(
@@ -195,6 +196,7 @@ def main():
                     "nobs": nobs,
                     "tpu_seconds": dt_tpu,
                     "reference_numpy_seconds_extrapolated": dt_ref,
+                    "fast_geometry": True,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

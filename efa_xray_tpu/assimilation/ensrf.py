@@ -124,6 +124,7 @@ class EnSRF(Assimilation):
                 method=cfg.method,
                 block_size=cfg.block_size,
                 unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
                 use_pallas=self._use_pallas(),
                 interpret=__import__("jax").default_backend() != "tpu",
             )
@@ -138,6 +139,7 @@ class EnSRF(Assimilation):
                 obs,
                 localize=cfg.localize,
                 unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
             )
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -148,6 +150,7 @@ class EnSRF(Assimilation):
                 obs,
                 localize=cfg.localize,
                 unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
             )
             import jax
 
@@ -161,6 +164,7 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 block_size=cfg.block_size,
                 tile=cfg.pallas_tile,
+                fast_geometry=cfg.fast_geometry,
                 # Off-TPU (explicit use_pallas=True on CPU) runs the kernel
                 # in the Pallas interpreter.
                 interpret=jax.default_backend() != "tpu",
@@ -178,6 +182,7 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 block_size=cfg.block_size,
                 unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
             )
 
         self.record_diagnostics(diags)

@@ -59,7 +59,12 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+from efa_xray_tpu.observation.localization import (
+    chordal_gc_weights,
+    gaspari_cohn,
+    haversine,
+    latlon_to_unit,
+)
 
 
 class ObsArrays(NamedTuple):
@@ -117,12 +122,16 @@ def _empty_diags(dtype) -> "ObsDiagnostics":
     return ObsDiagnostics(z, z, z, z, jnp.zeros((0,), dtype=bool))
 
 
-def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype):
+def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype,
+                 row_xyz=None, ob_xyz=None):
     """Gaspari-Cohn weights from one ob to a set of rows; ones when
     localization is globally off (reference ``ensrf.py:99``) or the ob's
-    radius is inf (reference crashes on that case; SURVEY.md §2.1/O3)."""
+    radius is inf (reference crashes on that case; SURVEY.md §2.1/O3).
+    When unit vectors are supplied, uses the fast chordal path."""
     if not localize:
         return None
+    if row_xyz is not None:
+        return chordal_gc_weights(row_xyz, ob_xyz, radius).astype(dtype)
     d = haversine((row_lat, row_lon), (ob_lat, ob_lon))
     return gaspari_cohn(d, radius).astype(dtype)
 
@@ -132,7 +141,7 @@ def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "unbiased"))
+@functools.partial(jax.jit, static_argnames=("localize", "unbiased", "fast_geometry"))
 def ensrf_serial(
     body_mean,  # [Ns]
     body_perts,  # [Ns, M]
@@ -143,6 +152,7 @@ def ensrf_serial(
     obs: ObsArrays,
     localize: bool = True,
     unbiased: bool = False,
+    fast_geometry: bool = False,
 ):
     """Serial EnSRF as one ``lax.scan`` over observations.
 
@@ -153,6 +163,12 @@ def ensrf_serial(
     nobs = obs.values.shape[0]
     if nobs == 0:
         return body_mean, body_perts, tail_mean, tail_perts, _empty_diags(dtype)
+
+    if localize and fast_geometry:
+        body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
+        tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
+    else:
+        body_xyz = tail_xyz = None
 
     def step(carry, xs):
         bm, bp, tm, tp = carry
@@ -169,8 +185,15 @@ def ensrf_serial(
 
         kcov_b = bp @ ye  # [Ns]
         kcov_t = tp @ ye  # [No]
-        w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius, localize, dtype)
-        w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+        if localize and fast_geometry:
+            ob_xyz = latlon_to_unit(ob_lat, ob_lon).astype(dtype)
+            w_b = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=body_xyz, ob_xyz=ob_xyz)
+            w_t = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=tail_xyz, ob_xyz=ob_xyz)
+        else:
+            w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius, localize, dtype)
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
         if localize:
             kcov_b = kcov_b * w_b
             kcov_t = kcov_t * w_t
@@ -219,9 +242,9 @@ def ensrf_serial(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "unbiased"))
+@functools.partial(jax.jit, static_argnames=("localize", "unbiased", "fast_geometry"))
 def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
-              unbiased: bool = False) -> TailSolution:
+              unbiased: bool = False, fast_geometry: bool = False) -> TailSolution:
     """Run the serial filter on the observation-space tail only.
 
     Produces the exact ``ye`` sequence and scalar coefficients the full
@@ -230,6 +253,10 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
     nens = tail_perts.shape[1]
     dtype = tail_perts.dtype
     nobs = obs.values.shape[0]
+    if localize and fast_geometry:
+        tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
+    else:
+        tail_xyz = None
     if nobs == 0:
         z = jnp.zeros((0,), dtype=dtype)
         return TailSolution(
@@ -255,7 +282,12 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
 
         kcov_t = tp @ ye
-        w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+        if localize and fast_geometry:
+            w_t = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=tail_xyz,
+                               ob_xyz=latlon_to_unit(ob_lat, ob_lon).astype(dtype))
+        else:
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
         if localize:
             kcov_t = kcov_t * w_t
 
@@ -357,7 +389,7 @@ def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef, w_blo
     return body_mean, body_perts
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "block_size"))
+@functools.partial(jax.jit, static_argnames=("localize", "block_size", "fast_geometry"))
 def ensrf_blocked_body(
     body_mean,
     body_perts,
@@ -367,6 +399,7 @@ def ensrf_blocked_body(
     obs: ObsArrays,
     localize: bool = True,
     block_size: int = 32,
+    fast_geometry: bool = False,
 ):
     """Phase 2: sweep the pre-solved observation sequence over the state
     body in blocks.  Exact (up to fp reassociation) match of the serial
@@ -392,10 +425,20 @@ def ensrf_blocked_body(
     lon_b = ob_lon.reshape(nblocks, block_size)
     rad_b = radii.reshape(nblocks, block_size)
 
+    if localize and fast_geometry:
+        body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
+    else:
+        body_xyz = None
+
     def step(carry, xs):
         bm, bp = carry
         yb, gb, sb, latb, lonb, radb = xs
-        if localize:
+        if localize and fast_geometry:
+            ob_xyz = latlon_to_unit(latb, lonb).astype(dtype)
+            w = chordal_gc_weights(
+                body_xyz[:, None, :], ob_xyz[None, :, :], radb[None, :]
+            ).astype(dtype)
+        elif localize:
             d = haversine(
                 (body_lat[:, None], body_lon[:, None]), (latb[None, :], lonb[None, :])
             )
@@ -425,12 +468,14 @@ def ensrf_blocked(
     localize: bool = True,
     block_size: int = 32,
     unbiased: bool = False,
+    fast_geometry: bool = False,
 ):
     """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
 
     Drop-in equivalent of :func:`ensrf_serial` (same returns).
     """
-    tail = tail_scan(tail_mean, tail_perts, obs, localize=localize, unbiased=unbiased)
+    tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
+                     unbiased=unbiased, fast_geometry=fast_geometry)
     bm, bp = ensrf_blocked_body(
         body_mean,
         body_perts,
@@ -440,5 +485,6 @@ def ensrf_blocked(
         obs,
         localize=localize,
         block_size=block_size,
+        fast_geometry=fast_geometry,
     )
     return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags

@@ -40,6 +40,10 @@ class FilterConfig:
     use_pallas: Optional[bool] = None
     # Row-tile size for the Pallas kernel (rows resident in VMEM per step).
     pallas_tile: int = 16384
+    # Fast chordal geometry for localization weights (unit-vector dot +
+    # polynomial arccos; ~2e-8 rad error) instead of the exact haversine.
+    # Off by default to keep bit-level reference parity.
+    fast_geometry: bool = False
     # False reproduces the reference's np.var (ddof=0) in the gain
     # denominator against a ddof=1 covariance (ensrf.py:69,95) — weakly
     # observation-order dependent.  True uses ddof=1 throughout (textbook

@@ -92,6 +92,53 @@ def localization_weights(grid_lat, grid_lon, ob_lat, ob_lon, halfwidth):
     return gaspari_cohn(d, halfwidth)
 
 
+def latlon_to_unit(lat, lon):
+    """(lat, lon) degrees -> unit vectors on the sphere, shape [..., 3]."""
+    phi = jnp.radians(jnp.asarray(lat))
+    lam = jnp.radians(jnp.asarray(lon))
+    cphi = jnp.cos(phi)
+    return jnp.stack([cphi * jnp.cos(lam), cphi * jnp.sin(lam), jnp.sin(phi)], axis=-1)
+
+
+def _arccos_as(t):
+    """arccos for t in [0, 1] via Abramowitz & Stegun 4.4.46 (|err| <= 2e-8
+    rad): sqrt(1-t) * p(t).  Extended to [-1, 0) by pi - arccos(-t)."""
+    x = jnp.abs(t)
+    p = jnp.asarray(-0.0012624911, dtype=t.dtype)
+    for c in (
+        0.0066700901,
+        -0.0170881256,
+        0.0308918810,
+        -0.0501743046,
+        0.0889789874,
+        -0.2145988016,
+        1.5707963050,
+    ):
+        p = p * x + jnp.asarray(c, dtype=t.dtype)
+    a = jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+    return jnp.where(t >= 0, a, jnp.pi - a)
+
+
+def chordal_gc_weights(row_xyz, ob_xyz, halfwidth):
+    """Gaspari-Cohn weights from precomputed unit vectors — the fast
+    geometry path.
+
+    Per pair: a 3-FMA dot product + a polynomial arccos (one sqrt, no
+    transcendentals) instead of the haversine's two sines + sqrt + atan2.
+    Max angle error 2e-8 rad (~1.3e-4 km) from the polynomial; f32 rounding
+    of the dot adds O(100 m) jitter at short range where the GC taper is
+    flat, so weight errors stay < 1e-4.  Used when
+    ``FilterConfig.fast_geometry`` is on; the default path keeps the exact
+    reference-parity haversine.
+
+    ``row_xyz``: [..., 3]; ``ob_xyz``: broadcastable [..., 3];
+    ``halfwidth``: broadcastable km (inf -> weight 1).
+    """
+    dot = jnp.clip(jnp.sum(row_xyz * ob_xyz, axis=-1), -1.0, 1.0)
+    dist = EARTH_RADIUS_KM * _arccos_as(dot)
+    return gaspari_cohn(dist, halfwidth)
+
+
 def gaspari_cohn_np(distances, halfwidth):
     """NumPy twin of :func:`gaspari_cohn` for host-side/test use."""
     r = np.asarray(distances, dtype=np.float64) / abs(halfwidth)

@@ -50,7 +50,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from efa_xray_tpu.assimilation.ensrf_core import TailSolution, ObsArrays
-from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+from efa_xray_tpu.observation.localization import (
+    chordal_gc_weights,
+    gaspari_cohn,
+    haversine,
+    latlon_to_unit,
+)
 
 PANEL = 8
 
@@ -123,7 +128,9 @@ def _make_block_kernel(bsz: int, localize: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("localize", "tile", "interpret", "fast_geometry")
+)
 def apply_obs_block_pallas(
     body_mean,  # [R]
     body_perts,  # [R, M]
@@ -138,6 +145,7 @@ def apply_obs_block_pallas(
     localize: bool = True,
     tile: int = 16384,
     interpret: bool = False,
+    fast_geometry: bool = False,
 ):
     """Apply one pre-solved obs block to the state body (fused kernel).
 
@@ -162,7 +170,14 @@ def apply_obs_block_pallas(
     gram = jnp.dot(y, y.T, preferred_element_type=dtype)
     ggt = (gram * sqrt_coef[:, None].astype(dtype)).T  # ggt[j, i]
 
-    if localize:
+    if localize and fast_geometry:
+        # Chordal path: 3-FMA dots + polynomial arccos, no transcendentals.
+        ob_xyz = latlon_to_unit(ob_lat, ob_lon).astype(dtype)
+        body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
+        w_t = chordal_gc_weights(
+            ob_xyz[:, None, :], body_xyz[None, :, :], radii[:, None].astype(dtype)
+        ).astype(dtype)  # [B, R]
+    elif localize:
         # One fused streaming pass in XLA; the kernel reads it tile-wise.
         d = haversine(
             (ob_lat[:, None].astype(dtype), ob_lon[:, None].astype(dtype)),
@@ -232,6 +247,7 @@ def ensrf_blocked_body_pallas(
     block_size: int = 128,
     tile: int = 16384,
     interpret: bool = False,
+    fast_geometry: bool = False,
 ):
     """Phase 2 with the fused kernel: scan obs blocks, one pallas_call per
     block.  Same contract as
@@ -258,6 +274,7 @@ def ensrf_blocked_body_pallas(
         bm, bp = apply_obs_block_pallas(
             bm, bp, body_lat, body_lon, yb, gb, sb, latb, lonb, radb,
             localize=localize, tile=tile, interpret=interpret,
+            fast_geometry=fast_geometry,
         )
         return (bm, bp), None
 

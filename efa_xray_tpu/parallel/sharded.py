@@ -52,7 +52,7 @@ def _shard_specs(axis: str):
     jax.jit,
     static_argnames=(
         "mesh", "localize", "method", "block_size", "axis_name", "unbiased",
-        "use_pallas", "interpret",
+        "use_pallas", "interpret", "fast_geometry",
     ),
 )
 def _ensrf_sharded_jit(
@@ -72,26 +72,31 @@ def _ensrf_sharded_jit(
     unbiased: bool,
     use_pallas: bool,
     interpret: bool,
+    fast_geometry: bool,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
 
     def local_update(bm, bp, tm, tp, blat, blon, ob):
         if method == "serial":
             return core.ensrf_serial(
-                bm, bp, tm, tp, blat, blon, ob, localize=localize, unbiased=unbiased
+                bm, bp, tm, tp, blat, blon, ob, localize=localize,
+                unbiased=unbiased, fast_geometry=fast_geometry,
             )
-        tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased)
+        tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased,
+                              fast_geometry=fast_geometry)
         if use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
             bm, bp = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, ob,
                 localize=localize, block_size=block_size, interpret=interpret,
+                fast_geometry=fast_geometry,
             )
         else:
             bm, bp = core.ensrf_blocked_body(
                 bm, bp, blat, blon, tail, ob,
                 localize=localize, block_size=block_size,
+                fast_geometry=fast_geometry,
             )
         return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
@@ -121,6 +126,7 @@ def ensrf_update_sharded(
     unbiased: bool = False,
     use_pallas: bool = False,
     interpret: bool = False,
+    fast_geometry: bool = False,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -162,5 +168,6 @@ def ensrf_update_sharded(
         unbiased=unbiased,
         use_pallas=use_pallas,
         interpret=interpret,
+        fast_geometry=fast_geometry,
     )
     return bm[:ns], bp[:ns], tm, tp, diags

@@ -244,3 +244,35 @@ def test_empty_observation_batch_is_identity():
         post, batch = EnSRF(state, [], config=cfg).update()
         np.testing.assert_allclose(np.asarray(post.data), np.asarray(state.data))
         assert len(batch) == 0
+
+
+def test_fast_geometry_close_to_exact():
+    """fast_geometry=True must match the exact haversine path closely for
+    all three execution strategies."""
+    state, batch, prior_vect, ye, row_lat, row_lon, radii, assim = _setup(nobs=10)
+    ref, _ = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, "blocked"
+    )
+
+    xbm = jnp.asarray(prior_vect.mean(axis=1))
+    Xbp = jnp.asarray(prior_vect - prior_vect.mean(axis=1, keepdims=True))
+    tm = jnp.asarray(ye.mean(axis=1))
+    tp = jnp.asarray(ye - ye.mean(axis=1, keepdims=True))
+    obs_arr = core.ObsArrays(
+        values=jnp.asarray(batch.values),
+        errors=jnp.asarray(batch.errors),
+        lats=jnp.asarray(batch.lats),
+        lons=jnp.asarray(batch.lons),
+        radii=jnp.asarray(radii),
+        assim=jnp.asarray(assim),
+    )
+    for fn, kw in [
+        (core.ensrf_blocked, {"block_size": 4}),
+        (core.ensrf_serial, {}),
+    ]:
+        bm, bp, _, _, _ = fn(
+            xbm, Xbp, tm, tp, jnp.asarray(row_lat), jnp.asarray(row_lon),
+            obs_arr, localize=True, fast_geometry=True, **kw,
+        )
+        got = np.asarray(bm)[:, None] + np.asarray(bp)
+        np.testing.assert_allclose(got, ref, atol=5e-5)

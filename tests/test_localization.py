@@ -121,3 +121,39 @@ def test_localization_weights_compact_support():
     assert (np.diff(w[0]) <= 1e-12).all()  # monotone decreasing along the ray
     far = np.asarray(localization_weights(lat, lon, 0.0, 0.0, 100.0))
     assert far[0, -1] == 0.0
+
+
+def test_chordal_weights_match_haversine_gc():
+    """Fast chordal geometry (unit-vector dot + polynomial arccos) must
+    reproduce haversine Gaspari-Cohn weights to ~1e-6."""
+    from efa_xray_tpu.observation.localization import (
+        chordal_gc_weights,
+        latlon_to_unit,
+    )
+
+    rng = np.random.default_rng(0)
+    lats = rng.uniform(-89, 89, 500)
+    lons = rng.uniform(0, 360, 500)
+    ob = (12.3, 245.6)
+    want = np.asarray(
+        gaspari_cohn(haversine((lats, lons), ob), 1500.0)
+    )
+    got = np.asarray(
+        chordal_gc_weights(
+            latlon_to_unit(lats, lons), latlon_to_unit(*ob), 1500.0
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # infinite radius -> ones
+    ones = np.asarray(
+        chordal_gc_weights(latlon_to_unit(lats, lons), latlon_to_unit(*ob), np.inf)
+    )
+    np.testing.assert_allclose(ones, 1.0)
+
+
+def test_arccos_polynomial_accuracy():
+    from efa_xray_tpu.observation.localization import _arccos_as
+
+    t = np.linspace(-1, 1, 20001)
+    got = np.asarray(_arccos_as(np.asarray(t)))
+    np.testing.assert_allclose(got, np.arccos(t), atol=3e-8)
