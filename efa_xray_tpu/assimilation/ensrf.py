@@ -80,6 +80,12 @@ class EnSRF(Assimilation):
         if self.config.default_radius is not None:
             radii[np.isinf(radii)] = float(self.config.default_radius)
         assim = np.asarray(self.obs.assimilate_flags) & np.asarray(taps.qc_ok)
+        # Vertical localization applies only to obs with a finite vertical
+        # coordinate; others get an infinite vertical radius (weight 1).
+        verts = np.asarray(self.obs.verts, dtype=np.float64).copy()
+        vrad = np.asarray(self.obs.vert_radius, dtype=np.float64).copy()
+        vrad[~np.isfinite(verts)] = np.inf
+        verts[~np.isfinite(verts)] = 0.0
         return core.ObsArrays(
             values=jnp.asarray(self.obs.values, dtype=dtype),
             errors=jnp.asarray(self.obs.errors, dtype=dtype),
@@ -87,7 +93,19 @@ class EnSRF(Assimilation):
             lons=jnp.asarray(self.obs.lons, dtype=dtype),
             radii=jnp.asarray(radii, dtype=dtype),
             assim=jnp.asarray(assim),
+            verts=jnp.asarray(verts, dtype=dtype),
+            vert_radii=jnp.asarray(vrad, dtype=dtype),
         )
+
+    def _vertical_active(self) -> bool:
+        """Vertical localization is on when the state declares per-variable
+        vertical coordinates and at least one ob requests a finite vertical
+        radius."""
+        if self.prior.structure.var_verts is None:
+            return False
+        vr = np.asarray(self.obs.vert_radius, dtype=np.float64)
+        verts = np.asarray(self.obs.verts, dtype=np.float64)
+        return bool(np.any(np.isfinite(vr) & np.isfinite(verts)))
 
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
         """Assimilate all observations; return (posterior, observations).
@@ -104,6 +122,11 @@ class EnSRF(Assimilation):
         dtype = jnp.dtype(cfg.dtype)
         body_lat = jnp.asarray(row_lat, dtype=dtype)
         body_lon = jnp.asarray(row_lon, dtype=dtype)
+        vertical = cfg.localize and self._vertical_active()
+        if vertical:
+            body_vert = jnp.asarray(self.prior.structure.row_vert(), dtype=dtype)
+        else:
+            body_vert = jnp.zeros_like(body_lat)
 
         if self.verbose:
             self.log.info("Beginning observation loop (%s)", cfg.method)
@@ -125,6 +148,8 @@ class EnSRF(Assimilation):
                 block_size=cfg.block_size,
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
                 use_pallas=self._use_pallas(),
                 interpret=__import__("jax").default_backend() != "tpu",
             )
@@ -140,6 +165,8 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
             )
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -151,6 +178,7 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
+                vertical=vertical,
             )
             import jax
 
@@ -165,6 +193,8 @@ class EnSRF(Assimilation):
                 block_size=cfg.block_size,
                 tile=cfg.pallas_tile,
                 fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
                 # Off-TPU (explicit use_pallas=True on CPU) runs the kernel
                 # in the Pallas interpreter.
                 interpret=jax.default_backend() != "tpu",
@@ -183,6 +213,8 @@ class EnSRF(Assimilation):
                 block_size=cfg.block_size,
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
             )
 
         self.record_diagnostics(diags)

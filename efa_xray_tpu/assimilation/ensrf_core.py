@@ -68,7 +68,15 @@ from efa_xray_tpu.observation.localization import (
 
 
 class ObsArrays(NamedTuple):
-    """Per-observation device arrays consumed by the kernels."""
+    """Per-observation device arrays consumed by the kernels.
+
+    Vertical localization (an extension; the reference carries ``vert``
+    but never uses it, ``observation/observation.py:19,27``): when a row
+    vertical coordinate is supplied to the kernels, total weights are the
+    product of horizontal Gaspari-Cohn (great-circle km) and vertical
+    Gaspari-Cohn (|row_vert - vert| in the user's vertical units, e.g.
+    hPa or meters).  ``vert_radii = inf`` disables it per ob.
+    """
 
     values: jnp.ndarray  # [No]
     errors: jnp.ndarray  # [No] observation error variance R
@@ -76,6 +84,19 @@ class ObsArrays(NamedTuple):
     lons: jnp.ndarray  # [No]
     radii: jnp.ndarray  # [No] GC halfwidth km; inf = no localization
     assim: jnp.ndarray  # bool [No] assimilate_this AND qc_ok
+    verts: jnp.ndarray = None  # [No] vertical coordinate (0 when unused)
+    vert_radii: jnp.ndarray = None  # [No] vertical GC halfwidth; inf = off
+
+    def with_default_verts(self):
+        n = self.values.shape[0]
+        dtype = self.values.dtype
+        verts = self.verts
+        vrad = self.vert_radii
+        if verts is None:
+            verts = jnp.zeros(n, dtype=dtype)
+        if vrad is None:
+            vrad = jnp.full(n, jnp.inf, dtype=dtype)
+        return self._replace(verts=verts, vert_radii=vrad)
 
 
 class ObsDiagnostics(NamedTuple):
@@ -123,17 +144,23 @@ def _empty_diags(dtype) -> "ObsDiagnostics":
 
 
 def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype,
-                 row_xyz=None, ob_xyz=None):
+                 row_xyz=None, ob_xyz=None,
+                 row_vert=None, ob_vert=None, vert_radius=None):
     """Gaspari-Cohn weights from one ob to a set of rows; ones when
     localization is globally off (reference ``ensrf.py:99``) or the ob's
     radius is inf (reference crashes on that case; SURVEY.md §2.1/O3).
-    When unit vectors are supplied, uses the fast chordal path."""
+    When unit vectors are supplied, uses the fast chordal path.  When a row
+    vertical coordinate is supplied, multiplies by vertical GC weights."""
     if not localize:
         return None
     if row_xyz is not None:
-        return chordal_gc_weights(row_xyz, ob_xyz, radius).astype(dtype)
-    d = haversine((row_lat, row_lon), (ob_lat, ob_lon))
-    return gaspari_cohn(d, radius).astype(dtype)
+        w = chordal_gc_weights(row_xyz, ob_xyz, radius).astype(dtype)
+    else:
+        d = haversine((row_lat, row_lon), (ob_lat, ob_lon))
+        w = gaspari_cohn(d, radius).astype(dtype)
+    if row_vert is not None:
+        w = w * gaspari_cohn(jnp.abs(row_vert - ob_vert), vert_radius).astype(dtype)
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +168,10 @@ def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "unbiased", "fast_geometry"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+)
 def ensrf_serial(
     body_mean,  # [Ns]
     body_perts,  # [Ns, M]
@@ -153,6 +183,8 @@ def ensrf_serial(
     localize: bool = True,
     unbiased: bool = False,
     fast_geometry: bool = False,
+    body_vert=None,  # [Ns] vertical coordinate per row (used when vertical)
+    vertical: bool = False,
 ):
     """Serial EnSRF as one ``lax.scan`` over observations.
 
@@ -169,10 +201,13 @@ def ensrf_serial(
         tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
     else:
         body_xyz = tail_xyz = None
+    obs = obs.with_default_verts()
+    tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
+    bvert = body_vert.astype(dtype) if (localize and vertical) else None
 
     def step(carry, xs):
         bm, bp, tm, tp = carry
-        i, y, r_err, ob_lat, ob_lon, radius, do_assim = xs
+        i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)  # [M]
         mye = tm[i]
@@ -185,15 +220,21 @@ def ensrf_serial(
 
         kcov_b = bp @ ye  # [Ns]
         kcov_t = tp @ ye  # [No]
+        vkw_b = dict(row_vert=bvert, ob_vert=ob_vert, vert_radius=ob_vrad) \
+            if (localize and vertical) else {}
+        vkw_t = dict(row_vert=tail_vert, ob_vert=ob_vert, vert_radius=ob_vrad) \
+            if (localize and vertical) else {}
         if localize and fast_geometry:
             ob_xyz = latlon_to_unit(ob_lat, ob_lon).astype(dtype)
             w_b = _loc_weights(None, None, None, None, radius, True, dtype,
-                               row_xyz=body_xyz, ob_xyz=ob_xyz)
+                               row_xyz=body_xyz, ob_xyz=ob_xyz, **vkw_b)
             w_t = _loc_weights(None, None, None, None, radius, True, dtype,
-                               row_xyz=tail_xyz, ob_xyz=ob_xyz)
+                               row_xyz=tail_xyz, ob_xyz=ob_xyz, **vkw_t)
         else:
-            w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius, localize, dtype)
-            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+            w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw_b)
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw_t)
         if localize:
             kcov_b = kcov_b * w_b
             kcov_t = kcov_t * w_t
@@ -229,6 +270,8 @@ def ensrf_serial(
         obs.lons.astype(dtype),
         obs.radii.astype(dtype),
         obs.assim,
+        obs.verts.astype(dtype),
+        obs.vert_radii.astype(dtype),
     )
     with jax.named_scope("ensrf/serial_scan"):
         (bm, bp, tm, tp), diags = jax.lax.scan(
@@ -242,9 +285,13 @@ def ensrf_serial(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "unbiased", "fast_geometry"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+)
 def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
-              unbiased: bool = False, fast_geometry: bool = False) -> TailSolution:
+              unbiased: bool = False, fast_geometry: bool = False,
+              vertical: bool = False) -> TailSolution:
     """Run the serial filter on the observation-space tail only.
 
     Produces the exact ``ye`` sequence and scalar coefficients the full
@@ -257,6 +304,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
     else:
         tail_xyz = None
+    obs = obs.with_default_verts()
+    tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
     if nobs == 0:
         z = jnp.zeros((0,), dtype=dtype)
         return TailSolution(
@@ -270,7 +319,7 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
 
     def step(carry, xs):
         tm, tp = carry
-        i, y, r_err, ob_lat, ob_lon, radius, do_assim = xs
+        i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
         mye = tm[i]
@@ -282,12 +331,16 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
 
         kcov_t = tp @ ye
+        vkw = dict(row_vert=tail_vert, ob_vert=ob_vert, vert_radius=ob_vrad) \
+            if (localize and vertical) else {}
         if localize and fast_geometry:
             w_t = _loc_weights(None, None, None, None, radius, True, dtype,
                                row_xyz=tail_xyz,
-                               ob_xyz=latlon_to_unit(ob_lat, ob_lon).astype(dtype))
+                               ob_xyz=latlon_to_unit(ob_lat, ob_lon).astype(dtype),
+                               **vkw)
         else:
-            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius, localize, dtype)
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw)
         if localize:
             kcov_t = kcov_t * w_t
 
@@ -319,6 +372,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         obs.lons.astype(dtype),
         obs.radii.astype(dtype),
         obs.assim,
+        obs.verts.astype(dtype),
+        obs.vert_radii.astype(dtype),
     )
     with jax.named_scope("ensrf/tail_scan"):
         (tm, tp), (ye, gain, sqrt_c, pm, pv, om, ov, asm) = jax.lax.scan(
@@ -389,7 +444,10 @@ def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef, w_blo
     return body_mean, body_perts
 
 
-@functools.partial(jax.jit, static_argnames=("localize", "block_size", "fast_geometry"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "block_size", "fast_geometry", "vertical"),
+)
 def ensrf_blocked_body(
     body_mean,
     body_perts,
@@ -400,6 +458,8 @@ def ensrf_blocked_body(
     localize: bool = True,
     block_size: int = 32,
     fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
 ):
     """Phase 2: sweep the pre-solved observation sequence over the state
     body in blocks.  Exact (up to fp reassociation) match of the serial
@@ -411,12 +471,15 @@ def ensrf_blocked_body(
     nblocks = -(-nobs // block_size)
     pad = nblocks * block_size - nobs
 
+    obs = obs.with_default_verts()
     ye = jnp.pad(tail.ye, ((0, pad), (0, 0)))
     gain = jnp.pad(tail.gain_coef, (0, pad))
     sqrtc = jnp.pad(tail.sqrt_coef, (0, pad))
     ob_lat = jnp.pad(obs.lats.astype(dtype), (0, pad))
     ob_lon = jnp.pad(obs.lons.astype(dtype), (0, pad))
     radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+    ob_vert = jnp.pad(obs.verts.astype(dtype), (0, pad))
+    ob_vrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf)
 
     ye_b = ye.reshape(nblocks, block_size, -1)
     gain_b = gain.reshape(nblocks, block_size).astype(dtype)
@@ -424,6 +487,8 @@ def ensrf_blocked_body(
     lat_b = ob_lat.reshape(nblocks, block_size)
     lon_b = ob_lon.reshape(nblocks, block_size)
     rad_b = radii.reshape(nblocks, block_size)
+    vert_b = ob_vert.reshape(nblocks, block_size)
+    vrad_b = ob_vrad.reshape(nblocks, block_size)
 
     if localize and fast_geometry:
         body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
@@ -432,7 +497,7 @@ def ensrf_blocked_body(
 
     def step(carry, xs):
         bm, bp = carry
-        yb, gb, sb, latb, lonb, radb = xs
+        yb, gb, sb, latb, lonb, radb, vertb, vradb = xs
         if localize and fast_geometry:
             ob_xyz = latlon_to_unit(latb, lonb).astype(dtype)
             w = chordal_gc_weights(
@@ -445,6 +510,11 @@ def ensrf_blocked_body(
             w = gaspari_cohn(d, radb[None, :]).astype(dtype)
         else:
             w = None
+        if localize and vertical:
+            w = w * gaspari_cohn(
+                jnp.abs(body_vert.astype(dtype)[:, None] - vertb[None, :]),
+                vradb[None, :],
+            ).astype(dtype)
         bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w)
         return (bm, bp), None
 
@@ -452,7 +522,7 @@ def ensrf_blocked_body(
         (bm, bp), _ = jax.lax.scan(
             step,
             (body_mean, body_perts),
-            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b),
+            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b, vrad_b),
         )
     return bm, bp
 
@@ -469,13 +539,16 @@ def ensrf_blocked(
     block_size: int = 32,
     unbiased: bool = False,
     fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
 ):
     """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
 
     Drop-in equivalent of :func:`ensrf_serial` (same returns).
     """
     tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
-                     unbiased=unbiased, fast_geometry=fast_geometry)
+                     unbiased=unbiased, fast_geometry=fast_geometry,
+                     vertical=vertical)
     bm, bp = ensrf_blocked_body(
         body_mean,
         body_perts,
@@ -486,5 +559,7 @@ def ensrf_blocked(
         localize=localize,
         block_size=block_size,
         fast_geometry=fast_geometry,
+        body_vert=body_vert,
+        vertical=vertical,
     )
     return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags

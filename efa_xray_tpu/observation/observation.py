@@ -43,6 +43,7 @@ class Observation:
         assimilate_this=False,
         description=None,
         localize_radius=None,
+        vert_localize_radius=None,
     ):
         self.value = value
         self.obtype = obtype
@@ -59,6 +60,9 @@ class Observation:
         self.assimilated = False
         self.description = description
         self.localize_radius = localize_radius
+        # Vertical GC halfwidth in the same units as ``vert`` (extension;
+        # the reference stores ``vert`` but never localizes on it).
+        self.vert_localize_radius = vert_localize_radius
 
     def estimate(self, state):
         """Ensemble estimate of this ob: H(x) for every member
@@ -133,8 +137,9 @@ class ObservationBatch:
     obtypes: List[str]  # length N variable names
     localize_radius: np.ndarray  # float64 [N]; np.inf == no localization
     assimilate_flags: np.ndarray  # bool [N]
-    verts: np.ndarray  # float64 [N] (carried metadata; NaN when absent)
+    verts: np.ndarray  # float64 [N] vertical coordinate (NaN when absent)
     descriptions: List[Optional[str]]
+    vert_radius: np.ndarray = None  # float64 [N] vertical halfwidth; inf = off
 
     # Result slots (filled by the filter)
     prior_mean: Optional[np.ndarray] = None
@@ -142,6 +147,10 @@ class ObservationBatch:
     post_mean: Optional[np.ndarray] = None
     post_var: Optional[np.ndarray] = None
     assimilated: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.vert_radius is None:
+            self.vert_radius = np.full(len(self.values), np.inf, dtype=np.float64)
 
     def __len__(self) -> int:
         return len(self.values)
@@ -154,9 +163,12 @@ class ObservationBatch:
     def from_observations(cls, obs: Sequence[Observation]) -> "ObservationBatch":
         n = len(obs)
         radius = np.full(n, np.inf, dtype=np.float64)
+        vert_radius = np.full(n, np.inf, dtype=np.float64)
         for i, ob in enumerate(obs):
             if ob.localize_radius is not None:
                 radius[i] = float(ob.localize_radius)
+            if getattr(ob, "vert_localize_radius", None) is not None:
+                vert_radius[i] = float(ob.vert_localize_radius)
         return cls(
             values=np.asarray([ob.value for ob in obs], dtype=np.float64),
             errors=np.asarray([ob.error for ob in obs], dtype=np.float64),
@@ -173,6 +185,7 @@ class ObservationBatch:
                 dtype=np.float64,
             ),
             descriptions=[ob.description for ob in obs],
+            vert_radius=vert_radius,
             # carry result slots already present on the objects (the
             # reference postprocess reads ob.assimilated, postprocess.py:29)
             assimilated=np.asarray(
@@ -222,6 +235,11 @@ class ObservationBatch:
                     None
                     if np.isinf(self.localize_radius[i])
                     else float(self.localize_radius[i])
+                ),
+                vert_localize_radius=(
+                    None
+                    if np.isinf(self.vert_radius[i])
+                    else float(self.vert_radius[i])
                 ),
             )
             out.append(ob)

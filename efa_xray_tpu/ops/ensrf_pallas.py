@@ -129,7 +129,8 @@ def _make_block_kernel(bsz: int, localize: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("localize", "tile", "interpret", "fast_geometry")
+    jax.jit,
+    static_argnames=("localize", "tile", "interpret", "fast_geometry", "vertical"),
 )
 def apply_obs_block_pallas(
     body_mean,  # [R]
@@ -146,6 +147,10 @@ def apply_obs_block_pallas(
     tile: int = 16384,
     interpret: bool = False,
     fast_geometry: bool = False,
+    body_vert=None,  # [R] vertical coordinate per row
+    ob_vert=None,  # [B]
+    ob_vrad=None,  # [B] vertical GC halfwidth (inf = off)
+    vertical: bool = False,
 ):
     """Apply one pre-solved obs block to the state body (fused kernel).
 
@@ -165,6 +170,8 @@ def apply_obs_block_pallas(
         body_perts = jnp.pad(body_perts, ((0, rpad), (0, 0)))
         body_lat = jnp.pad(body_lat, (0, rpad))
         body_lon = jnp.pad(body_lon, (0, rpad))
+        if vertical:
+            body_vert = jnp.pad(body_vert, (0, rpad))
 
     y = ye_block.astype(dtype)
     gram = jnp.dot(y, y.T, preferred_element_type=dtype)
@@ -186,6 +193,11 @@ def apply_obs_block_pallas(
         w_t = gaspari_cohn(d, radii[:, None].astype(dtype)).astype(dtype)  # [B, R]
     else:
         w_t = jnp.ones((bsz, 1), dtype=dtype)  # placeholder, broadcast via spec
+    if localize and vertical:
+        w_t = w_t * gaspari_cohn(
+            jnp.abs(ob_vert[:, None].astype(dtype) - body_vert[None, :].astype(dtype)),
+            ob_vrad[:, None].astype(dtype),
+        ).astype(dtype)
 
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     tiled = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -248,6 +260,8 @@ def ensrf_blocked_body_pallas(
     tile: int = 16384,
     interpret: bool = False,
     fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
 ):
     """Phase 2 with the fused kernel: scan obs blocks, one pallas_call per
     block.  Same contract as
@@ -265,22 +279,28 @@ def ensrf_blocked_body_pallas(
     ob_lat = jnp.pad(obs.lats.astype(dtype), (0, pad))
     ob_lon = jnp.pad(obs.lons.astype(dtype), (0, pad))
     radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+    obs = obs.with_default_verts()
+    overt = jnp.pad(obs.verts.astype(dtype), (0, pad))
+    ovrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf)
 
     shape = lambda a: a.reshape((nblocks, block_size) + a.shape[1:])
 
     def step(carry, xs):
         bm, bp = carry
-        yb, gb, sb, latb, lonb, radb = xs
+        yb, gb, sb, latb, lonb, radb, vertb, vradb = xs
         bm, bp = apply_obs_block_pallas(
             bm, bp, body_lat, body_lon, yb, gb, sb, latb, lonb, radb,
             localize=localize, tile=tile, interpret=interpret,
             fast_geometry=fast_geometry,
+            body_vert=body_vert, ob_vert=vertb, ob_vrad=vradb,
+            vertical=vertical,
         )
         return (bm, bp), None
 
     (bm, bp), _ = jax.lax.scan(
         step,
         (body_mean, body_perts),
-        (shape(ye), shape(gain), shape(sqrtc), shape(ob_lat), shape(ob_lon), shape(radii)),
+        (shape(ye), shape(gain), shape(sqrtc), shape(ob_lat), shape(ob_lon),
+         shape(radii), shape(overt), shape(ovrad)),
     )
     return bm, bp

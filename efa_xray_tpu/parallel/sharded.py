@@ -36,8 +36,8 @@ def _shard_specs(axis: str):
     sharded = P(axis)
     sharded2 = P(axis, None)
     rep = P()
-    obs_spec = core.ObsArrays(*([rep] * 6))
-    in_specs = (sharded, sharded2, rep, rep, sharded, sharded, obs_spec)
+    obs_spec = core.ObsArrays(*([rep] * 8))
+    in_specs = (sharded, sharded2, rep, rep, sharded, sharded, sharded, obs_spec)
     out_specs = (
         sharded,
         sharded2,
@@ -52,7 +52,7 @@ def _shard_specs(axis: str):
     jax.jit,
     static_argnames=(
         "mesh", "localize", "method", "block_size", "axis_name", "unbiased",
-        "use_pallas", "interpret", "fast_geometry",
+        "use_pallas", "interpret", "fast_geometry", "vertical",
     ),
 )
 def _ensrf_sharded_jit(
@@ -62,6 +62,7 @@ def _ensrf_sharded_jit(
     tail_perts,
     body_lat,
     body_lon,
+    body_vert,
     obs: core.ObsArrays,
     *,
     mesh: Mesh,
@@ -73,17 +74,19 @@ def _ensrf_sharded_jit(
     use_pallas: bool,
     interpret: bool,
     fast_geometry: bool,
+    vertical: bool,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
 
-    def local_update(bm, bp, tm, tp, blat, blon, ob):
+    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob):
         if method == "serial":
             return core.ensrf_serial(
                 bm, bp, tm, tp, blat, blon, ob, localize=localize,
                 unbiased=unbiased, fast_geometry=fast_geometry,
+                body_vert=bvert, vertical=vertical,
             )
         tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased,
-                              fast_geometry=fast_geometry)
+                              fast_geometry=fast_geometry, vertical=vertical)
         if use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
@@ -91,12 +94,14 @@ def _ensrf_sharded_jit(
                 bm, bp, blat, blon, tail, ob,
                 localize=localize, block_size=block_size, interpret=interpret,
                 fast_geometry=fast_geometry,
+                body_vert=bvert, vertical=vertical,
             )
         else:
             bm, bp = core.ensrf_blocked_body(
                 bm, bp, blat, blon, tail, ob,
                 localize=localize, block_size=block_size,
                 fast_geometry=fast_geometry,
+                body_vert=bvert, vertical=vertical,
             )
         return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
@@ -107,7 +112,10 @@ def _ensrf_sharded_jit(
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon, obs)
+    return fn(
+        body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
+        body_vert, obs,
+    )
 
 
 def ensrf_update_sharded(
@@ -127,6 +135,8 @@ def ensrf_update_sharded(
     use_pallas: bool = False,
     interpret: bool = False,
     fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -140,6 +150,9 @@ def ensrf_update_sharded(
     bp = pad_rows(body_perts, ns_pad)
     blat = pad_rows(body_lat, ns_pad)
     blon = pad_rows(body_lon, ns_pad)
+    if body_vert is None:
+        body_vert = jnp.zeros_like(body_lat[:ns])
+    bvert = pad_rows(body_vert, ns_pad)
 
     shard1 = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
@@ -148,9 +161,10 @@ def ensrf_update_sharded(
     bp = jax.device_put(bp, shard2)
     blat = jax.device_put(blat, shard1)
     blon = jax.device_put(blon, shard1)
+    bvert = jax.device_put(bvert, shard1)
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
-    obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs)
+    obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
 
     bm, bp, tm, tp, diags = _ensrf_sharded_jit(
         bm,
@@ -159,6 +173,7 @@ def ensrf_update_sharded(
         tail_perts,
         blat,
         blon,
+        bvert,
         obs,
         mesh=mesh,
         localize=localize,
@@ -169,5 +184,6 @@ def ensrf_update_sharded(
         use_pallas=use_pallas,
         interpret=interpret,
         fast_geometry=fast_geometry,
+        vertical=vertical,
     )
     return bm[:ns], bp[:ns], tm, tp, diags

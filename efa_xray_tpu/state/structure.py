@@ -39,6 +39,10 @@ class StateStructure:
     lon: np.ndarray  # float64, shape [Y, X]
     grid_is_2d: bool  # False when built from a 1-D location list
     nmems: int
+    # Optional vertical coordinate per VARIABLE (e.g. pressure level in hPa
+    # for level-stacked variables like T_500/T_850); enables vertical
+    # localization.  None when the state has no vertical structure.
+    var_verts: tuple = None
 
     def __post_init__(self):
         object.__setattr__(self, "var_names", tuple(self.var_names))
@@ -64,6 +68,7 @@ class StateStructure:
         lat,
         lon,
         nmems: int,
+        var_verts=None,
     ) -> "StateStructure":
         lat_arr = np.asarray(lat, dtype=np.float64)
         return cls(
@@ -73,6 +78,7 @@ class StateStructure:
             lon=np.asarray(lon, dtype=np.float64),
             grid_is_2d=lat_arr.ndim == 2,
             nmems=int(nmems),
+            var_verts=None if var_verts is None else tuple(float(v) for v in var_verts),
         )
 
     # --- size accessors (reference: efa_xray/state/ensemble.py:40-56) ---
@@ -138,6 +144,17 @@ class StateStructure:
             np.tile(self.lon.ravel(), reps),
         )
 
+    def row_vert(self) -> np.ndarray:
+        """Per-state-row vertical coordinate ``[nstate]`` from per-variable
+        verticals (each variable's level repeated over times and grid).
+        Requires ``var_verts``."""
+        if self.var_verts is None:
+            raise ValueError("StateStructure has no var_verts")
+        assert len(self.var_verts) == self.nvars
+        return np.repeat(
+            np.asarray(self.var_verts, dtype=np.float64), self.ntimes * self.ngrid
+        )
+
     def with_nmems(self, nmems: int) -> "StateStructure":
         return dataclasses.replace(self, nmems=int(nmems))
 
@@ -148,6 +165,7 @@ class StateStructure:
             return NotImplemented
         return (
             self.var_names == other.var_names
+            and self.var_verts == other.var_verts
             and self.nmems == other.nmems
             and self.grid_is_2d == other.grid_is_2d
             and np.array_equal(self.times_s, other.times_s)
