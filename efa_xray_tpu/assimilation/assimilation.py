@@ -58,6 +58,14 @@ def inflate_state(
     """
     if inflation is None:
         return state
+    # AdaptiveInflation instance: delegate to its mean-field multiply
+    # (the reference defines the class but nothing ever calls it; SURVEY §2/A8).
+    from efa_xray_tpu.assimilation.adaptive_inflation import AdaptiveInflation
+
+    if isinstance(inflation, AdaptiveInflation):
+        if verbose:
+            print("Applying adaptive inflation mean field")
+        return inflation.inflate_state(state)
     s = state.structure
     mean = state.ensemble_mean()[..., None]  # [V,T,Y,X,1]
     perts = state.data - mean

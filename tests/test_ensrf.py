@@ -276,3 +276,17 @@ def test_fast_geometry_close_to_exact():
         )
         got = np.asarray(bm)[:, None] + np.asarray(bp)
         np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_module_level_update_driver():
+    """The working replacement for the reference's dead multiprocessing
+    driver (assimilation.py:176-230)."""
+    from efa_xray_tpu.assimilation.assimilation import update
+
+    state = make_demo_state(nmems=12, seed=4)
+    obs = make_demo_obs(state, nobs=5, seed=5, radius=1500.0)
+    post, batch = update(state, obs, inflate=1.1, loc="GC", nproc=4)
+    assert batch.assimilated.all()
+    innov_prior = np.abs(batch.values - batch.prior_mean)
+    innov_post = np.abs(batch.values - batch.post_mean)
+    assert innov_post.mean() < innov_prior.mean()

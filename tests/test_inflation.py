@@ -154,3 +154,36 @@ def test_anderson_update_raises_inflation_for_large_innovations():
     adapt2.update_inflation(lats, lons, radii, small, pv, errs)
     assert adapt2.mean[v][0, iy, ix] < 1.5
     assert (adapt2.mean[v] >= 1.0 - 1e-12).all()
+
+
+def test_adaptive_inflation_instance_as_spec():
+    """EnSRF(inflation=AdaptiveInflation(...)) applies the mean field
+    (the reference class existed but was never wired into the filter)."""
+    state = make_demo_state(nmems=12)
+    adapt = AdaptiveInflation(state, ("adaptive", "/nonexistent.nc", (1.3, 0.2)))
+    filt = EnSRF(state, make_demo_obs(state, nobs=3), inflation=adapt,
+                 verbose=False, loc="GC")
+    plain = EnSRF(state, make_demo_obs(state, nobs=3), verbose=False, loc="GC")
+    filt.update()
+    plain.update()
+    assert (filt.obs.prior_var > plain.obs.prior_var).all()
+
+
+def test_adaptive_cycle_inflation_then_update_then_learn():
+    """Full adaptive loop: inflate -> assimilate -> update inflation from
+    innovations (Anderson 2009)."""
+    state = make_demo_state(nmems=12, seed=3)
+    adapt = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    obs = make_demo_obs(state, nobs=6, radius=500.0)
+    # Exaggerate the innovations so inflation must grow
+    for ob in obs:
+        ob.value += 6.0
+    filt = EnSRF(state, obs, inflation=adapt, verbose=False, loc="GC")
+    post, batch = filt.update()
+    innov = batch.values - batch.prior_mean
+    adapt.update_inflation(
+        batch.lats, batch.lons, batch.localize_radius,
+        innov, batch.prior_var, batch.errors, assimilated=batch.assimilated,
+    )
+    v = state.vars()[0]
+    assert adapt.mean[v].max() > 1.02  # inflation grew where obs disagreed
