@@ -51,3 +51,44 @@ def test_statistics_accepts_batch_and_marks_unassimilated():
     post, batch = filt.update()
     df = obs_assimilation_statistics(state, post, batch)
     assert list(df["assimilated"]) == [False, False, True, True]
+
+
+def test_field_verification_statistics():
+    from efa_xray_tpu.postprocess.verification import field_verification
+    from efa_xray_tpu.utils.demo_data import gefs_like_state
+
+    state, truth = gefs_like_state(ny=10, nx=12, nmems=15, ntimes=3)
+    df = field_verification(state, truth)
+    assert len(df) == state.nvars() * state.ntimes()
+    assert (df["rmse"] > 0).all()
+    assert (df["spread"] > 0).all()
+    # Calibrated generator: spread should track rmse within a factor ~2
+    ratio = df["rmse"] / df["spread"]
+    assert ratio.between(0.4, 2.5).all(), ratio
+
+
+def test_rank_histogram_reliability():
+    from efa_xray_tpu.postprocess.verification import rank_histogram
+    from efa_xray_tpu.utils.demo_data import gefs_like_state, observations_from_truth
+
+    state, truth = gefs_like_state(ny=12, nx=16, nmems=20, ntimes=3, seed=5)
+    obs = observations_from_truth(state, truth, 400, ob_error=0.3, seed=6)
+    counts = rank_histogram(state, obs)
+    assert counts.sum() == 400
+    assert len(counts) == state.nmems() + 1
+    # Reliable ensemble: no rank bin wildly over-occupied
+    expected = 400 / (state.nmems() + 1)
+    assert counts.max() < 6 * expected
+
+
+def test_innovation_consistency_after_update():
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.postprocess.verification import innovation_consistency
+
+    state = make_demo_state(nmems=15)
+    obs = make_demo_obs(state, nobs=12, radius=1500.0)
+    filt = EnSRF(state, obs, verbose=False, loc="GC")
+    _, batch = filt.update()
+    stats = innovation_consistency(batch)
+    assert stats["nobs"] == 12
+    assert 0.05 < stats["consistency_ratio"] < 20.0
