@@ -138,3 +138,21 @@ def test_structure_row_latlon_tiling():
     assert rlat.shape == (s.nstate,)
     np.testing.assert_array_equal(rlat, np.tile([10.0, 20.0], 4))
     np.testing.assert_array_equal(rlon, np.tile([30.0, 40.0], 4))
+
+
+def test_xarray_shim_gated():
+    """xarray is absent in this image: the shims must raise a clear
+    ImportError (and work when xarray exists — covered in environments
+    that have it)."""
+    import importlib.util
+
+    from efa_xray_tpu.utils import xarray_shim
+
+    state = make_demo_state(ny=3, nx=3, nmems=4)
+    if importlib.util.find_spec("xarray") is None:
+        with pytest.raises(ImportError, match="xarray"):
+            xarray_shim.to_xarray(state)
+    else:  # pragma: no cover - xarray present
+        ds = xarray_shim.to_xarray(state)
+        back = xarray_shim.from_xarray(ds)
+        np.testing.assert_allclose(np.asarray(back.data), np.asarray(state.data))
