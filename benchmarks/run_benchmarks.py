@@ -43,8 +43,8 @@ def _obs_arrays(values, errors, lats, lons, radii, dtype):
     )
 
 
-def _timed_update(prior, state_lat, state_lon, obs, block_size=64, iters=3,
-                  use_pallas=None, dtype=jnp.float32):
+def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
+                  use_pallas=None, dtype=jnp.float32, ngrid=None):
     """Chained timing of the blocked update; returns seconds/update."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -59,13 +59,14 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=64, iters=3,
 
     @jax.jit
     def step(bm, bp, tm, tp):
-        tail = core.tail_scan(tm, tp, obs, localize=True)
+        tail = core.tail_scan(tm, tp, obs, localize=True,
+                              fast_geometry=use_pallas)
         if use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
             bm2, bp2 = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, obs, localize=True,
-                block_size=block_size,
+                block_size=block_size, fast_geometry=True, ngrid=ngrid,
             )
         else:
             bm2, bp2 = core.ensrf_blocked_body(
@@ -199,7 +200,7 @@ def bench_config3():
         prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
         row_lat[rows], row_lon[rows], np.full(nobs, 2000.0), jnp.float32,
     )
-    dt = _timed_update(prior, row_lat, row_lon, obs)
+    dt = _timed_update(prior, row_lat, row_lon, obs, ngrid=ngrid)
     return {
         "config": "3-gefs-3d",
         "nstate": nstate,

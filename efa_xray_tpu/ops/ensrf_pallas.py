@@ -17,24 +17,28 @@ speedup from blocking.  This kernel runs the whole block update one row
     xam    = xbm + gain @ U^T
     write  tile
 
-Design notes (v2, informed by on-TPU measurement of v1):
+Design notes (v2/v3, informed by on-TPU measurement):
 
-* The localization weights are computed OUTSIDE the kernel by XLA (one
-  fused streaming elementwise pass, written once to HBM and read once
-  here).  v1 computed haversine+Gaspari-Cohn inside the kernel; Mosaic
-  stack-allocates every elementwise temporary of that ~45-op chain at
-  ``[B, TILE]``, which blew scoped VMEM at production tiles and forced
-  tiles too small to amortize the recurrence loop.  The extra HBM traffic
-  is one ``[rows, B]`` read per block — ~1/3 of the state read — a good
-  trade for 8x larger tiles.
+* Localization weights are computed OUTSIDE the kernel by XLA (one fused
+  streaming elementwise pass).  v1 computed haversine+GC inside the
+  kernel; Mosaic stack-allocates every elementwise temporary of that
+  ~45-op chain at ``[B, TILE]``, which blew scoped VMEM at production
+  tiles and forced tiles too small to amortize the recurrence loop.
+* The state is processed as ``[VT, G, M]`` — VT = nvars*ntimes groups
+  sharing one spatial grid of G points (v3).  Horizontal weights are
+  computed (and stored) per GRID POINT, not per state row: for a
+  4-var x 20-level state that is an 80x cut in localization trig and
+  weight HBM traffic.  Vertical localization enters as a tiny
+  per-(group, ob) factor ``w_vt [VT, B]`` applied as a scalar inside the
+  recurrence.  Flat/scattered states are simply VT=1.
 * The recurrence is panel-blocked (PANEL=8): corrections against already-
   solved panels are dense MXU matmuls; only the in-panel dependency chain
-  runs as single-row steps, statically unrolled (B and PANEL are trace-time
-  constants, so all slicing is static — no dynamic_slice in the kernel).
+  runs as single-row steps, statically unrolled (all slicing is static —
+  Mosaic has no dynamic_slice on values).
 * Transposed ``[B, TILE]`` layout keeps single-row writes on the sublane
   axis instead of strided lane-dim column stores.
 
-HBM traffic per obs-block = read + write of the state tile + one weights
+HBM traffic per obs-block = read + write of the state + one grid-weights
 read; the reference materializes a full state-length localization vector
 per *observation* (``efa_xray/assimilation/ensrf.py:99-115``).
 """
@@ -42,6 +46,7 @@ per *observation* (``efa_xray/assimilation/ensrf.py:99-115``).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,20 +67,21 @@ PANEL = 8
 
 def _make_block_kernel(bsz: int, localize: bool):
     def kernel(
-        xbm_ref,  # [TILE, 1]
-        xbp_ref,  # [TILE, M]
-        w_ref,  # [B, TILE] GC weights (all-ones placeholder when !localize)
+        xbm_ref,  # [1, TILE]
+        xbp_ref,  # [1, TILE, M]
+        w_ref,  # [B, TILE] horizontal GC weights (placeholder when !localize)
+        wvt_ref,  # [1, B] per-(vt-group, ob) vertical weights (ones when off)
         y_ref,  # [B, M]
         ggt_ref,  # [B, B]  ggt[j, i] = (y_i . y_j) * sqrt_coef_i
         gain_ref,  # [1, B]
         sqrtc_ref,  # [1, B]
-        xbm_out_ref,  # [TILE, 1]
-        xbp_out_ref,  # [TILE, M]
+        xbm_out_ref,  # [1, TILE]
+        xbp_out_ref,  # [1, TILE, M]
         u_ref,  # [B, TILE] scratch
         d0_ref,  # [B, TILE] scratch
     ):
         f32 = xbp_ref.dtype
-        xbp = xbp_ref[:]  # [T, M]
+        xbp = xbp_ref[0, :, :]  # [T, M]
         y = y_ref[:]  # [B, M]
 
         # D0^T = Y @ Xbp^T on the MXU.
@@ -89,7 +95,6 @@ def _make_block_kernel(bsz: int, localize: bool):
             base = q * PANEL
             width = min(PANEL, bsz - base)
             if base > 0:
-                # bulk correction against all solved panels: one MXU matmul
                 corr = jax.lax.dot_general(
                     ggt_ref[base : base + width, 0:base],
                     u_ref[0:base, :],
@@ -112,16 +117,16 @@ def _make_block_kernel(bsz: int, localize: bool):
                 else:
                     d_j = d_panel[0:1, :]
                 if localize:
-                    d_j = d_j * w_ref[j : j + 1, :]
+                    d_j = d_j * (w_ref[j : j + 1, :] * wvt_ref[0, j])
                 u_ref[j : j + 1, :] = d_j
 
         u_t = u_ref[:]  # [B, TILE]
         mean_upd = jax.lax.dot_general(
             gain_ref[:], u_t, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )  # [1, TILE]
-        xbm_out_ref[:] = xbm_ref[:] + mean_upd.reshape(-1, 1)
+        xbm_out_ref[:] = xbm_ref[:] + mean_upd
         gu = u_t * sqrtc_ref[0, :].reshape(-1, 1)  # [B, TILE]
-        xbp_out_ref[:] = xbp - jax.lax.dot_general(
+        xbp_out_ref[0, :, :] = xbp - jax.lax.dot_general(
             gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )
 
@@ -130,7 +135,9 @@ def _make_block_kernel(bsz: int, localize: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("localize", "tile", "interpret", "fast_geometry", "vertical"),
+    static_argnames=(
+        "localize", "tile", "interpret", "fast_geometry", "vertical", "ngrid",
+    ),
 )
 def apply_obs_block_pallas(
     body_mean,  # [R]
@@ -151,101 +158,145 @@ def apply_obs_block_pallas(
     ob_vert=None,  # [B]
     ob_vrad=None,  # [B] vertical GC halfwidth (inf = off)
     vertical: bool = False,
+    ngrid: Optional[int] = None,  # spatial points per (var,time) group
 ):
     """Apply one pre-solved obs block to the state body (fused kernel).
 
     Exact drop-in for
     :func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block` with the
-    localization weights computed here (streamed by XLA, consumed by the
-    kernel).  Rows are padded to the tile size internally.
+    localization weights computed here (streamed by XLA per grid point,
+    consumed by the kernel per tile).  ``ngrid`` declares that the R rows
+    are VT = R/ngrid groups over a shared spatial grid (weights computed
+    once per grid point); omit it for scattered/flat states.
     """
     dtype = body_perts.dtype
     nrows, nmems = body_perts.shape
     bsz = ye_block.shape[0]
 
-    grid = max(1, -(-nrows // tile))
-    rpad = grid * tile - nrows
-    if rpad:
-        body_mean = jnp.pad(body_mean, (0, rpad))
-        body_perts = jnp.pad(body_perts, ((0, rpad), (0, 0)))
-        body_lat = jnp.pad(body_lat, (0, rpad))
-        body_lon = jnp.pad(body_lon, (0, rpad))
-        if vertical:
-            body_vert = jnp.pad(body_vert, (0, rpad))
+    if ngrid is None or ngrid <= 0 or nrows % ngrid != 0:
+        g = nrows
+        vt = 1
+    else:
+        g = ngrid
+        vt = nrows // ngrid
+
+    tile = max(8, min(tile, -(-g // 8) * 8))  # never larger than the padded grid
+    gtiles = max(1, -(-g // tile))
+    g_pad = gtiles * tile
+
+    def to3(a):
+        """[R, ...] -> [VT, G_pad, ...] with inert padding."""
+        a = a.reshape((vt, g) + a.shape[1:])
+        if g_pad != g:
+            widths = [(0, 0), (0, g_pad - g)] + [(0, 0)] * (a.ndim - 2)
+            a = jnp.pad(a, widths)
+        return a
+
+    bm3 = to3(body_mean)
+    bp3 = to3(body_perts)
 
     y = ye_block.astype(dtype)
     gram = jnp.dot(y, y.T, preferred_element_type=dtype)
     ggt = (gram * sqrt_coef[:, None].astype(dtype)).T  # ggt[j, i]
 
+    # Horizontal weights per GRID POINT (first group's coords = the grid).
+    grid_lat = body_lat[:g].astype(dtype)
+    grid_lon = body_lon[:g].astype(dtype)
     if localize and fast_geometry:
-        # Chordal path: 3-FMA dots + polynomial arccos, no transcendentals.
         ob_xyz = latlon_to_unit(ob_lat, ob_lon).astype(dtype)
-        body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
+        gxyz = latlon_to_unit(grid_lat, grid_lon).astype(dtype)
         w_t = chordal_gc_weights(
-            ob_xyz[:, None, :], body_xyz[None, :, :], radii[:, None].astype(dtype)
-        ).astype(dtype)  # [B, R]
+            ob_xyz[:, None, :], gxyz[None, :, :], radii[:, None].astype(dtype)
+        ).astype(dtype)  # [B, G]
     elif localize:
-        # One fused streaming pass in XLA; the kernel reads it tile-wise.
         d = haversine(
             (ob_lat[:, None].astype(dtype), ob_lon[:, None].astype(dtype)),
-            (body_lat[None, :].astype(dtype), body_lon[None, :].astype(dtype)),
+            (grid_lat[None, :], grid_lon[None, :]),
         )
-        w_t = gaspari_cohn(d, radii[:, None].astype(dtype)).astype(dtype)  # [B, R]
+        w_t = gaspari_cohn(d, radii[:, None].astype(dtype)).astype(dtype)
     else:
-        w_t = jnp.ones((bsz, 1), dtype=dtype)  # placeholder, broadcast via spec
-    if localize and vertical:
-        w_t = w_t * gaspari_cohn(
-            jnp.abs(ob_vert[:, None].astype(dtype) - body_vert[None, :].astype(dtype)),
-            ob_vrad[:, None].astype(dtype),
-        ).astype(dtype)
+        w_t = jnp.ones((bsz, 1), dtype=dtype)
+    if localize and g_pad != g:
+        w_t = jnp.pad(w_t, ((0, 0), (0, g_pad - g)))
 
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    tiled = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Vertical weights.  Grid mode (vt > 1): rows within a group share one
+    # level, so the factor is a tiny [VT, B] table applied as a scalar in
+    # the kernel.  Flat mode (vt == 1): levels vary per row, so fold the
+    # vertical factor directly into the per-row weights.
+    if localize and vertical and vt > 1:
+        group_vert = body_vert.reshape(vt, g)[:, 0].astype(dtype)  # [VT]
+        w_vt = gaspari_cohn(
+            jnp.abs(group_vert[:, None] - ob_vert[None, :].astype(dtype)),
+            ob_vrad[None, :].astype(dtype),
+        ).astype(dtype)  # [VT, B]
+    else:
+        if localize and vertical:  # vt == 1: per-row vertical factor
+            bv = body_vert.astype(dtype)
+            if g_pad != g:
+                bv = jnp.pad(bv, (0, g_pad - g))
+            w_t = w_t * gaspari_cohn(
+                jnp.abs(ob_vert[:, None].astype(dtype) - bv[None, :]),
+                ob_vrad[:, None].astype(dtype),
+            ).astype(dtype)
+        w_vt = jnp.ones((1, bsz), dtype=dtype)
+    vt_ix = (lambda v, i: (v, 0)) if w_vt.shape[0] > 1 else (lambda v, i: (0, 0))
+
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda v, i: (0, 0), memory_space=pltpu.VMEM
+    )
     w_spec = (
-        pl.BlockSpec((bsz, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bsz, tile), lambda v, i: (0, i), memory_space=pltpu.VMEM)
         if localize
         else rep((bsz, 1))
     )
 
     out_mean, out_perts = pl.pallas_call(
         _make_block_kernel(bsz, localize),
-        grid=(grid,),
+        grid=(vt, gtiles),
         in_specs=[
-            tiled((tile, 1)),
-            tiled((tile, nmems)),
+            pl.BlockSpec((1, tile), lambda v, i: (v, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, nmems), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
+            ),
             w_spec,
+            pl.BlockSpec((1, bsz), vt_ix, memory_space=pltpu.VMEM),
             rep((bsz, nmems)),
             rep((bsz, bsz)),
             rep((1, bsz)),
             rep((1, bsz)),
         ],
         out_specs=[
-            tiled((tile, 1)),
-            tiled((tile, nmems)),
+            pl.BlockSpec((1, tile), lambda v, i: (v, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, nmems), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid * tile, 1), dtype),
-            jax.ShapeDtypeStruct((grid * tile, nmems), dtype),
+            jax.ShapeDtypeStruct((vt, g_pad), dtype),
+            jax.ShapeDtypeStruct((vt, g_pad, nmems), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bsz, tile), dtype),
             pltpu.VMEM((bsz, tile), dtype),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        # Mosaic stack-allocates elementwise temps; leave generous headroom
+        # (v5e/v5p have 128 MB VMEM).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        body_mean.reshape(-1, 1),
-        body_perts,
+        bm3,
+        bp3,
         w_t,
+        w_vt,
         y,
         ggt,
         gain_coef.astype(dtype).reshape(1, -1),
         sqrt_coef.astype(dtype).reshape(1, -1),
     )
 
-    return out_mean[:nrows, 0], out_perts[:nrows]
+    out_mean = out_mean[:, :g].reshape(nrows)
+    out_perts = out_perts[:, :g].reshape(nrows, nmems)
+    return out_mean, out_perts
 
 
 def ensrf_blocked_body_pallas(
@@ -262,6 +313,7 @@ def ensrf_blocked_body_pallas(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    ngrid: Optional[int] = None,
 ):
     """Phase 2 with the fused kernel: scan obs blocks, one pallas_call per
     block.  Same contract as
@@ -273,13 +325,13 @@ def ensrf_blocked_body_pallas(
     nblocks = -(-nobs // block_size)
     pad = nblocks * block_size - nobs
 
+    obs = obs.with_default_verts()
     ye = jnp.pad(tail.ye.astype(dtype), ((0, pad), (0, 0)))
     gain = jnp.pad(tail.gain_coef.astype(dtype), (0, pad))
     sqrtc = jnp.pad(tail.sqrt_coef.astype(dtype), (0, pad))
     ob_lat = jnp.pad(obs.lats.astype(dtype), (0, pad))
     ob_lon = jnp.pad(obs.lons.astype(dtype), (0, pad))
     radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
-    obs = obs.with_default_verts()
     overt = jnp.pad(obs.verts.astype(dtype), (0, pad))
     ovrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf)
 
@@ -293,7 +345,7 @@ def ensrf_blocked_body_pallas(
             localize=localize, tile=tile, interpret=interpret,
             fast_geometry=fast_geometry,
             body_vert=body_vert, ob_vert=vertb, ob_vrad=vradb,
-            vertical=vertical,
+            vertical=vertical, ngrid=ngrid,
         )
         return (bm, bp), None
 

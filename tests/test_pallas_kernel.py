@@ -93,3 +93,43 @@ def test_pallas_respects_row_padding():
     assert bm_p.shape == (nrows,)
     assert bp_p.shape == bp.shape
     assert np.isfinite(np.asarray(bp_p)).all()
+
+
+def test_grid_mode_matches_flat_mode():
+    """ngrid (shared-grid weights, VT groups) must equal the flat path."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    nrows = bm.shape[0]
+    ngrid = 64  # state built as 2 times x (8x8) grid x 1 var -> 128 rows
+    assert nrows == 2 * ngrid
+
+    flat = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii, localize=True, tile=64, interpret=True,
+    )
+    grid = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii, localize=True, tile=64, interpret=True,
+        ngrid=ngrid,
+    )
+    np.testing.assert_allclose(np.asarray(grid[0]), np.asarray(flat[0]),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grid[1]), np.asarray(flat[1]),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_grid_mode_with_nondividing_tile():
+    """Grid smaller than / not dividing the tile: padding must stay inert."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=5, nmems=8)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    flat = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii, localize=True, tile=48, interpret=True,
+    )
+    grid = apply_obs_block_pallas(
+        bm, bp, blat, blon, tail.ye, tail.gain_coef, tail.sqrt_coef,
+        obs.lats, obs.lons, obs.radii, localize=True, tile=48, interpret=True,
+        ngrid=64,
+    )
+    np.testing.assert_allclose(np.asarray(grid[1]), np.asarray(flat[1]),
+                               rtol=2e-5, atol=1e-4)
