@@ -67,15 +67,15 @@ PANEL = 8
 
 def _make_block_kernel(bsz: int, localize: bool):
     def kernel(
-        xbm_ref,  # [1, TILE]
+        xbm_ref,  # [1, TILE, 1]
         xbp_ref,  # [1, TILE, M]
         w_ref,  # [B, TILE] horizontal GC weights (placeholder when !localize)
-        wvt_ref,  # [1, B] per-(vt-group, ob) vertical weights (ones when off)
+        wvt_ref,  # [1, 1, B] per-(vt-group, ob) vertical weights (ones when off)
         y_ref,  # [B, M]
         ggt_ref,  # [B, B]  ggt[j, i] = (y_i . y_j) * sqrt_coef_i
         gain_ref,  # [1, B]
         sqrtc_ref,  # [1, B]
-        xbm_out_ref,  # [1, TILE]
+        xbm_out_ref,  # [1, TILE, 1]
         xbp_out_ref,  # [1, TILE, M]
         u_ref,  # [B, TILE] scratch
         d0_ref,  # [B, TILE] scratch
@@ -117,14 +117,14 @@ def _make_block_kernel(bsz: int, localize: bool):
                 else:
                     d_j = d_panel[0:1, :]
                 if localize:
-                    d_j = d_j * (w_ref[j : j + 1, :] * wvt_ref[0, j])
+                    d_j = d_j * (w_ref[j : j + 1, :] * wvt_ref[0, 0, j])
                 u_ref[j : j + 1, :] = d_j
 
         u_t = u_ref[:]  # [B, TILE]
         mean_upd = jax.lax.dot_general(
             gain_ref[:], u_t, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )  # [1, TILE]
-        xbm_out_ref[:] = xbm_ref[:] + mean_upd
+        xbm_out_ref[0, :, :] = xbm_ref[0, :, :] + mean_upd.reshape(-1, 1)
         gu = u_t * sqrtc_ref[0, :].reshape(-1, 1)  # [B, TILE]
         xbp_out_ref[0, :, :] = xbp - jax.lax.dot_general(
             gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -192,7 +192,9 @@ def apply_obs_block_pallas(
             a = jnp.pad(a, widths)
         return a
 
-    bm3 = to3(body_mean)
+    bm3 = to3(body_mean)[..., None]  # [VT, G_pad, 1] (Mosaic: last two dims
+    # of a block must divide (8, 128) or equal the array dims; VT must stay
+    # a leading, unconstrained dimension)
     bp3 = to3(body_perts)
 
     y = ye_block.astype(dtype)
@@ -239,7 +241,11 @@ def apply_obs_block_pallas(
                 ob_vrad[:, None].astype(dtype),
             ).astype(dtype)
         w_vt = jnp.ones((1, bsz), dtype=dtype)
-    vt_ix = (lambda v, i: (v, 0)) if w_vt.shape[0] > 1 else (lambda v, i: (0, 0))
+    w_vt = w_vt[:, None, :]  # [VT(or 1), 1, B]: VT leading so Mosaic's
+    # last-two-dims block constraints see (1, B)
+    vt_ix = (
+        (lambda v, i: (v, 0, 0)) if w_vt.shape[0] > 1 else (lambda v, i: (0, 0, 0))
+    )
 
     rep = lambda shape: pl.BlockSpec(
         shape, lambda v, i: (0, 0), memory_space=pltpu.VMEM
@@ -254,25 +260,29 @@ def apply_obs_block_pallas(
         _make_block_kernel(bsz, localize),
         grid=(vt, gtiles),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda v, i: (v, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, 1), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, tile, nmems), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
             ),
             w_spec,
-            pl.BlockSpec((1, bsz), vt_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bsz), vt_ix, memory_space=pltpu.VMEM),
             rep((bsz, nmems)),
             rep((bsz, bsz)),
             rep((1, bsz)),
             rep((1, bsz)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda v, i: (v, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, 1), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, tile, nmems), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((vt, g_pad), dtype),
+            jax.ShapeDtypeStruct((vt, g_pad, 1), dtype),
             jax.ShapeDtypeStruct((vt, g_pad, nmems), dtype),
         ],
         scratch_shapes=[
@@ -294,7 +304,7 @@ def apply_obs_block_pallas(
         sqrt_coef.astype(dtype).reshape(1, -1),
     )
 
-    out_mean = out_mean[:, :g].reshape(nrows)
+    out_mean = out_mean[:, :g, 0].reshape(nrows)
     out_perts = out_perts[:, :g].reshape(nrows, nmems)
     return out_mean, out_perts
 
