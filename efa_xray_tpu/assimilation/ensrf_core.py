@@ -36,6 +36,12 @@ Two equivalent TPU execution strategies are provided:
      MXU matmuls per block instead of 2B rank-1 passes — HBM traffic drops
      by the block factor and the FLOPs move onto the systolic array.
 
+   (The re-association is in the same family as iterative Sherman-Morrison
+   formulations of the EnKF — cf. Nino-Ruiz, Sandu & Anderson's iterative
+   Sherman-Morrison EnKF, arXiv:1302.3876 — specialized here to the
+   Whitaker-Hamill square-root update with per-row localization, which is
+   what forces the w_j ∘ (...) elementwise structure below.)
+
    Derivation: with per-row localization weights w_j, coefficients
    g_j = beta_j / (kdenom_j (M-1)) and a_j = innov_j / (kdenom_j (M-1)),
    the serial updates give X_j = X_0 - sum_{i<j} (w_i ∘ d_i) g_i y_i^T
