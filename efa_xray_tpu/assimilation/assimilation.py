@@ -111,7 +111,12 @@ def inflate_state(
                 factor = jnp.asarray(arr, dtype=data.dtype).reshape(shape)
                 data = perts * factor + mean
             else:
-                assert isinstance(v, float)
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise TypeError(
+                        f"Per-variable inflation for {k!r} must be a number, "
+                        f"got {type(v).__name__}"
+                    )
+                v = float(v)
                 if k not in s.var_names:
                     print(f"Unable to find variable {k} to inflate.  Skipping...")
                     continue

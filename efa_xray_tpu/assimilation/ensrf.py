@@ -195,6 +195,10 @@ class EnSRF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+                # Grid-mode weights: rows tile one spatial grid over
+                # nvars*ntimes groups (row_latlon ordering), so horizontal
+                # GC weights are computed once per grid point.
+                ngrid=self.prior.structure.ngrid,
                 # Off-TPU (explicit use_pallas=True on CPU) runs the kernel
                 # in the Pallas interpreter.
                 interpret=jax.default_backend() != "tpu",

@@ -98,7 +98,14 @@ class CyclingHarness:
         """Cycle against a known truth trajectory: forecast both, observe
         the truth with noise, assimilate, record statistics."""
         rng = np.random.default_rng(seed)
-        nvars = np.asarray(self.state_lats).shape[0]
+        if obs_every is None and self.obs_operator_rows is None:
+            raise ValueError(
+                "run() synthesizes observations by sampling the truth at "
+                "identity-pick rows; provide obs_operator_rows (or "
+                "obs_every).  A general obs_operator can be used for the "
+                "ensemble side via analysis_step(), but truth sampling "
+                "still needs row indices."
+            )
         rows = (
             np.asarray(obs_every)
             if obs_every is not None

@@ -68,24 +68,21 @@ def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
     """For each (lat, lon) in the batch return the ``npt`` nearest flat grid
     indices and their true great-circle distances (km)."""
     if metric == "haversine":
-        d = _loc.haversine(
+        score = -_loc.haversine(
             (grid_lat[None, :], grid_lon[None, :]), (lats[:, None], lons[:, None])
         )
-        score = -d
     elif metric == "reference_proxy":
         # The reference's periodic-safe proxy (efa_xray/state/ensemble.py:160-163)
         score = -jnp.hypot(
             jnp.sin(jnp.radians(grid_lat[None, :])) - jnp.sin(jnp.radians(lats[:, None])),
             jnp.cos(jnp.radians(grid_lon[None, :])) - jnp.cos(jnp.radians(lons[:, None])),
         )
-        d = _loc.haversine(
-            (grid_lat[None, :], grid_lon[None, :]), (lats[:, None], lons[:, None])
-        )
     else:
         raise ValueError(f"unknown metric {metric!r}")
     _, idx = jax.lax.top_k(score, npt)
-    dist = jnp.take_along_axis(d, idx, axis=1)
-    return idx, dist
+    # Selected-point distances are recomputed in float64 on host by the
+    # callers that need them; returning them here would be a dead transfer.
+    return idx
 
 
 def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
@@ -95,7 +92,7 @@ def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
     grid_lat = np.asarray(grid_lat, dtype=np.float64)
     shape = grid_lat.shape
     npt = min(npt, grid_lat.size)
-    flat_idx, _ = _topk_points(
+    flat_idx = _topk_points(
         jnp.asarray(grid_lat.ravel()),
         jnp.asarray(np.asarray(grid_lon, dtype=np.float64).ravel()),
         jnp.asarray([lat], dtype=jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
@@ -198,19 +195,18 @@ def build_taps(
 
     # Device-side nearest-point search, chunked so the [chunk, ngrid]
     # distance matrix stays within a bounded footprint.
-    chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * 4, 1)))
+    itemsize = jnp.dtype(fdtype).itemsize
+    chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * itemsize, 1)))
     sp_idx = np.empty((nobs, npt), dtype=np.int64)
-    sp_dist = np.empty((nobs, npt), dtype=np.float64)
     for s in range(0, nobs, chunk):
         e = min(nobs, s + chunk)
-        idx, dist = _topk_points(
+        idx = _topk_points(
             glat, glon,
             jnp.asarray(lats[s:e], dtype=fdtype),
             jnp.asarray(lons[s:e], dtype=fdtype),
             npt, metric,
         )
         sp_idx[s:e] = np.asarray(idx)
-        sp_dist[s:e] = np.asarray(dist)
 
     # Recompute the selected distances in f64 on host so the IDW weights and
     # the exact-match test are precision-independent of the device dtype.
