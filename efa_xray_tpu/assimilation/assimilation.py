@@ -181,13 +181,35 @@ class Assimilation:
 
     def compute_ob_priors(self, state: Optional[EnsembleState] = None):
         """Ensemble obs-space priors: means [No] and perts [No, M]
-        (reference: ``assimilation.py:36-49``, vectorized)."""
+        (reference: ``assimilation.py:36-49``, vectorized).
+
+        Observations carrying a custom ``forward_operator`` (the pluggable
+        H the reference promises at ``observation/observation.py:44-46``)
+        get their rows evaluated through that callable; all interpolating
+        obs share one vectorized gather.
+        """
         state = self.prior if state is None else state
         taps = self.build_taps()
         ye = _fwd.apply_taps_obj(state.to_vect(), taps)  # [No, M]
+        custom = self._custom_operators()
+        if custom:
+            rows = jnp.stack(
+                [jnp.asarray(fn(state), dtype=ye.dtype) for _, fn in custom]
+            )
+            idx = jnp.asarray([i for i, _ in custom])
+            ye = ye.at[idx].set(rows)
         means = jnp.mean(ye, axis=1)
         perts = ye - means[:, None]
         return means, perts
+
+    def _custom_operators(self):
+        if self._user_obs is None:
+            return []
+        return [
+            (i, ob.forward_operator)
+            for i, ob in enumerate(self._user_obs)
+            if getattr(ob, "forward_operator", None) is not None
+        ]
 
     def inflate_state(self) -> None:
         if self.is_inflated:

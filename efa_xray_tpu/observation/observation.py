@@ -44,6 +44,7 @@ class Observation:
         description=None,
         localize_radius=None,
         vert_localize_radius=None,
+        forward_operator=None,
     ):
         self.value = value
         self.obtype = obtype
@@ -63,10 +64,18 @@ class Observation:
         # Vertical GC halfwidth in the same units as ``vert`` (extension;
         # the reference stores ``vert`` but never localizes on it).
         self.vert_localize_radius = vert_localize_radius
+        # Optional custom H: a callable ``state -> ye[nmems]`` — the
+        # pluggable-operator hook the reference's docstring promises but
+        # never implements (``observation/observation.py:44-46``).
+        self.forward_operator = forward_operator
 
     def estimate(self, state):
         """Ensemble estimate of this ob: H(x) for every member
-        (reference: ``efa_xray/observation/observation.py:40-50``)."""
+        (reference: ``efa_xray/observation/observation.py:40-50``).  Uses
+        the custom ``forward_operator`` when set, otherwise space/time
+        interpolation of the matching state variable."""
+        if self.forward_operator is not None:
+            return self.forward_operator(state)
         return state.interpolate(self.obtype, self.time, self.lat, self.lon)
 
     def distance_to_state(self, state):

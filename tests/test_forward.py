@@ -149,3 +149,37 @@ def test_nearest_metric_reference_proxy_runs():
     )
     assert taps.qc_ok[0]
     assert np.asarray(taps.weights).sum() == pytest.approx(1.0)
+
+
+def test_pluggable_forward_operator():
+    """Custom H callables (the reference's promised-but-unimplemented
+    pluggable operators, observation.py:44-46) flow through the filter."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import Observation
+    from conftest import make_demo_obs
+
+    state = make_demo_state(nmems=12)
+    s = state.structure
+
+    def layer_mean_h(st):
+        # e.g. a crude "satellite" operator: domain-average at time 0
+        import jax.numpy as jnp
+
+        return jnp.mean(st.data[0, 0], axis=(0, 1))
+
+    true_ye = np.asarray(layer_mean_h(state), dtype=np.float64)
+    custom = Observation(
+        value=float(true_ye.mean() + 0.5), obtype=s.var_names[0],
+        time=s.times64()[0], error=0.5, lat=46.0, lon=237.0,
+        assimilate_this=True, localize_radius=None,
+        forward_operator=layer_mean_h,
+    )
+    plain = make_demo_obs(state, nobs=2)
+    filt = EnSRF(state, [custom] + plain,
+                 config=FilterConfig(localization="GC", dtype="float64"))
+    post, batch = filt.update()
+    # The custom ob's prior mean must come from its own operator, not
+    # interpolation at (lat, lon).
+    assert batch.prior_mean[0] == pytest.approx(true_ye.mean(), abs=1e-9)
+    assert batch.assimilated.all()
