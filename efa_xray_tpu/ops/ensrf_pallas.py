@@ -290,8 +290,12 @@ def apply_obs_block_pallas(
             pltpu.VMEM((bsz, tile), dtype),
         ],
         # Mosaic stack-allocates elementwise temps; leave generous headroom
-        # (v5e/v5p have 128 MB VMEM).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # (v5e/v5p have 128 MB VMEM).  Both grid axes are independent, so
+        # declare them parallel to let the pipeline overlap tiles freely.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(
         bm3,
