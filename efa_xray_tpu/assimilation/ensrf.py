@@ -79,7 +79,11 @@ class EnSRF(Assimilation):
         radii = np.asarray(self.obs.localize_radius, dtype=np.float64).copy()
         if self.config.default_radius is not None:
             radii[np.isinf(radii)] = float(self.config.default_radius)
-        assim = np.asarray(self.obs.assimilate_flags) & np.asarray(taps.qc_ok)
+        # Interpolation QC (e.g. out-of-time-range) applies only to obs
+        # whose ye comes from interpolation; custom-operator obs define
+        # their own validity.
+        qc = np.asarray(taps.qc_ok) | np.asarray(self.obs.custom_operator)
+        assim = np.asarray(self.obs.assimilate_flags) & qc
         # Vertical localization applies only to obs with a finite vertical
         # coordinate; others get an infinite vertical radius (weight 1).
         verts = np.asarray(self.obs.verts, dtype=np.float64).copy()

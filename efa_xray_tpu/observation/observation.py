@@ -149,6 +149,9 @@ class ObservationBatch:
     verts: np.ndarray  # float64 [N] vertical coordinate (NaN when absent)
     descriptions: List[Optional[str]]
     vert_radius: np.ndarray = None  # float64 [N] vertical halfwidth; inf = off
+    # True where the ob carries a custom forward_operator (its obtype need
+    # not name a state variable and it bypasses interpolation QC).
+    custom_operator: np.ndarray = None
 
     # Result slots (filled by the filter)
     prior_mean: Optional[np.ndarray] = None
@@ -160,6 +163,8 @@ class ObservationBatch:
     def __post_init__(self):
         if self.vert_radius is None:
             self.vert_radius = np.full(len(self.values), np.inf, dtype=np.float64)
+        if self.custom_operator is None:
+            self.custom_operator = np.zeros(len(self.values), dtype=bool)
 
     def __len__(self) -> int:
         return len(self.values)
@@ -195,6 +200,10 @@ class ObservationBatch:
             ),
             descriptions=[ob.description for ob in obs],
             vert_radius=vert_radius,
+            custom_operator=np.asarray(
+                [getattr(ob, "forward_operator", None) is not None for ob in obs],
+                dtype=bool,
+            ),
             # carry result slots already present on the objects (the
             # reference postprocess reads ob.assimilated, postprocess.py:29)
             assimilated=np.asarray(
@@ -209,8 +218,15 @@ class ObservationBatch:
         return cls.from_observations(list(obs))
 
     def var_indices(self, structure) -> np.ndarray:
+        """State-variable index per ob.  Custom-operator obs map to 0: their
+        interpolation taps are placeholders that compute_ob_priors
+        overrides, so their obtype need not name a state variable."""
         return np.asarray(
-            [structure.var_index(t) for t in self.obtypes], dtype=np.int32
+            [
+                0 if self.custom_operator[i] else structure.var_index(t)
+                for i, t in enumerate(self.obtypes)
+            ],
+            dtype=np.int32,
         )
 
     def writeback(self, obs: Sequence[Observation]) -> None:

@@ -58,7 +58,10 @@ def validate_obs(batch, structure) -> None:
     radii = np.asarray(batch.localize_radius)
     if np.any(radii <= 0):
         raise ValidationError("localize_radius must be positive (or None/inf)")
-    for t in batch.obtypes:
+    custom = np.asarray(batch.custom_operator)
+    for i, t in enumerate(batch.obtypes):
+        if custom[i]:
+            continue  # custom forward operators define their own obtype
         if t not in structure.var_names:
             raise KeyError(
                 f"Variable {t!r} not in state (has {structure.var_names})"

@@ -5,10 +5,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from conftest import make_demo_obs, make_demo_state
+from conftest import make_demo_state
 from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.assimilation.ensrf import EnSRF
-from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
 from efa_xray_tpu.observation.observation import Observation
 

@@ -183,3 +183,37 @@ def test_pluggable_forward_operator():
     # interpolation at (lat, lon).
     assert batch.prior_mean[0] == pytest.approx(true_ye.mean(), abs=1e-9)
     assert batch.assimilated.all()
+
+
+def test_custom_operator_with_nonstate_obtype_and_out_of_range_time():
+    """Custom-H obs need not name a state variable and bypass the
+    interpolation time-window QC (found by code review: both previously
+    crashed or were silently dropped)."""
+    import numpy as _np
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import Observation
+
+    state = make_demo_state(nmems=10)
+    s = state.structure
+
+    def h(st):
+        import jax.numpy as jnp
+
+        return jnp.mean(st.data[0], axis=(0, 1, 2))
+
+    true_ye = np.asarray(h(state), dtype=np.float64)
+    ob = Observation(
+        value=float(true_ye.mean() + 1.0),
+        obtype="satellite_radiance_ch4",  # NOT a state variable
+        time=s.times64()[-1] + _np.timedelta64(5, "D"),  # outside the window
+        error=0.5, lat=45.0, lon=236.0, assimilate_this=True,
+        localize_radius=None, forward_operator=h,
+    )
+    filt = EnSRF(state, [ob], config=FilterConfig(localization="GC",
+                                                  dtype="float64"))
+    post, batch = filt.update()
+    assert batch.assimilated.all()
+    assert batch.prior_mean[0] == pytest.approx(true_ye.mean(), abs=1e-9)
+    # and it actually moved the state
+    assert np.abs(np.asarray(post.data) - np.asarray(state.data)).max() > 0
