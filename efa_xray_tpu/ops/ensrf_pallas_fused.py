@@ -1,0 +1,283 @@
+"""Fully-fused EnSRF phase-2 kernel (v4): the state crosses HBM once.
+
+v3 (:mod:`efa_xray_tpu.ops.ensrf_pallas`) launches one ``pallas_call`` per
+obs block: per block the state is read from and written back to HBM, so a
+2048-obs update at block 128 moves the state 16 times (~20 GB at the
+headline size).  v4 inverts the loop nest: grid = ``(row_tiles, blocks)``
+with blocks INNERMOST ("arbitrary" dimension) and output block index
+independent of the block coordinate, so Pallas keeps each state tile
+resident in VMEM while every obs block is applied to it and writes it back
+once.  Total state HBM traffic: one read + one write for the whole update.
+
+Localization weights are computed inside the kernel, panel-wise
+(``[PANEL=8, TILE]`` chunks of the chordal unit-vector chain).  This is
+what v1 got wrong: Mosaic stack-allocates every elementwise temporary, and
+a full ``[B, TILE]`` trig chain blew scoped VMEM; at panel granularity the
+same chain costs ~8 MB of temporaries.  The chordal form (3-FMA dot +
+Abramowitz-Stegun arccos polynomial) avoids Mosaic's missing
+atan2/asin lowerings.
+
+Scope: flat states (vt = 1) — the headline/scattered case where per-row
+weights genuinely differ row-by-row.  Multi-group gridded states keep v3,
+whose per-grid-point weight sharing already removes the redundancy that
+matters there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from efa_xray_tpu.assimilation.ensrf_core import TailSolution, ObsArrays
+from efa_xray_tpu.observation.localization import EARTH_RADIUS_KM, latlon_to_unit
+
+PANEL = 8
+
+
+def _arccos_poly(x, f32):
+    """A&S 4.4.46 arccos for x in [0, 1]: sqrt(1-x) * p(x), |err| <= 2e-8."""
+    p = jnp.asarray(-0.0012624911, dtype=f32)
+    for c in (
+        0.0066700901,
+        -0.0170881256,
+        0.0308918810,
+        -0.0501743046,
+        0.0889789874,
+        -0.2145988016,
+        1.5707963050,
+    ):
+        p = p * x + jnp.asarray(c, dtype=f32)
+    return jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+
+
+def _gc_poly(r):
+    inner = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2) + 1.0
+    r_safe = jnp.maximum(r, 1e-12)
+    outer = (
+        ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
+        + 4.0
+        - 2.0 / (3.0 * r_safe)
+    )
+    return jnp.where(r <= 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
+
+
+def _make_fused_kernel(bsz: int, localize: bool):
+    def kernel(
+        xbm_in_ref,  # [TILE, 1]
+        xbp_in_ref,  # [TILE, M]
+        bx_ref,  # [TILE, 1] state-row unit vectors
+        by_ref,  # [TILE, 1]
+        bz_ref,  # [TILE, 1]
+        y_ref,  # [1, B, M] this block's ye rows
+        ggt_ref,  # [1, B, B]
+        gain_ref,  # [1, 1, B]
+        sqrtc_ref,  # [1, 1, B]
+        ox_ref,  # [1, 1, B] ob unit vectors
+        oy_ref,  # [1, 1, B]
+        oz_ref,  # [1, 1, B]
+        invrad_ref,  # [1, 1, B] 1/halfwidth (0 = no localization for the ob)
+        xbm_out_ref,  # [TILE, 1] revisited across blocks
+        xbp_out_ref,  # [TILE, M] revisited across blocks
+        u_ref,  # [B, TILE] scratch
+        d0_ref,  # [B, TILE] scratch
+    ):
+        f32 = xbp_in_ref.dtype
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            xbm_out_ref[:] = xbm_in_ref[:]
+            xbp_out_ref[:] = xbp_in_ref[:]
+
+        xbp = xbp_out_ref[:]  # current tile state (resident across blocks)
+        y = y_ref[0, :, :]  # [B, M]
+
+        d0_ref[:] = jax.lax.dot_general(
+            y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+        if localize:
+            bx = bx_ref[:].reshape(1, -1)  # [1, T]
+            by = by_ref[:].reshape(1, -1)
+            bz = bz_ref[:].reshape(1, -1)
+
+        npanels = -(-bsz // PANEL)
+        for q in range(npanels):
+            base = q * PANEL
+            width = min(PANEL, bsz - base)
+            if base > 0:
+                corr = jax.lax.dot_general(
+                    ggt_ref[0, base : base + width, 0:base],
+                    u_ref[0:base, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                d_panel = d0_ref[base : base + width, :] - corr
+            else:
+                d_panel = d0_ref[0:width, :]
+            if localize:
+                # Panel's weights [width, TILE]: chordal GC from unit vectors.
+                ox = ox_ref[0, 0, base : base + width].reshape(-1, 1)
+                oy = oy_ref[0, 0, base : base + width].reshape(-1, 1)
+                oz = oz_ref[0, 0, base : base + width].reshape(-1, 1)
+                dot = jnp.clip(ox * bx + oy * by + oz * bz, -1.0, 1.0)
+                # arccos(dot) via the half-angle form c = 2*arccos(cos(c/2)):
+                # cos(c/2) = sqrt((1+dot)/2) keeps precision near c = 0.
+                ang = 2.0 * _arccos_poly(
+                    jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
+                )
+                r = (EARTH_RADIUS_KM * ang) * invrad_ref[
+                    0, 0, base : base + width
+                ].reshape(-1, 1)
+                w_panel = jnp.where(
+                    invrad_ref[0, 0, base : base + width].reshape(-1, 1) > 0,
+                    _gc_poly(r),
+                    1.0,
+                )
+            for t in range(width):
+                j = base + t
+                if t > 0:
+                    corr2 = jax.lax.dot_general(
+                        ggt_ref[0, j : j + 1, base : base + t],
+                        u_ref[base : base + t, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    d_j = d_panel[t : t + 1, :] - corr2
+                else:
+                    d_j = d_panel[0:1, :]
+                if localize:
+                    d_j = d_j * w_panel[t : t + 1, :]
+                u_ref[j : j + 1, :] = d_j
+
+        u_t = u_ref[:]
+        mean_upd = jax.lax.dot_general(
+            gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [1, TILE]
+        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd.reshape(-1, 1)
+        gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+        xbp_out_ref[:] = xbp - jax.lax.dot_general(
+            gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("localize", "block_size", "tile", "interpret")
+)
+def ensrf_blocked_body_pallas_fused(
+    body_mean,
+    body_perts,
+    body_lat,
+    body_lon,
+    tail: TailSolution,
+    obs: ObsArrays,
+    localize: bool = True,
+    block_size: int = 128,
+    tile: int = 16384,
+    interpret: bool = False,
+):
+    """v4 phase 2: ALL obs blocks applied while each state tile stays in
+    VMEM.  Flat-state (vt=1) drop-in for
+    :func:`efa_xray_tpu.ops.ensrf_pallas.ensrf_blocked_body_pallas`."""
+    nobs = tail.ye.shape[0]
+    if nobs == 0:
+        return body_mean, body_perts
+    dtype = body_perts.dtype
+    nrows, nmems = body_perts.shape
+    nblocks = max(1, -(-nobs // block_size))
+    pad = nblocks * block_size - nobs
+    bsz = block_size
+
+    ye = jnp.pad(tail.ye.astype(dtype), ((0, pad), (0, 0)))
+    gain = jnp.pad(tail.gain_coef.astype(dtype), (0, pad))
+    sqrtc = jnp.pad(tail.sqrt_coef.astype(dtype), (0, pad))
+    radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+    ob_xyz = jnp.pad(
+        latlon_to_unit(obs.lats, obs.lons).astype(dtype), ((0, pad), (0, 0))
+    )
+
+    # Per-block operands, shaped so each block is one leading index.
+    y_b = ye.reshape(nblocks, bsz, nmems)
+    gram = jnp.einsum("abm,acm->abc", y_b, y_b)  # [nblocks, B, B]
+    ggt_b = jnp.swapaxes(
+        gram * sqrtc.reshape(nblocks, bsz)[:, :, None], 1, 2
+    )  # ggt[blk, j, i] = (y_i . y_j) g_i
+    gain_b = gain.reshape(nblocks, 1, bsz)
+    sqrt_b = sqrtc.reshape(nblocks, 1, bsz)
+    ox_b = ob_xyz[:, 0].reshape(nblocks, 1, bsz)
+    oy_b = ob_xyz[:, 1].reshape(nblocks, 1, bsz)
+    oz_b = ob_xyz[:, 2].reshape(nblocks, 1, bsz)
+    invrad_b = jnp.where(jnp.isinf(radii), 0.0, 1.0 / jnp.abs(radii)).reshape(
+        nblocks, 1, bsz
+    ).astype(dtype)
+
+    tile = max(8, min(tile, -(-nrows // 8) * 8))
+    gtiles = max(1, -(-nrows // tile))
+    rpad = gtiles * tile - nrows
+    bm = jnp.pad(body_mean, (0, rpad)).reshape(-1, 1)
+    bp = jnp.pad(body_perts, ((0, rpad), (0, 0)))
+    body_xyz = jnp.pad(
+        latlon_to_unit(body_lat, body_lon).astype(dtype), ((0, rpad), (0, 0))
+    )
+    bx = body_xyz[:, 0:1]
+    by = body_xyz[:, 1:2]
+    bz = body_xyz[:, 2:3]
+
+    tiled = lambda shape: pl.BlockSpec(
+        shape, lambda t, b: (t, 0), memory_space=pltpu.VMEM
+    )
+    per_block3 = lambda shape: pl.BlockSpec(
+        shape, lambda t, b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_mean, out_perts = pl.pallas_call(
+        _make_fused_kernel(bsz, localize),
+        grid=(gtiles, nblocks),
+        in_specs=[
+            tiled((tile, 1)),
+            tiled((tile, nmems)),
+            tiled((tile, 1)),
+            tiled((tile, 1)),
+            tiled((tile, 1)),
+            per_block3((1, bsz, nmems)),
+            per_block3((1, bsz, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+        ],
+        out_specs=[
+            tiled((tile, 1)),
+            tiled((tile, nmems)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gtiles * tile, 1), dtype),
+            jax.ShapeDtypeStruct((gtiles * tile, nmems), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, tile), dtype),
+            pltpu.VMEM((bsz, tile), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # Row tiles are independent (parallel); obs blocks within a
+            # tile are sequential (the output block is revisited).
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        bm, bp, bx, by, bz,
+        y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
+    )
+
+    return out_mean[:nrows, 0], out_perts[:nrows]

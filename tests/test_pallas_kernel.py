@@ -133,3 +133,43 @@ def test_grid_mode_with_nondividing_tile():
     )
     np.testing.assert_allclose(np.asarray(grid[1]), np.asarray(flat[1]),
                                rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("localize", [True, False])
+def test_fused_v4_matches_v3(localize):
+    """The fully-fused kernel (state crosses HBM once) must match the
+    per-block kernel."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=13, nmems=16)
+    tail = core.tail_scan(tm, tp, obs, localize=localize)
+    v3 = ensrf_blocked_body_pallas(
+        bm, bp, blat, blon, tail, obs, localize=localize, block_size=4,
+        tile=64, interpret=True, fast_geometry=True,
+    )
+    v4 = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=localize, block_size=4,
+        tile=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v4[0]), np.asarray(v3[0]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(v3[1]),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_fused_v4_matches_xla_exact():
+    """v4 vs the exact-geometry XLA blocked path (weight-formula tolerance)."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12, seed=8)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    ref = core.ensrf_blocked_body(bm, bp, blat, blon, tail, obs,
+                                  localize=True, block_size=3)
+    v4 = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=3,
+        tile=48, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v4[0]), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(ref[1]),
+                               rtol=2e-4, atol=2e-3)
