@@ -86,13 +86,15 @@ def run_tpu(w, block_size=128, localize=True, iters=3):
     @jax.jit
     def step(bm, bp, tm, tp):
         if use_pallas:
-            from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+            from efa_xray_tpu.ops.ensrf_pallas_fused import (
+                ensrf_blocked_body_pallas_fused,
+            )
 
             tail = core.tail_scan(tm, tp, obs, localize=localize,
                                   fast_geometry=True)
-            bm2, bp2 = ensrf_blocked_body_pallas(
+            bm2, bp2 = ensrf_blocked_body_pallas_fused(
                 bm, bp, blat, blon, tail, obs,
-                localize=localize, block_size=block_size, fast_geometry=True,
+                localize=localize, block_size=block_size,
             )
             return bm2, bp2, tail.tail_mean, tail.tail_perts
         bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(

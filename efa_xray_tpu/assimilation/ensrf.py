@@ -174,6 +174,9 @@ class EnSRF(Assimilation):
             )
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
+            from efa_xray_tpu.ops.ensrf_pallas_fused import (
+                ensrf_blocked_body_pallas_fused,
+            )
 
             tail = core.tail_scan(
                 tail_mean,
@@ -186,27 +189,42 @@ class EnSRF(Assimilation):
             )
             import jax
 
-            bm, bp = ensrf_blocked_body_pallas(
-                body_mean,
-                body_perts,
-                body_lat,
-                body_lon,
-                tail,
-                obs,
-                localize=cfg.localize,
-                block_size=cfg.block_size,
-                tile=cfg.pallas_tile,
-                fast_geometry=cfg.fast_geometry,
-                body_vert=body_vert,
-                vertical=vertical,
-                # Grid-mode weights: rows tile one spatial grid over
-                # nvars*ntimes groups (row_latlon ordering), so horizontal
-                # GC weights are computed once per grid point.
-                ngrid=self.prior.structure.ngrid,
-                # Off-TPU (explicit use_pallas=True on CPU) runs the kernel
-                # in the Pallas interpreter.
-                interpret=jax.default_backend() != "tpu",
-            )
+            interpret = jax.default_backend() != "tpu"
+            st = self.prior.structure
+            if st.nvars * st.ntimes == 1 and not vertical:
+                # Flat state: the fully-fused v4 kernel (state crosses HBM
+                # once; per-row chordal weights computed in-kernel).
+                bm, bp = ensrf_blocked_body_pallas_fused(
+                    body_mean,
+                    body_perts,
+                    body_lat,
+                    body_lon,
+                    tail,
+                    obs,
+                    localize=cfg.localize,
+                    block_size=cfg.block_size,
+                    interpret=interpret,
+                )
+            else:
+                bm, bp = ensrf_blocked_body_pallas(
+                    body_mean,
+                    body_perts,
+                    body_lat,
+                    body_lon,
+                    tail,
+                    obs,
+                    localize=cfg.localize,
+                    block_size=cfg.block_size,
+                    tile=cfg.pallas_tile,
+                    fast_geometry=cfg.fast_geometry,
+                    body_vert=body_vert,
+                    vertical=vertical,
+                    # Grid-mode weights: rows tile one spatial grid over
+                    # nvars*ntimes groups (row_latlon ordering), so
+                    # horizontal GC weights are computed once per grid point.
+                    ngrid=st.ngrid,
+                    interpret=interpret,
+                )
             tm, tp, diags = tail.tail_mean, tail.tail_perts, tail.diags
         else:
             bm, bp, tm, tp, diags = core.ensrf_blocked(

@@ -37,6 +37,8 @@ class FilterConfig:
     dtype: str = "float32"
     # Fused Pallas TPU kernel for the blocked state update: True / False /
     # None (auto: on when running on a TPU backend with the blocked method).
+    # Flat single-(var,time) states use the fully-fused v4 kernel (state
+    # crosses HBM once); gridded multi-group states use the grid-mode v3.
     use_pallas: Optional[bool] = None
     # Row-tile size for the Pallas kernel (rows resident in VMEM per step).
     pallas_tile: int = 16384

@@ -181,7 +181,7 @@ def ensrf_blocked_body_pallas_fused(
     obs: ObsArrays,
     localize: bool = True,
     block_size: int = 128,
-    tile: int = 16384,
+    tile: int = 8192,
     interpret: bool = False,
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
