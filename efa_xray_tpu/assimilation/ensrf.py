@@ -191,7 +191,14 @@ class EnSRF(Assimilation):
 
             interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
-            if st.nvars * st.ntimes == 1 and not vertical:
+            # v4 (state resident across all obs blocks) is validated up to
+            # ~2M rows on a v5e; beyond that it hits a runtime HBM
+            # exhaustion under investigation — fall back to v3 there.
+            if (
+                st.nvars * st.ntimes == 1
+                and not vertical
+                and st.nstate <= (1 << 21)
+            ):
                 # Flat state: the fully-fused v4 kernel (state crosses HBM
                 # once; per-row chordal weights computed in-kernel).
                 bm, bp = ensrf_blocked_body_pallas_fused(
