@@ -175,7 +175,7 @@ class EnSRF(Assimilation):
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
-                ensrf_blocked_body_pallas_fused,
+                ensrf_blocked_body_pallas_fused_donating,
             )
 
             tail = core.tail_scan(
@@ -191,17 +191,14 @@ class EnSRF(Assimilation):
 
             interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
-            # v4 (state resident across all obs blocks) is validated up to
-            # ~2M rows on a v5e; beyond that it hits a runtime HBM
-            # exhaustion under investigation — fall back to v3 there.
-            if (
-                st.nvars * st.ntimes == 1
-                and not vertical
-                and st.nstate <= (1 << 21)
-            ):
+            if st.nvars * st.ntimes == 1 and not vertical:
                 # Flat state: the fully-fused v4 kernel (state crosses HBM
-                # once; per-row chordal weights computed in-kernel).
-                bm, bp = ensrf_blocked_body_pallas_fused(
+                # once; per-row chordal weights computed in-kernel).  The
+                # donating variant halves peak HBM — EnSRF owns these
+                # buffers and never touches them again (validated at
+                # 4M x 80 rows x 10k obs on a 16 GB v5e; the non-donating
+                # form OOMs there).
+                bm, bp = ensrf_blocked_body_pallas_fused_donating(
                     body_mean,
                     body_perts,
                     body_lat,
