@@ -30,6 +30,7 @@ from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.observation import forward as _fwd
 from efa_xray_tpu.observation.observation import Observation, ObservationBatch
 from efa_xray_tpu.state.ensemble import EnsembleState
+from efa_xray_tpu.utils.validation import ValidationError
 
 InflationSpec = Union[None, float, str, dict]
 
@@ -102,10 +103,11 @@ def inflate_state(
                     print(f"Inflating all variables along {k} dimension")
                 arr = np.asarray(v, dtype=np.float64)
                 axis = dim_axis[k]
-                assert arr.shape[0] == data.shape[axis], (
-                    f"inflation along {k} has length {arr.shape[0]}, "
-                    f"dimension has {data.shape[axis]}"
-                )
+                if arr.shape[0] != data.shape[axis]:
+                    raise ValidationError(
+                        f"inflation along {k} has length {arr.shape[0]}, "
+                        f"dimension has {data.shape[axis]}"
+                    )
                 shape = [1] * 5
                 shape[axis] = arr.shape[0]
                 factor = jnp.asarray(arr, dtype=data.dtype).reshape(shape)

@@ -150,12 +150,16 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 method=cfg.method,
                 block_size=cfg.block_size,
+                tile=cfg.pallas_tile,
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
                 use_pallas=self._use_pallas(),
                 interpret=__import__("jax").default_backend() != "tpu",
+                # EnSRF owns the formatted prior: let the posterior shards
+                # reuse its HBM.
+                donate=True,
             )
         elif cfg.method == "serial":
             bm, bp, tm, tp, diags = core.ensrf_serial(
@@ -191,13 +195,19 @@ class EnSRF(Assimilation):
 
             interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
-            if st.nvars * st.ntimes == 1 and not vertical:
+            if (
+                st.nvars * st.ntimes == 1
+                and not vertical
+                and (cfg.fast_geometry or not cfg.localize)
+            ):
                 # Flat state: the fully-fused v4 kernel (state crosses HBM
-                # once; per-row chordal weights computed in-kernel).  The
-                # donating variant halves peak HBM — EnSRF owns these
-                # buffers and never touches them again (validated at
-                # 4M x 80 rows x 10k obs on a 16 GB v5e; the non-donating
-                # form OOMs there).
+                # once; per-row chordal weights computed in-kernel).  v4's
+                # geometry is inherently chordal, so it is only selected
+                # when cfg.fast_geometry allows it (exact-haversine runs
+                # fall through to v3 below).  The donating variant halves
+                # peak HBM — EnSRF owns these buffers and never touches
+                # them again (validated at 4M x 80 rows x 10k obs on a
+                # 16 GB v5e; the non-donating form OOMs there).
                 bm, bp = ensrf_blocked_body_pallas_fused_donating(
                     body_mean,
                     body_perts,
@@ -207,6 +217,7 @@ class EnSRF(Assimilation):
                     obs,
                     localize=cfg.localize,
                     block_size=cfg.block_size,
+                    tile=cfg.pallas_tile,
                     interpret=interpret,
                 )
             else:

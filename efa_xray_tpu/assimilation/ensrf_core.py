@@ -416,20 +416,27 @@ def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef, panel: int = 8):
     bsz = d0.shape[1]
     gG = gram * sqrt_coef[:, None]  # [B, B], row i scaled by g_i
 
-    cols = []
+    # Accumulate solved columns incrementally (one concatenate per panel +
+    # one per in-panel step on a <= panel-wide slab).  A naive
+    # re-stack-all-columns-per-step formulation traces O(B^2) stack ops,
+    # which blows up compile time at the default block_size=128 whenever
+    # this XLA fallback runs instead of the Pallas kernel.
+    u_done = None  # [rows, base] columns solved in previous panels
     for base in range(0, bsz, panel):
         width = min(panel, bsz - base)
         d_panel = jax.lax.slice_in_dim(d0, base, base + width, axis=1)
         if base > 0:
-            u_done = jnp.stack(cols, axis=1)  # [rows, base]
             d_panel = d_panel - u_done @ gG[:base, base : base + width]
+        panel_cols = []
         for t in range(width):
             d_j = d_panel[:, t]
             if t > 0:
-                u_p = jnp.stack(cols[base:], axis=1)  # [rows, t]
+                u_p = jnp.stack(panel_cols, axis=1)  # [rows, t], t < panel
                 d_j = d_j - u_p @ gG[base : base + t, base + t]
-            cols.append(d_j if w is None else w[:, base + t] * d_j)
-    return jnp.stack(cols, axis=1)
+            panel_cols.append(d_j if w is None else w[:, base + t] * d_j)
+        slab = jnp.stack(panel_cols, axis=1)  # [rows, width]
+        u_done = slab if u_done is None else jnp.concatenate([u_done, slab], axis=1)
+    return u_done
 
 
 @jax.jit

@@ -221,14 +221,17 @@ def _fused_impl(
         nblocks, 1, bsz
     ).astype(dtype)
 
-    tile = max(8, min(tile, -(-nrows // 8) * 8))
+    # No row padding: Pallas masks partial edge tiles (out-of-bounds rows
+    # read garbage, every computation here is row-local, and out-of-bounds
+    # writes are dropped).  Keeping the in/out shapes exactly (nrows, M)
+    # lets the donated state buffers alias the outputs for ANY row count —
+    # padding inside the jit would force a larger output buffer and degrade
+    # donation to early-free whenever nrows % tile != 0.
+    tile = max(8, min(-(-tile // 8) * 8, -(-nrows // 8) * 8))
     gtiles = max(1, -(-nrows // tile))
-    rpad = gtiles * tile - nrows
-    bm = jnp.pad(body_mean, (0, rpad)).reshape(-1, 1)
-    bp = jnp.pad(body_perts, ((0, rpad), (0, 0)))
-    body_xyz = jnp.pad(
-        latlon_to_unit(body_lat, body_lon).astype(dtype), ((0, rpad), (0, 0))
-    )
+    bm = body_mean.reshape(-1, 1)
+    bp = body_perts
+    body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
     bx = body_xyz[:, 0:1]
     by = body_xyz[:, 1:2]
     bz = body_xyz[:, 2:3]
@@ -263,8 +266,8 @@ def _fused_impl(
             tiled((tile, nmems)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((gtiles * tile, 1), dtype),
-            jax.ShapeDtypeStruct((gtiles * tile, nmems), dtype),
+            jax.ShapeDtypeStruct((nrows, 1), dtype),
+            jax.ShapeDtypeStruct((nrows, nmems), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bsz, tile), dtype),
@@ -282,7 +285,7 @@ def _fused_impl(
         y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
     )
 
-    return out_mean[:nrows, 0], out_perts[:nrows]
+    return out_mean[:, 0], out_perts
 
 
 _STATIC = ("localize", "block_size", "tile", "interpret")

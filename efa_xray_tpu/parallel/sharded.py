@@ -48,14 +48,7 @@ def _shard_specs(axis: str):
     return in_specs, out_specs
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "localize", "method", "block_size", "axis_name", "unbiased",
-        "use_pallas", "interpret", "fast_geometry", "vertical",
-    ),
-)
-def _ensrf_sharded_jit(
+def _ensrf_sharded_impl(
     body_mean,
     body_perts,
     tail_mean,
@@ -69,6 +62,7 @@ def _ensrf_sharded_jit(
     localize: bool,
     method: str,
     block_size: int,
+    tile: int,
     axis_name: str,
     unbiased: bool,
     use_pallas: bool,
@@ -77,6 +71,16 @@ def _ensrf_sharded_jit(
     vertical: bool,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
+    # The fully-fused v4 kernel applies whenever per-row weights are the
+    # right model — which a state shard always is (rows are an arbitrary
+    # slice).  Its in-kernel geometry is chordal, so exact-haversine runs
+    # (fast_geometry=False under localization) keep the per-block v3.
+    fused = (
+        use_pallas
+        and method == "blocked"
+        and not vertical
+        and (fast_geometry or not localize)
+    )
 
     def local_update(bm, bp, tm, tp, blat, blon, bvert, ob):
         if method == "serial":
@@ -87,13 +91,23 @@ def _ensrf_sharded_jit(
             )
         tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased,
                               fast_geometry=fast_geometry, vertical=vertical)
-        if use_pallas:
+        if fused:
+            from efa_xray_tpu.ops.ensrf_pallas_fused import (
+                ensrf_blocked_body_pallas_fused,
+            )
+
+            bm, bp = ensrf_blocked_body_pallas_fused(
+                bm, bp, blat, blon, tail, ob,
+                localize=localize, block_size=block_size, tile=tile,
+                interpret=interpret,
+            )
+        elif use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
             bm, bp = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, ob,
-                localize=localize, block_size=block_size, interpret=interpret,
-                fast_geometry=fast_geometry,
+                localize=localize, block_size=block_size, tile=tile,
+                interpret=interpret, fast_geometry=fast_geometry,
                 body_vert=bvert, vertical=vertical,
             )
         else:
@@ -118,6 +132,22 @@ def _ensrf_sharded_jit(
     )
 
 
+_SHARDED_STATIC = (
+    "mesh", "localize", "method", "block_size", "tile", "axis_name",
+    "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
+)
+
+_ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
+
+# Donates the (padded, device-placed) state shards: under the mesh the
+# posterior shards reuse the prior shards' HBM, so an 8-shard pod run does
+# not carry 2x peak state memory.  Safe only when the caller owns the
+# buffers (EnSRF does — it formats the prior itself).
+_ensrf_sharded_jit_donating = jax.jit(
+    _ensrf_sharded_impl, static_argnames=_SHARDED_STATIC, donate_argnums=(0, 1)
+)
+
+
 def ensrf_update_sharded(
     body_mean,
     body_perts,
@@ -130,6 +160,7 @@ def ensrf_update_sharded(
     localize: bool = True,
     method: str = "blocked",
     block_size: int = 32,
+    tile: int = 16384,
     axis_name: str = STATE_AXIS,
     unbiased: bool = False,
     use_pallas: bool = False,
@@ -137,11 +168,17 @@ def ensrf_update_sharded(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    donate: bool = False,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
     updates are no-ops that never touch real rows), shards the body, runs
-    the row-local kernel, and unpads."""
+    the row-local kernel, and unpads.
+
+    ``donate=True`` donates the state shards to the update (posterior
+    reuses the prior's HBM).  The caller's ``body_mean``/``body_perts``
+    may be invalidated when no padding/re-placement copy was needed —
+    only pass it when the caller owns and will not reuse them."""
     ns = body_mean.shape[0]
     ndev = mesh.shape[axis_name]
     ns_pad = pad_to_multiple(ns, ndev)
@@ -166,7 +203,8 @@ def ensrf_update_sharded(
     tail_perts = jax.device_put(tail_perts, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
 
-    bm, bp, tm, tp, diags = _ensrf_sharded_jit(
+    run = _ensrf_sharded_jit_donating if donate else _ensrf_sharded_jit
+    bm, bp, tm, tp, diags = run(
         bm,
         bp,
         tail_mean,
@@ -179,6 +217,7 @@ def ensrf_update_sharded(
         localize=localize,
         method=method,
         block_size=block_size,
+        tile=tile,
         axis_name=axis_name,
         unbiased=unbiased,
         use_pallas=use_pallas,
@@ -186,4 +225,6 @@ def ensrf_update_sharded(
         fast_geometry=fast_geometry,
         vertical=vertical,
     )
-    return bm[:ns], bp[:ns], tm, tp, diags
+    if ns != ns_pad:
+        bm, bp = bm[:ns], bp[:ns]
+    return bm, bp, tm, tp, diags

@@ -68,7 +68,13 @@ class EnsembleState:
         rebranding hack.
         """
         def _unwrap(v):
-            if isinstance(v, tuple) and len(v) == 2 and not np.isscalar(v[0]):
+            # xarray-style (dims, array) tuples: dims is a str ("location")
+            # or a tuple/list of dim names (("y", "x")).
+            if (
+                isinstance(v, tuple)
+                and len(v) == 2
+                and isinstance(v[0], (str, tuple, list))
+            ):
                 return np.asarray(v[1])
             return np.asarray(v)
 

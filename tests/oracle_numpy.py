@@ -20,12 +20,14 @@ def gc_weights(dist, halfwidth):
     w = np.zeros_like(r)
     m1 = r <= 1.0
     m2 = (r > 1.0) & (r < 2.0)
-    w[m1] = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2 + 1.0)[m1]
+    r1, r2 = r[m1], r[m2]  # evaluate branches only on their masks so the
+    # outer-branch 1/r term never divides by zero
+    w[m1] = (((-0.25 * r1 + 0.5) * r1 + 0.625) * r1 - 5.0 / 3.0) * r1**2 + 1.0
     w[m2] = (
-        ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
+        ((((r2 / 12.0 - 0.5) * r2 + 0.625) * r2 + 5.0 / 3.0) * r2 - 5.0) * r2
         + 4.0
-        - 2.0 / (3.0 * r)
-    )[m2]
+        - 2.0 / (3.0 * r2)
+    )
     return w
 
 

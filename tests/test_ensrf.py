@@ -290,3 +290,40 @@ def test_module_level_update_driver():
     innov_prior = np.abs(batch.values - batch.prior_mean)
     innov_post = np.abs(batch.values - batch.post_mean)
     assert innov_post.mean() < innov_prior.mean()
+
+
+def test_default_block_size_128_compiles_and_matches_serial():
+    """The XLA fallback at FilterConfig's default block_size=128 must stay
+    compile-time sane (the recurrence accumulates solved columns
+    incrementally, not by re-stacking O(B^2) slices) and exactly match the
+    serial scan."""
+    import jax
+    import jax.numpy as jnp
+    from efa_xray_tpu.assimilation import ensrf_core as core
+
+    rng = np.random.default_rng(7)
+    ns, m, no = 300, 10, 130  # > one block, non-multiple of 128
+    prior = rng.normal(0, 1, (ns, m))
+    ye = prior[rng.integers(0, ns, no)]
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + 0.1),
+        errors=jnp.ones(no),
+        lats=jnp.asarray(rng.uniform(-60, 60, no)),
+        lons=jnp.asarray(rng.uniform(0, 360, no)),
+        radii=jnp.full(no, 2000.0),
+        assim=jnp.ones(no, bool),
+    )
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.asarray(ye.mean(1))
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True))
+    blat = jnp.asarray(rng.uniform(-60, 60, ns))
+    blon = jnp.asarray(rng.uniform(0, 360, ns))
+
+    blocked = core.ensrf_blocked(bm, bp, tm, tp, blat, blon, obs,
+                                 localize=True, block_size=128)
+    serial = core.ensrf_serial(bm, bp, tm, tp, blat, blon, obs, localize=True)
+    np.testing.assert_allclose(np.asarray(blocked[0]), np.asarray(serial[0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(blocked[1]), np.asarray(serial[1]),
+                               atol=1e-12)

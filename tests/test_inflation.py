@@ -56,8 +56,10 @@ def test_dict_per_dimension_inflation():
 
 
 def test_dict_dimension_length_mismatch_raises():
+    from efa_xray_tpu.utils.validation import ValidationError
+
     state = make_demo_state(ntimes=3)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValidationError):
         inflate_state(state, {"validtime": np.ones(5)})
 
 

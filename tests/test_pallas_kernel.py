@@ -157,6 +157,30 @@ def test_fused_v4_matches_v3(localize):
                                rtol=2e-5, atol=2e-4)
 
 
+def test_fused_v4_odd_row_count():
+    """nrows not a multiple of the tile (or of 8): Pallas edge-tile masking
+    must keep results exact and output shapes equal to input shapes (the
+    donation-aliasing contract: in/out buffers match for ANY row count)."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12, seed=3)
+    n = 123  # 128 grid rows -> 123: not a multiple of 8 or the tile
+    bm, bp, blat, blon = bm[:n], bp[:n], blat[:n], blon[:n]
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    ref = core.ensrf_blocked_body(bm, bp, blat, blon, tail, obs,
+                                  localize=True, block_size=3,
+                                  fast_geometry=True)
+    v4 = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=3,
+        tile=48, interpret=True,
+    )
+    assert v4[0].shape == bm.shape and v4[1].shape == bp.shape
+    np.testing.assert_allclose(np.asarray(v4[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=2e-4)
+
+
 def test_fused_v4_matches_xla_exact():
     """v4 vs the exact-geometry XLA blocked path (weight-formula tolerance)."""
     from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused

@@ -123,3 +123,67 @@ def test_sharded_pallas_matches_single_device():
     post = np.asarray(bm2)[:, None] + np.asarray(bp2)
     want = np.asarray(post_single.to_vect())
     np.testing.assert_allclose(post, want, rtol=2e-4, atol=2e-3)
+
+
+@requires_multi
+def test_sharded_fused_v4_matches_single_device():
+    """The fully-fused v4 kernel under shard_map (with donation) must match
+    the single-device update — the headline composition (v4 x mesh)."""
+    state, obs, batch = _problem(seed=23)
+    cfg = FilterConfig(localization="GC", dtype="float32", fast_geometry=True)
+    single = EnSRF(state, list(obs), config=cfg)
+    post_single, _ = single.update()
+
+    filt = EnSRF(state, list(obs), config=cfg)
+    bm, bp, tm, tp = filt.format_prior_state()
+    oarr = filt.obs_arrays()
+    row_lat, row_lon = state.structure.row_latlon()
+    mesh = make_mesh()
+    bm2, bp2, _, _, _ = ensrf_update_sharded(
+        bm, bp, tm, tp,
+        jnp.asarray(row_lat, dtype=jnp.float32),
+        jnp.asarray(row_lon, dtype=jnp.float32),
+        oarr, mesh=mesh, localize=True, method="blocked", block_size=8,
+        tile=32, use_pallas=True, interpret=True, fast_geometry=True,
+        donate=True,
+    )
+    post = np.asarray(bm2)[:, None] + np.asarray(bp2)
+    want = np.asarray(post_single.to_vect())
+    np.testing.assert_allclose(post, want, rtol=2e-4, atol=2e-3)
+
+
+@requires_multi
+def test_sharded_obs_loop_issues_no_collectives():
+    """SURVEY §5.8 invariant, checked in the compiled HLO: the sharded
+    update contains NO cross-device collectives at all — obs-space
+    quantities live in the replicated tail, state rows update locally.
+    """
+    from efa_xray_tpu.parallel.sharded import (
+        _ensrf_sharded_jit,
+        _shard_specs,
+    )
+    from efa_xray_tpu.parallel.mesh import STATE_AXIS
+
+    state, obs, batch = _problem(ny=8, nx=8)  # divides the mesh: no padding
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    filt = EnSRF(state, list(obs), config=cfg)
+    bm, bp, tm, tp = filt.format_prior_state()
+    oarr = filt.obs_arrays().with_default_verts()
+    row_lat, row_lon = state.structure.row_latlon()
+    mesh = make_mesh()
+
+    lowered = _ensrf_sharded_jit.lower(
+        bm, bp, tm, tp,
+        jnp.asarray(row_lat, dtype=bm.dtype),
+        jnp.asarray(row_lon, dtype=bm.dtype),
+        jnp.zeros_like(bm),
+        oarr,
+        mesh=mesh, localize=True, method="blocked", block_size=8,
+        tile=64, axis_name=STATE_AXIS, unbiased=False,
+        use_pallas=False, interpret=True, fast_geometry=False,
+        vertical=False,
+    )
+    hlo = lowered.compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, f"collective {op!r} leaked into the obs loop"

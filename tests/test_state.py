@@ -126,6 +126,30 @@ def test_1d_location_grid():
     np.testing.assert_allclose(np.asarray(est), data[1, 2, :], rtol=1e-12)
 
 
+def test_from_vardict_xarray_style_dims_tuples():
+    """(dims, array) coord tuples with a string dims name — the common
+    xarray form, e.g. lat=("location", arr) — must unwrap, and so must
+    tuple-of-names dims like (("y", "x"), arr)."""
+    nloc, ntimes, nmems = 5, 2, 4
+    rng = np.random.default_rng(1)
+    lats = np.linspace(-5, 5, nloc)
+    lons = np.linspace(100, 110, nloc)
+    times = np.datetime64("2026-08-01") + np.arange(ntimes) * np.timedelta64(6, "h")
+    data = rng.normal(280, 3, (ntimes, nloc, nmems))
+    state = EnsembleState.from_vardict(
+        {"T2m": (("validtime", "location", "mem"), data)},
+        {
+            "validtime": times,
+            "lat": ("location", lats),
+            "lon": (("location",), lons),
+            "mem": np.arange(nmems),
+        },
+    )
+    assert state.ny() == nloc
+    np.testing.assert_allclose(state.structure.lat.ravel(), lats)
+    np.testing.assert_allclose(np.asarray(state.data)[0, :, :, 0, :], data)
+
+
 def test_structure_row_latlon_tiling():
     s = StateStructure.build(
         ["a", "b"],
