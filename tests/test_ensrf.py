@@ -327,3 +327,45 @@ def test_default_block_size_128_compiles_and_matches_serial():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(blocked[1]), np.asarray(serial[1]),
                                atol=1e-12)
+
+
+def test_f32_drift_at_production_nobs_is_bounded():
+    """SURVEY §7 'numerical parity while reordering reductions': the f32
+    blocked path at thousands of sequential obs must stay within ~1e-5
+    relative of the f64 oracle (measured ~1.5e-6 rel-max at 10k obs; see
+    docs/design.md §5 for the full table)."""
+    import jax.numpy as jnp
+    from efa_xray_tpu.assimilation import ensrf_core as core
+    from oracle_numpy import serial_ensrf
+
+    rng = np.random.default_rng(0)
+    ns, m, nobs = 1000, 20, 4000
+    prior = rng.normal(280, 3, (ns, m))
+    rows = rng.integers(0, ns, nobs)
+    ye = prior[rows] + rng.normal(0, 0.1, (nobs, m))
+    values = ye.mean(1) + rng.normal(0, 1, nobs)
+    errors = np.ones(nobs)
+    row_lat = rng.uniform(-70, 70, ns)
+    row_lon = rng.uniform(0, 360, ns)
+    radii = np.full(nobs, 2000.0)
+    assim = np.ones(nobs, bool)
+
+    post64, _ = serial_ensrf(prior, ye, values, errors, row_lat[rows],
+                             row_lon[rows], radii, row_lat, row_lon, assim,
+                             localize=True)
+
+    d = jnp.float32
+    bm = jnp.asarray(prior.mean(1), d)
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True), d)
+    tm = jnp.asarray(ye.mean(1), d)
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True), d)
+    obs = core.ObsArrays(
+        values=jnp.asarray(values, d), errors=jnp.asarray(errors, d),
+        lats=jnp.asarray(row_lat[rows], d), lons=jnp.asarray(row_lon[rows], d),
+        radii=jnp.asarray(radii, d), assim=jnp.asarray(assim))
+    out = core.ensrf_blocked(bm, bp, tm, tp, jnp.asarray(row_lat, d),
+                             jnp.asarray(row_lon, d), obs, localize=True,
+                             block_size=128)
+    post32 = np.asarray(out[0])[:, None] + np.asarray(out[1])
+    rel = np.abs(post32 - post64).max() / np.abs(post64).mean()
+    assert rel < 1e-5, f"f32 blocked drift {rel:.3e} exceeds 1e-5"
