@@ -78,6 +78,45 @@ def _anderson_update(
     return jnp.clip(new_lam, lambda_min, lambda_max)
 
 
+@functools.partial(jax.jit, static_argnames=("lambda_min",))
+def update_inflation_rows(
+    lam,  # [..., rows] inflation mean field(s); last axis matches row coords
+    lam_sd,  # scalar or broadcastable [..., 1] inflation std (held fixed)
+    row_lats,  # [rows]
+    row_lons,  # [rows]
+    obs_lats,  # [No]
+    obs_lons,  # [No]
+    radii,  # [No] GC halfwidth km (inf -> uniform weight 1)
+    innovations,  # [No]
+    prior_vars,  # [No] prior obs-space ensemble variance
+    ob_err_vars,  # [No]
+    assim,  # bool [No]
+    lambda_min: float = 1.0,
+):
+    """Anderson (2009) update of an inflation field from an obs batch.
+
+    One ``lax.scan`` over observations; the per-ob localization weight
+    ``gamma [rows]`` broadcasts against any leading lam axes, so the same
+    kernel serves flat per-row fields (``lam [rows]``, cycling harness) and
+    stacked grid fields (``lam [V, T, G]`` with per-variable
+    ``lam_sd [V, 1, 1]``, :class:`AdaptiveInflation`)."""
+
+    def step(lam, xs):
+        ob_lat, ob_lon, radius, d2, sp2, so2, use = xs
+        gamma = gaspari_cohn(
+            haversine((row_lats, row_lons), (ob_lat, ob_lon)), radius
+        )
+        new = _anderson_update(
+            lam, lam_sd, gamma, d2, sp2, so2, lambda_min=lambda_min
+        )
+        return jnp.where(use, new, lam), None
+
+    xs = (obs_lats, obs_lons, radii, innovations**2, prior_vars, ob_err_vars,
+          assim)
+    lam, _ = jax.lax.scan(step, lam, xs)
+    return lam
+
+
 class AdaptiveInflation:
     """Adaptive inflation state: per-variable (mean, std) fields of shape
     ``[ntimes, ny, nx]`` on the prior's grid."""
@@ -183,28 +222,32 @@ class AdaptiveInflation:
             else np.asarray(assimilated, dtype=bool)
         )
 
-        for v in s.var_names:
-            lam = jnp.asarray(self.mean[v].reshape(s.ntimes, -1))  # [T, G]
-            lam_sd = float(max(np.mean(self.std[v]), lambda_sd_floor))
+        # All variables at once: lam [V, T, G], per-variable std [V, 1, 1];
+        # the per-ob gamma [G] broadcasts across the leading axes inside
+        # update_inflation_rows (one scan total instead of one per variable).
+        nvars = len(s.var_names)
+        lam = jnp.asarray(
+            self.mean_field().reshape(nvars, s.ntimes, s.ny * s.nx)
+        )
+        lam_sd = jnp.asarray(
+            [max(float(np.mean(self.std[v])), lambda_sd_floor)
+             for v in s.var_names]
+        ).reshape(nvars, 1, 1).astype(lam.dtype)
 
-            def step(lam, xs):
-                ob_lat, ob_lon, radius, d2, sp2, so2, use = xs
-                gamma = gaspari_cohn(
-                    haversine((glat, glon), (ob_lat, ob_lon)), radius
-                )  # [G]
-                new = _anderson_update(
-                    lam, lam_sd, gamma[None, :], d2, sp2, so2, lambda_min=lambda_min
-                )
-                return jnp.where(use, new, lam), None
-
-            xs = (
-                jnp.asarray(obs_lats, dtype=lam.dtype),
-                jnp.asarray(obs_lons, dtype=lam.dtype),
-                jnp.asarray(obs_radii, dtype=lam.dtype),
-                jnp.asarray(np.asarray(innovations) ** 2, dtype=lam.dtype),
-                jnp.asarray(prior_vars, dtype=lam.dtype),
-                jnp.asarray(ob_err_vars, dtype=lam.dtype),
-                jnp.asarray(mask),
-            )
-            lam, _ = jax.lax.scan(step, lam, xs)
-            self.mean[v] = np.asarray(lam).reshape(s.ntimes, s.ny, s.nx)
+        lam = update_inflation_rows(
+            lam,
+            lam_sd,
+            glat.astype(lam.dtype),
+            glon.astype(lam.dtype),
+            jnp.asarray(obs_lats, dtype=lam.dtype),
+            jnp.asarray(obs_lons, dtype=lam.dtype),
+            jnp.asarray(obs_radii, dtype=lam.dtype),
+            jnp.asarray(innovations, dtype=lam.dtype),
+            jnp.asarray(prior_vars, dtype=lam.dtype),
+            jnp.asarray(ob_err_vars, dtype=lam.dtype),
+            jnp.asarray(mask),
+            lambda_min=lambda_min,
+        )
+        out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
+        for i, v in enumerate(s.var_names):
+            self.mean[v] = out[i]

@@ -52,6 +52,12 @@ class FilterConfig:
     # Whitaker-Hamill; analysis mean exactly order-invariant when
     # unlocalized).
     unbiased_variance: bool = False
+    # When ``inflation`` is an AdaptiveInflation instance, Bayesian-update
+    # its mean field from this batch's innovations after the analysis
+    # (Anderson 2009) so the next cycle's prior inflation has learned from
+    # the data.  The reference's AdaptiveInflation never implemented this
+    # step (SURVEY.md §2/A8).
+    adaptive_inflation_update: bool = True
     verbose: bool = False
 
     @property

@@ -50,6 +50,18 @@ class CyclingHarness:
     obs_operator: Optional[Callable] = None  # ensemble [M, nvars] -> ye [nobs, M]
     obs_operator_rows: Optional[np.ndarray] = None
     inflation: Optional[float] = None
+    # Anderson-2009 adaptive inflation: a per-component variance-inflation
+    # field lambda [nvars] is applied as sqrt(lambda) on the perturbations
+    # before each analysis and Bayesian-updated from the innovations after
+    # it (extends the reference's never-finished adaptive_inflation.py).
+    adaptive_inflation: bool = False
+    adaptive_sd: float = 0.6
+    adaptive_min: float = 1.0
+
+    def inflation_field(self) -> Optional[np.ndarray]:
+        """Current adaptive variance-inflation field (None before first use)."""
+        lam = getattr(self, "_lam", None)
+        return None if lam is None else np.asarray(lam)
 
     def analysis_step(self, ensemble, values, ob_lats, ob_lons):
         """One EnSRF analysis on a flat ensemble ``[nmems, nvars]``."""
@@ -58,6 +70,12 @@ class CyclingHarness:
         if self.inflation is not None:
             mean = jnp.mean(ens, axis=0)
             ens = mean + self.inflation * (ens - mean)
+        if self.adaptive_inflation:
+            lam = getattr(self, "_lam", None)
+            if lam is None:
+                lam = jnp.ones(ens.shape[1], dtype=dtype)
+            mean = jnp.mean(ens, axis=0)
+            ens = mean + jnp.sqrt(lam)[None, :] * (ens - mean)
         sv = ens.T  # [nvars, nmems]
         bm = jnp.mean(sv, axis=1)
         bp = sv - bm[:, None]
@@ -85,6 +103,25 @@ class CyclingHarness:
             block_size=min(self.config.block_size, max(nobs, 1)),
             unbiased=self.config.unbiased_variance,
         )
+        if self.adaptive_inflation:
+            from efa_xray_tpu.assimilation.adaptive_inflation import (
+                update_inflation_rows,
+            )
+
+            self._lam = update_inflation_rows(
+                lam,
+                jnp.asarray(self.adaptive_sd, dtype=dtype),
+                jnp.asarray(self.state_lats, dtype=dtype),
+                jnp.asarray(self.state_lons, dtype=dtype),
+                obs.lats,
+                obs.lons,
+                obs.radii,
+                obs.values - diags.prior_mean.astype(dtype),
+                diags.prior_var.astype(dtype),
+                obs.errors,
+                obs.assim,
+                lambda_min=self.adaptive_min,
+            )
         return (bm2[:, None] + bp2).T, diags
 
     def run(

@@ -3,8 +3,10 @@
 
 Demonstrates the full operational loop the reference only sketches:
 forecast -> (adaptively) inflate -> assimilate -> learn inflation from
-innovations -> verify -> repeat, with rank-histogram and innovation-
-consistency diagnostics at the end.
+innovations -> verify -> repeat.  Adaptive inflation is a first-class
+CyclingHarness option (``adaptive_inflation=True``, Anderson 2009); the
+same machinery is available on gridded states through
+``EnSRF(inflation=AdaptiveInflation(...))``.
 
 Run: ``python examples/cycling_adaptive.py [--cycles 40]``
 """
@@ -13,12 +15,9 @@ import argparse
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from efa_xray_tpu.assimilation import ensrf_core as core
-from efa_xray_tpu.assimilation.adaptive_inflation import _anderson_update
+from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.models import lorenz96 as l96
-from efa_xray_tpu.observation.localization import gaspari_cohn, haversine
+from efa_xray_tpu.models.cycling import CyclingHarness
 
 
 def main():
@@ -29,67 +28,31 @@ def main():
     ap.add_argument("--ob-error", type=float, default=1.0)
     args = ap.parse_args()
 
-    nvars, nmems = args.nvars, args.nmems
-    rng = np.random.default_rng(7)
-    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=7)
-    lats, lons = l96.fake_latlon(nvars)
-    obs_idx = np.arange(0, nvars, 2)
-    nobs = len(obs_idx)
-    radius = 4000.0
+    truth, ens = l96.spinup_ensemble(nvars=args.nvars, nmems=args.nmems, seed=7)
+    lats, lons = l96.fake_latlon(args.nvars)
 
-    # Adaptive inflation state: one lambda per state variable.
-    lam = jnp.ones(nvars)
-    lam_sd = 0.6
+    harness = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=args.ob_error,
+        localize_radius=4000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, args.nvars, 2),
+        adaptive_inflation=True,  # Anderson-2009 variance inflation, learned
+    )
+    stats = harness.run(ens, truth, ncycles=args.cycles, seed=107)
 
-    print(f"{'cyc':>4} {'bg_rmse':>8} {'an_rmse':>8} {'spread':>7} {'lam_mean':>8}")
-    for c in range(args.cycles):
-        truth = l96.integrate(truth, nsteps=4)
-        ens = l96.integrate(ens, nsteps=4)
+    print(f"{'cyc':>4} {'bg_rmse':>8} {'an_rmse':>8} {'spread':>7}")
+    for s in stats:
+        if s.cycle % 5 == 0 or s.cycle == args.cycles - 1:
+            print(f"{s.cycle:>4} {s.background_rmse:8.3f} "
+                  f"{s.analysis_rmse:8.3f} {s.mean_spread:7.3f}")
+    lam = harness.inflation_field()
+    print(f"learned inflation field: mean={lam.mean():.3f} max={lam.max():.3f}")
 
-        # adaptive inflation of the perturbations
-        mean = jnp.mean(ens, axis=0)
-        ens = mean + jnp.sqrt(lam)[None, :] * (ens - mean)
-
-        yobs = np.asarray(truth)[obs_idx] + rng.normal(0, np.sqrt(args.ob_error), nobs)
-        sv = jnp.asarray(ens, dtype=jnp.float64).T
-        bm = jnp.mean(sv, axis=1)
-        bp = sv - bm[:, None]
-        ye = sv[obs_idx]
-        obs = core.ObsArrays(
-            values=jnp.asarray(yobs),
-            errors=jnp.full(nobs, args.ob_error),
-            lats=jnp.asarray(lats[obs_idx]),
-            lons=jnp.asarray(lons[obs_idx]),
-            radii=jnp.full(nobs, radius),
-            assim=jnp.ones(nobs, dtype=bool),
-        )
-        bg_rmse = float(jnp.sqrt(jnp.mean((bm - truth) ** 2)))
-        bm2, bp2, _, _, diags = core.ensrf_blocked(
-            bm, bp, jnp.mean(ye, axis=1), ye - jnp.mean(ye, axis=1)[:, None],
-            jnp.asarray(lats), jnp.asarray(lons), obs,
-            localize=True, block_size=8,
-        )
-        ens = (bm2[:, None] + bp2).T
-        an_rmse = float(jnp.sqrt(jnp.mean((bm2 - truth) ** 2)))
-        spread = float(jnp.mean(jnp.std(ens, axis=0)))
-
-        # Anderson-2009 inflation update from the innovations
-        innov2 = (jnp.asarray(yobs) - diags.prior_mean) ** 2
-        for i in range(nobs):
-            gamma = gaspari_cohn(
-                haversine((jnp.asarray(lats), jnp.asarray(lons)),
-                          (lats[obs_idx[i]], lons[obs_idx[i]])),
-                radius,
-            )
-            lam = _anderson_update(
-                lam, lam_sd, gamma, innov2[i], diags.prior_var[i], args.ob_error
-            )
-
-        if c % 5 == 0 or c == args.cycles - 1:
-            print(f"{c:>4} {bg_rmse:8.3f} {an_rmse:8.3f} {spread:7.3f} "
-                  f"{float(jnp.mean(lam)):8.3f}")
-
-    assert an_rmse < np.sqrt(args.ob_error), "cycling did not converge"
+    tail = np.mean([s.analysis_rmse for s in stats[-8:]])
+    assert tail < np.sqrt(args.ob_error), "cycling did not converge"
     print("converged: analysis RMSE below observation error")
 
 

@@ -189,3 +189,26 @@ def test_adaptive_cycle_inflation_then_update_then_learn():
     )
     v = state.vars()[0]
     assert adapt.mean[v].max() > 1.02  # inflation grew where obs disagreed
+
+
+def test_ensrf_update_learns_adaptive_inflation_in_the_loop():
+    """EnSRF(inflation=AdaptiveInflation(...)).update() must Bayesian-update
+    the inflation mean field from the innovations (config option
+    adaptive_inflation_update, on by default) — the reference's class never
+    closed this loop."""
+    from efa_xray_tpu.config import FilterConfig
+
+    state = make_demo_state(nmems=12, seed=9)
+    obs = make_demo_obs(state, nobs=6, radius=500.0)
+    for ob in obs:
+        ob.value += 6.0  # innovations >> expected -> inflation must grow
+    v = state.vars()[0]
+
+    adapt = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    EnSRF(state, obs, inflation=adapt, verbose=False, loc="GC").update()
+    assert adapt.mean[v].max() > 1.02
+
+    frozen = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    cfg = FilterConfig(localization="GC", adaptive_inflation_update=False)
+    EnSRF(state, obs, inflation=frozen, verbose=False, config=cfg).update()
+    np.testing.assert_allclose(frozen.mean[v], 1.0)

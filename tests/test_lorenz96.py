@@ -132,3 +132,42 @@ def test_cycling_harness_api():
     assert gain > 0
     # obs-space posterior closer to obs than prior
     assert stats[-1].obs_post_rmse < stats[-1].obs_prior_rmse
+
+
+def test_adaptive_inflation_cycles_beat_fixed_inflation():
+    """VERDICT r1 item 7: with a small (underdispersed) ensemble, cycling
+    with Anderson-2009 adaptive inflation must beat both no inflation and
+    an untuned fixed factor, and keep the spread from collapsing."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems, ncycles, seed = 40, 10, 50, 2
+    lats, lons = l96.fake_latlon(nvars)
+
+    def run(**kw):
+        truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=seed)
+        h = CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats, state_lons=lons, ob_error=1.0,
+            localize_radius=4000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            **kw,
+        )
+        stats = h.run(ens, truth, ncycles=ncycles, seed=seed + 100)
+        rmse = np.mean([s.analysis_rmse for s in stats[-15:]])
+        spread = np.mean([s.mean_spread for s in stats[-15:]])
+        return rmse, spread, h
+
+    rmse_none, spread_none, _ = run()
+    rmse_fixed, _, _ = run(inflation=1.05)
+    rmse_adapt, spread_adapt, h = run(adaptive_inflation=True)
+
+    # measured: none ~2.5, fixed(1.05) ~1.7, adaptive ~0.8
+    assert rmse_adapt < 0.7 * rmse_none, (rmse_adapt, rmse_none)
+    assert rmse_adapt < rmse_fixed, (rmse_adapt, rmse_fixed)
+    # spread recovery: adaptive keeps the ensemble better dispersed
+    assert spread_adapt > spread_none
+    lam = h.inflation_field()
+    assert lam is not None and lam.max() > 1.05 and lam.min() >= 1.0 - 1e-12
