@@ -177,12 +177,72 @@ def run_reference_numpy(w, nobs_sample=8, localize=True):
     return min(per_ob) * nobs
 
 
+def run_api(nmems=80, nobs=2048, seed=1):
+    """End-to-end EnSRF.update() through the full public API at headline
+    scale (1024x1024 grid): build_taps (host+device) + obs priors +
+    formatting + tail scan + fused kernel.  Returns (api_s, taps_s)."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.state.ensemble import EnsembleState
+    from efa_xray_tpu.utils import timeutil
+
+    rng = np.random.default_rng(seed)
+    ny = nx = 1024
+    lat1d = np.linspace(-88, 88, ny)
+    lon1d = np.arange(0, 360, 360 / nx)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    times = np.datetime64("2026-08-01T00") + np.arange(1) * np.timedelta64(6, "h")
+    field = rng.normal(280, 5, (1, ny, nx, nmems)).astype(np.float32)
+    state = EnsembleState.from_vardict(
+        {"T2m": field},
+        {"validtime": times, "lat": lat, "lon": lon, "mem": np.arange(nmems)},
+        dtype="float32",
+    )
+    batch = ObservationBatch(
+        values=rng.normal(280, 5, nobs),
+        errors=np.ones(nobs),
+        lats=rng.uniform(-85, 85, nobs),
+        lons=rng.uniform(0, 360, nobs),
+        times_s=timeutil.to_epoch_seconds(np.repeat(times[0], nobs)),
+        obtypes=["T2m"] * nobs,
+        localize_radius=np.full(nobs, 2000.0),
+        assimilate_flags=np.ones(nobs, bool),
+        verts=np.full(nobs, np.nan),
+        descriptions=[None] * nobs,
+    )
+    cfg = FilterConfig(localization="GC", dtype="float32",
+                       fast_geometry=True, pallas_tile=8192)
+
+    def one_update():
+        filt = EnSRF(state, batch, config=cfg, verbose=False)
+        t0 = time.perf_counter()
+        taps = filt.build_taps()
+        _ = np.asarray(taps.qc_ok)  # host pull = taps fully materialized
+        t_taps = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        post, _ = filt.update()
+        _ = float(jnp.sum(post.data))  # scalar pull = real sync
+        return t_taps, time.perf_counter() - t0
+
+    one_update()  # warm every compile in the path
+    t_taps, t_api = one_update()
+    return t_api, t_taps
+
+
 def main():
     nstate, nmems, nobs = 1 << 20, 80, 2048
     w = build_workload(nstate=nstate, nmems=nmems, nobs=nobs)
 
     dt_tpu = run_tpu(w)
     dt_ref = run_reference_numpy(w)
+    try:
+        dt_api, dt_taps = run_api(nmems=nmems, nobs=nobs)
+    except Exception as e:  # never let the API probe kill the headline
+        dt_api, dt_taps = None, None
+        import sys
+
+        print(f"api bench failed: {e!r}", file=sys.stderr)
 
     points = nobs * nstate
     value = points / dt_tpu

@@ -44,10 +44,14 @@ def _obs_arrays(values, errors, lats, lons, radii, dtype):
 
 
 def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
-                  use_pallas=None, dtype=jnp.float32, ngrid=None):
-    """Chained timing of the blocked update; returns seconds/update."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+                  kernel=None, dtype=jnp.float32, ngrid=None,
+                  body_vert=None, vertical=False, tile=8192, donate=False):
+    """Chained timing of the blocked update; returns seconds/update.
+
+    ``kernel``: "v4" (fully-fused, state crosses HBM once), "v3" (per-block
+    grid-mode kernel), or "xla" — default v4 on TPU, xla elsewhere."""
+    if kernel is None:
+        kernel = "v4" if jax.default_backend() == "tpu" else "xla"
     pj = jnp.asarray(prior, dtype=dtype)
     nobs = len(np.asarray(obs.values))
     rng = np.random.default_rng(0)
@@ -56,17 +60,29 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
 
     blat = jnp.asarray(state_lat, dtype=dtype)
     blon = jnp.asarray(state_lon, dtype=dtype)
+    bvert = (
+        None if body_vert is None else jnp.asarray(body_vert, dtype=dtype)
+    )
 
-    @jax.jit
-    def step(bm, bp, tm, tp):
+    def step_impl(bm, bp, tm, tp):
         tail = core.tail_scan(tm, tp, obs, localize=True,
-                              fast_geometry=use_pallas)
-        if use_pallas:
+                              fast_geometry=(kernel != "xla"),
+                              vertical=vertical)
+        if kernel == "v4":
+            from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
+
+            bm2, bp2 = _fused_impl(
+                bm, bp, blat, blon, tail, obs, body_vert=bvert,
+                localize=True, block_size=block_size, tile=tile,
+                vertical=vertical,
+            )
+        elif kernel == "v3":
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
 
             bm2, bp2 = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, obs, localize=True,
                 block_size=block_size, fast_geometry=True, ngrid=ngrid,
+                body_vert=bvert, vertical=vertical,
             )
         else:
             bm2, bp2 = core.ensrf_blocked_body(
@@ -74,6 +90,8 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
                 block_size=block_size,
             )
         return bm2, bp2, tail.tail_mean, tail.tail_perts
+
+    step = jax.jit(step_impl, donate_argnums=(0, 1) if donate else ())
 
     @jax.jit
     def digest(bm, bp):
@@ -83,6 +101,8 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
     bp = pj - bm[:, None]
     tm = jnp.mean(ye0, axis=1)
     tp = ye0 - tm[:, None]
+    if donate:
+        del pj  # the chain owns the buffers from here on
 
     carry = step(bm, bp, tm, tp)
     _ = float(digest(carry[0], carry[1]))
@@ -90,7 +110,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
     _ = float(digest(carry[0], carry[1]))
     sync = time.perf_counter() - t0
 
-    c = (bm, bp, tm, tp)
+    c = carry if donate else (bm, bp, tm, tp)
     t0 = time.perf_counter()
     for _ in range(iters):
         c = step(*c)
@@ -105,10 +125,11 @@ def bench_config0():
 
     state, truth = gefs_like_state(ny=20, nx=30, nmems=21, ntimes=8)
     obs = observations_from_truth(state, truth, 5, radius=2000.0)
+    EnSRF(state, obs, loc="GC", verbose=False).update()  # warm compiles
     filt = EnSRF(state, obs, loc="GC", verbose=False)
     t0 = time.perf_counter()
     post, batch = filt.update()
-    np.asarray(post.data)
+    _ = float(jnp.sum(post.data))  # scalar pull = real sync
     dt = time.perf_counter() - t0
     return {
         "config": "0-demo",
@@ -184,7 +205,7 @@ def bench_config2():
     }
 
 
-def bench_config3():
+def bench_config3(vertical=False, kernel=None):
     rng = np.random.default_rng(3)
     nvars, nlev, ny, nx, nmems, nobs = 4, 20, 90, 180, 30, 5000
     ngrid = ny * nx
@@ -200,9 +221,46 @@ def bench_config3():
         prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
         row_lat[rows], row_lon[rows], np.full(nobs, 2000.0), jnp.float32,
     )
-    dt = _timed_update(prior, row_lat, row_lon, obs, ngrid=ngrid)
+    body_vert = None
+    if vertical:
+        levels = np.linspace(1000.0, 100.0, nlev)  # hPa per level group
+        body_vert = np.repeat(np.tile(levels, nvars), ngrid)
+        obs = obs._replace(
+            verts=jnp.asarray(body_vert[rows], dtype=jnp.float32),
+            vert_radii=jnp.full(nobs, 300.0, dtype=jnp.float32),
+        )
+    dt = _timed_update(prior, row_lat, row_lon, obs, ngrid=ngrid,
+                       kernel=kernel, body_vert=body_vert, vertical=vertical)
     return {
-        "config": "3-gefs-3d",
+        "config": "3-gefs-3d" + ("-vert" if vertical else ""),
+        "nstate": nstate,
+        "nmems": nmems,
+        "nobs": nobs,
+        "vertical_localization": vertical,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * nstate / dt,
+    }
+
+
+def bench_config4():
+    """Pod-scale slice on one chip: the per-chip share of the BASELINE
+    v5p-8 target (1e7 points x 80 members, 10k obs -> 4.2M-row slice on a
+    16 GB v5e; every chip of the pod runs exactly this, obs replicated,
+    zero per-ob collectives), with the donating v4 kernel."""
+    rng = np.random.default_rng(4)
+    nstate, nmems, nobs = 4_194_304, 80, 10_000
+    state_lat = rng.uniform(-88, 88, nstate)
+    state_lon = rng.uniform(0, 360, nstate)
+    prior = rng.normal(280, 5, (nstate, nmems)).astype(np.float32)
+    rows = rng.integers(0, nstate, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        state_lat[rows], state_lon[rows], np.full(nobs, 2000.0), jnp.float32,
+    )
+    dt = _timed_update(prior, state_lat, state_lon, obs, donate=True,
+                       iters=2)
+    return {
+        "config": "4-pod-slice",
         "nstate": nstate,
         "nmems": nmems,
         "nobs": nobs,
@@ -211,17 +269,88 @@ def bench_config3():
     }
 
 
-BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2, 3: bench_config3}
+def bench_config5():
+    """API end-to-end at config-2 scale: EnSRF(state, obs).update() through
+    the full public path — build_taps (host), obs priors, formatting, tail
+    scan, kernel — vs the kernel-only time of config 2."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    rng = np.random.default_rng(5)
+    ny, nx, nmems, nobs = 361, 720, 40, 2000
+    lat1d = np.linspace(-90, 90, ny)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    times = np.datetime64("2026-08-01T00") + np.arange(1) * np.timedelta64(6, "h")
+    field = rng.normal(280, 5, (1, ny, nx, nmems)).astype(np.float32)
+    state = EnsembleState.from_vardict(
+        {"T2m": field},
+        {"validtime": times, "lat": lat, "lon": lon, "mem": np.arange(nmems)},
+        dtype="float32",
+    )
+    from efa_xray_tpu.utils import timeutil
+
+    batch = ObservationBatch(
+        values=rng.normal(280, 5, nobs),
+        errors=np.ones(nobs),
+        lats=rng.uniform(-89, 89, nobs),
+        lons=rng.uniform(0, 360, nobs),
+        times_s=timeutil.to_epoch_seconds(np.repeat(times[0], nobs)),
+        obtypes=["T2m"] * nobs,
+        localize_radius=np.full(nobs, 2000.0),
+        assimilate_flags=np.ones(nobs, bool),
+        verts=np.full(nobs, np.nan),
+        descriptions=[None] * nobs,
+    )
+    cfg = FilterConfig(localization="GC", dtype="float32",
+                       fast_geometry=True, pallas_tile=8192)
+
+    def one_update():
+        filt = EnSRF(state, batch, config=cfg, verbose=False)
+        t0 = time.perf_counter()
+        taps = filt.build_taps()
+        jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, taps)
+        t_taps = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        post, _ = filt.update()
+        _ = float(jnp.sum(post.data))  # scalar pull = real sync
+        return t_taps, time.perf_counter() - t0
+
+    one_update()  # warm all compiles
+    t_taps, t_api = one_update()
+    return {
+        "config": "5-api-end-to-end",
+        "nstate": state.nstate(),
+        "nmems": nmems,
+        "nobs": nobs,
+        "seconds": t_api,
+        "taps_seconds": t_taps,
+        "obs_points_per_sec": nobs * state.nstate() / t_api,
+    }
+
+
+BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
+           3: bench_config3, 4: bench_config4, 5: bench_config5}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", type=int, nargs="*", default=[0, 1, 2, 3])
+    ap.add_argument("--configs", type=int, nargs="*",
+                    default=[0, 1, 2, 3, 4, 5])
+    ap.add_argument("--vertical", action="store_true",
+                    help="config 3 with vertical localization")
+    ap.add_argument("--kernel", default=None, choices=[None, "v3", "v4", "xla"],
+                    help="override kernel selection for configs 2/3")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     results = []
     for c in args.configs:
-        r = BENCHES[c]()
+        kw = {}
+        if c == 3:
+            kw = dict(vertical=args.vertical, kernel=args.kernel)
+        r = BENCHES[c](**kw)
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)
         results.append(r)

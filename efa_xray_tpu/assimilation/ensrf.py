@@ -195,19 +195,17 @@ class EnSRF(Assimilation):
 
             interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
-            if (
-                st.nvars * st.ntimes == 1
-                and not vertical
-                and (cfg.fast_geometry or not cfg.localize)
-            ):
-                # Flat state: the fully-fused v4 kernel (state crosses HBM
-                # once; per-row chordal weights computed in-kernel).  v4's
-                # geometry is inherently chordal, so it is only selected
-                # when cfg.fast_geometry allows it (exact-haversine runs
-                # fall through to v3 below).  The donating variant halves
-                # peak HBM — EnSRF owns these buffers and never touches
-                # them again (validated at 4M x 80 rows x 10k obs on a
-                # 16 GB v5e; the non-donating form OOMs there).
+            if cfg.fast_geometry or not cfg.localize:
+                # The fully-fused v4 kernel (state crosses HBM once;
+                # per-row chordal weights — and, when active, vertical GC
+                # factors — computed in-kernel).  Per-row weights are exact
+                # for flat AND gridded (vt > 1) states; v4's geometry is
+                # inherently chordal, so it is only selected when
+                # cfg.fast_geometry allows it (exact-haversine runs fall
+                # through to the grid-mode v3 below).  The donating variant
+                # halves peak HBM — EnSRF owns these buffers and never
+                # touches them again (validated at 4M x 80 rows x 10k obs
+                # on a 16 GB v5e; the non-donating form OOMs there).
                 bm, bp = ensrf_blocked_body_pallas_fused_donating(
                     body_mean,
                     body_perts,
@@ -215,10 +213,12 @@ class EnSRF(Assimilation):
                     body_lon,
                     tail,
                     obs,
+                    body_vert=body_vert if vertical else None,
                     localize=cfg.localize,
                     block_size=cfg.block_size,
                     tile=cfg.pallas_tile,
                     interpret=interpret,
+                    vertical=vertical,
                 )
             else:
                 bm, bp = ensrf_blocked_body_pallas(

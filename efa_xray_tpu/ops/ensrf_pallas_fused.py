@@ -66,13 +66,14 @@ def _gc_poly(r):
     return jnp.where(r <= 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
 
 
-def _make_fused_kernel(bsz: int, localize: bool):
+def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
     def kernel(
         xbm_in_ref,  # [TILE, 1]
         xbp_in_ref,  # [TILE, M]
         bx_ref,  # [TILE, 1] state-row unit vectors
         by_ref,  # [TILE, 1]
         bz_ref,  # [TILE, 1]
+        bv_ref,  # [TILE, 1] row vertical coordinate (zeros when unused)
         y_ref,  # [1, B, M] this block's ye rows
         ggt_ref,  # [1, B, B]
         gain_ref,  # [1, 1, B]
@@ -81,6 +82,8 @@ def _make_fused_kernel(bsz: int, localize: bool):
         oy_ref,  # [1, 1, B]
         oz_ref,  # [1, 1, B]
         invrad_ref,  # [1, 1, B] 1/halfwidth (0 = no localization for the ob)
+        overt_ref,  # [1, 1, B] ob vertical coordinate
+        invvrad_ref,  # [1, 1, B] 1/vertical-halfwidth (0 = off for the ob)
         xbm_out_ref,  # [TILE, 1] revisited across blocks
         xbp_out_ref,  # [TILE, M] revisited across blocks
         u_ref,  # [B, TILE] scratch
@@ -105,6 +108,8 @@ def _make_fused_kernel(bsz: int, localize: bool):
             bx = bx_ref[:].reshape(1, -1)  # [1, T]
             by = by_ref[:].reshape(1, -1)
             bz = bz_ref[:].reshape(1, -1)
+            if vertical:
+                bv = bv_ref[:].reshape(1, -1)  # [1, T]
 
         npanels = -(-bsz // PANEL)
         for q in range(npanels):
@@ -139,6 +144,11 @@ def _make_fused_kernel(bsz: int, localize: bool):
                     _gc_poly(r),
                     1.0,
                 )
+                if vertical:
+                    ov = overt_ref[0, 0, base : base + width].reshape(-1, 1)
+                    ivr = invvrad_ref[0, 0, base : base + width].reshape(-1, 1)
+                    rv = jnp.abs(bv - ov) * ivr
+                    w_panel = w_panel * jnp.where(ivr > 0, _gc_poly(rv), 1.0)
             for t in range(width):
                 j = base + t
                 if t > 0:
@@ -176,14 +186,23 @@ def _fused_impl(
     body_lon,
     tail: TailSolution,
     obs: ObsArrays,
+    body_vert=None,
     localize: bool = True,
     block_size: int = 128,
     tile: int = 8192,
     interpret: bool = False,
+    vertical: bool = False,
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
-    VMEM.  Flat-state (vt=1) drop-in for
-    :func:`efa_xray_tpu.ops.ensrf_pallas.ensrf_blocked_body_pallas`.
+    VMEM.  Drop-in for
+    :func:`efa_xray_tpu.ops.ensrf_pallas.ensrf_blocked_body_pallas`, for
+    ANY row layout: weights are per row, which is exact for flat states
+    and for gridded multi-group (vt > 1) states alike (rows of a gridded
+    state tile the spatial grid, so per-row weights recompute the same
+    grid weight vt times — pure VPU redundancy that the one-HBM-pass
+    design still beats v3's per-block state traffic with).  Optional
+    vertical localization multiplies in a per-row vertical Gaspari-Cohn
+    factor (``vertical=True`` with ``body_vert`` + per-ob verts/radii).
 
     Exposed as two jitted entry points below: the plain one, and a
     buffer-donating one for callers that own ``body_mean``/``body_perts``
@@ -198,12 +217,17 @@ def _fused_impl(
     pad = nblocks * block_size - nobs
     bsz = block_size
 
+    obs = obs.with_default_verts()
     ye = jnp.pad(tail.ye.astype(dtype), ((0, pad), (0, 0)))
     gain = jnp.pad(tail.gain_coef.astype(dtype), (0, pad))
     sqrtc = jnp.pad(tail.sqrt_coef.astype(dtype), (0, pad))
     radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
     ob_xyz = jnp.pad(
         latlon_to_unit(obs.lats, obs.lons).astype(dtype), ((0, pad), (0, 0))
+    )
+    overt = jnp.pad(obs.verts.astype(dtype), (0, pad))
+    ovrad = jnp.pad(
+        obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf
     )
 
     # Per-block operands, shaped so each block is one leading index.
@@ -218,6 +242,10 @@ def _fused_impl(
     oy_b = ob_xyz[:, 1].reshape(nblocks, 1, bsz)
     oz_b = ob_xyz[:, 2].reshape(nblocks, 1, bsz)
     invrad_b = jnp.where(jnp.isinf(radii), 0.0, 1.0 / jnp.abs(radii)).reshape(
+        nblocks, 1, bsz
+    ).astype(dtype)
+    overt_b = overt.reshape(nblocks, 1, bsz)
+    invvrad_b = jnp.where(jnp.isinf(ovrad), 0.0, 1.0 / jnp.abs(ovrad)).reshape(
         nblocks, 1, bsz
     ).astype(dtype)
 
@@ -235,6 +263,10 @@ def _fused_impl(
     bx = body_xyz[:, 0:1]
     by = body_xyz[:, 1:2]
     bz = body_xyz[:, 2:3]
+    if body_vert is None:
+        bv = jnp.zeros((nrows, 1), dtype=dtype)
+    else:
+        bv = body_vert.astype(dtype).reshape(-1, 1)
 
     tiled = lambda shape: pl.BlockSpec(
         shape, lambda t, b: (t, 0), memory_space=pltpu.VMEM
@@ -244,7 +276,7 @@ def _fused_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_kernel(bsz, localize),
+        _make_fused_kernel(bsz, localize, vertical),
         grid=(gtiles, nblocks),
         in_specs=[
             tiled((tile, 1)),
@@ -252,8 +284,11 @@ def _fused_impl(
             tiled((tile, 1)),
             tiled((tile, 1)),
             tiled((tile, 1)),
+            tiled((tile, 1)),
             per_block3((1, bsz, nmems)),
             per_block3((1, bsz, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
             per_block3((1, 1, bsz)),
             per_block3((1, 1, bsz)),
             per_block3((1, 1, bsz)),
@@ -281,14 +316,15 @@ def _fused_impl(
         ),
         interpret=interpret,
     )(
-        bm, bp, bx, by, bz,
+        bm, bp, bx, by, bz, bv,
         y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
+        overt_b, invvrad_b,
     )
 
     return out_mean[:, 0], out_perts
 
 
-_STATIC = ("localize", "block_size", "tile", "interpret")
+_STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 
 ensrf_blocked_body_pallas_fused = jax.jit(_fused_impl, static_argnames=_STATIC)
 

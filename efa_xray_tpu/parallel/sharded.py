@@ -73,12 +73,12 @@ def _ensrf_sharded_impl(
     in_specs, out_specs = _shard_specs(axis_name)
     # The fully-fused v4 kernel applies whenever per-row weights are the
     # right model — which a state shard always is (rows are an arbitrary
-    # slice).  Its in-kernel geometry is chordal, so exact-haversine runs
-    # (fast_geometry=False under localization) keep the per-block v3.
+    # slice); vertical localization is an in-kernel per-row factor.  Its
+    # geometry is chordal, so exact-haversine runs (fast_geometry=False
+    # under localization) keep the per-block v3.
     fused = (
         use_pallas
         and method == "blocked"
-        and not vertical
         and (fast_geometry or not localize)
     )
 
@@ -98,8 +98,9 @@ def _ensrf_sharded_impl(
 
             bm, bp = ensrf_blocked_body_pallas_fused(
                 bm, bp, blat, blon, tail, ob,
+                body_vert=bvert if vertical else None,
                 localize=localize, block_size=block_size, tile=tile,
-                interpret=interpret,
+                interpret=interpret, vertical=vertical,
             )
         elif use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas

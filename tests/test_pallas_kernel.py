@@ -197,3 +197,36 @@ def test_fused_v4_matches_xla_exact():
                                rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(ref[1]),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_fused_v4_gridded_state_with_vertical():
+    """v4 on a vt>1 gridded state with vertical localization must match the
+    exact XLA blocked path (per-row weights are exact for gridded rows)."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12, seed=6)
+    nrows = bm.shape[0]  # 2 times x 64 grid points
+    rng = np.random.default_rng(0)
+    body_vert = jnp.asarray(
+        np.repeat([500.0, 850.0], nrows // 2), dtype=bp.dtype
+    )
+    obs = obs._replace(
+        verts=jnp.asarray(rng.uniform(400, 900, obs.values.shape[0]),
+                          dtype=bp.dtype),
+        vert_radii=jnp.asarray(
+            np.where(np.arange(obs.values.shape[0]) % 3 == 0, np.inf, 300.0),
+            dtype=bp.dtype),
+    )
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    ref = core.ensrf_blocked_body(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=3,
+        fast_geometry=True, body_vert=body_vert, vertical=True,
+    )
+    v4 = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, body_vert=body_vert,
+        localize=True, block_size=3, tile=48, interpret=True, vertical=True,
+    )
+    np.testing.assert_allclose(np.asarray(v4[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=2e-4)

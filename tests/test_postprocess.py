@@ -92,3 +92,23 @@ def test_innovation_consistency_after_update():
     stats = innovation_consistency(batch)
     assert stats["nobs"] == 12
     assert 0.05 < stats["consistency_ratio"] < 20.0
+
+
+def test_interactive_viewer_headless_update():
+    """The interactive viewer (reference efa_demo.ipynb cells 14-16) must
+    work headless: slider-equivalent update() reruns the assimilation and
+    the count knob only toggles flags (0 obs -> posterior == prior)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from efa_xray_tpu.postprocess.viewer import AssimilationViewer
+
+    v = AssimilationViewer(n_obs=5)
+    post5 = v.result["post"].copy()
+    assert post5.shape == v.result["prior"].shape
+    v.update(n_obs=0)
+    np.testing.assert_allclose(v.result["post"], v.result["prior"], atol=1e-10)
+    assert np.abs(post5 - v.result["post"]).max() > 0.1
+    v.update(n_obs=5, ob_error=0.2)
+    tighter = v.result["post"].var(axis=1).mean()
+    assert tighter < post5.var(axis=1).mean()  # smaller R pulls harder
