@@ -157,3 +157,29 @@ def test_arccos_polynomial_accuracy():
     t = np.linspace(-1, 1, 20001)
     got = np.asarray(_arccos_as(np.asarray(t)))
     np.testing.assert_allclose(got, np.arccos(t), atol=3e-8)
+
+
+def test_map_localization_plot():
+    """O4: the localization footprint plot (reference observation.py:94-115,
+    which required Basemap) renders headless, peaks at the ob location, and
+    honors a projection callable."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from conftest import make_demo_state
+    from efa_xray_tpu.observation.observation import Observation
+
+    state = make_demo_state(ny=8, nx=10)
+    s = state.structure
+    ob = Observation(value=1.0, obtype=s.var_names[0], time=s.times64()[0],
+                     error=1.0, lat=float(s.lat[4, 5]), lon=float(s.lon[4, 5]),
+                     localize_radius=300.0, description="footprint")
+    ax = ob.map_localization(state)
+    quads = ax.collections[0].get_array()
+    w = np.asarray(quads).reshape(-1)
+    assert w.max() > 0.99  # weight ~1 at the ob's own grid point
+    assert w.min() == 0.0  # compact support reaches zero on this domain
+
+    proj = lambda lon, lat: (lon * 2.0, lat * 2.0)  # any callable projection
+    ax2 = ob.map_localization(state, projection=proj)
+    assert ax2 is not ax
