@@ -83,8 +83,11 @@ def run_tpu(w, block_size=128, localize=True, iters=3):
 
     use_pallas = jax.default_backend() == "tpu"
 
+    # Coordinates and obs enter as jit ARGUMENTS, not closure captures:
+    # captured device arrays become constant literals — unfreeable global
+    # allocations in the compiled program.
     @jax.jit
-    def step(bm, bp, tm, tp):
+    def _step(bm, bp, tm, tp, blat, blon, obs):
         if use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
                 ensrf_blocked_body_pallas_fused,
@@ -102,6 +105,8 @@ def run_tpu(w, block_size=128, localize=True, iters=3):
             localize=localize, block_size=block_size,
         )
         return bm2, bp2, tm2, tp2
+
+    step = lambda *c: _step(*c, blat, blon, obs)
 
     @jax.jit
     def digest(bm, bp):
@@ -260,6 +265,11 @@ def main():
                     "nmems": nmems,
                     "nobs": nobs,
                     "tpu_seconds": dt_tpu,
+                    # Same workload through the full public API (EnSRF on a
+                    # 1024x1024 EnsembleState): update() wall seconds and
+                    # the forward-operator (build_taps) host+device cost.
+                    "api_seconds": dt_api,
+                    "taps_seconds": dt_taps,
                     "reference_numpy_seconds_extrapolated": dt_ref,
                     "fast_geometry": True,
                     "backend": jax.default_backend(),

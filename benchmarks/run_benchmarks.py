@@ -64,7 +64,11 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
         None if body_vert is None else jnp.asarray(body_vert, dtype=dtype)
     )
 
-    def step_impl(bm, bp, tm, tp):
+    # blat/blon/bvert/obs enter as jit ARGUMENTS: closure-captured device
+    # arrays become constant literals in the compiled program — global
+    # allocations that can never be freed (measured: 4 x 2 GB padded
+    # constants at the pod-slice size).
+    def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan(tm, tp, obs, localize=True,
                               fast_geometry=(kernel != "xla"),
                               vertical=vertical)
@@ -91,7 +95,10 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
             )
         return bm2, bp2, tail.tail_mean, tail.tail_perts
 
-    step = jax.jit(step_impl, donate_argnums=(0, 1) if donate else ())
+    jstep = jax.jit(step_impl, donate_argnums=(0, 1) if donate else ())
+    if bvert is None:
+        bvert = jnp.zeros_like(blat)
+    step = lambda *c: jstep(*c, blat, blon, bvert, obs)
 
     @jax.jit
     def digest(bm, bp):

@@ -68,12 +68,13 @@ def _gc_poly(r):
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
     def kernel(
-        xbm_in_ref,  # [TILE, 1]
+        xbm_in_ref,  # [1, TILE]
         xbp_in_ref,  # [TILE, M]
-        bx_ref,  # [TILE, 1] state-row unit vectors
-        by_ref,  # [TILE, 1]
-        bz_ref,  # [TILE, 1]
-        bv_ref,  # [TILE, 1] row vertical coordinate (zeros when unused)
+        geom_ref,  # [4, TILE] rows: unit-vector x, y, z, vertical coord.
+        # Packed with rows on the SUBLANE axis: a [TILE, 1] column operand
+        # would be lane-padded 128x by Mosaic's (8, 128) tiling — at 4M
+        # state rows that is 2 GB of HBM padding PER coordinate (measured
+        # OOM); [4, TILE] costs only the 4->8 sublane round-up.
         y_ref,  # [1, B, M] this block's ye rows
         ggt_ref,  # [1, B, B]
         gain_ref,  # [1, 1, B]
@@ -84,7 +85,7 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
         invrad_ref,  # [1, 1, B] 1/halfwidth (0 = no localization for the ob)
         overt_ref,  # [1, 1, B] ob vertical coordinate
         invvrad_ref,  # [1, 1, B] 1/vertical-halfwidth (0 = off for the ob)
-        xbm_out_ref,  # [TILE, 1] revisited across blocks
+        xbm_out_ref,  # [1, TILE] revisited across blocks
         xbp_out_ref,  # [TILE, M] revisited across blocks
         u_ref,  # [B, TILE] scratch
         d0_ref,  # [B, TILE] scratch
@@ -105,11 +106,11 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
         )
 
         if localize:
-            bx = bx_ref[:].reshape(1, -1)  # [1, T]
-            by = by_ref[:].reshape(1, -1)
-            bz = bz_ref[:].reshape(1, -1)
+            bx = geom_ref[0:1, :]  # [1, T]
+            by = geom_ref[1:2, :]
+            bz = geom_ref[2:3, :]
             if vertical:
-                bv = bv_ref[:].reshape(1, -1)  # [1, T]
+                bv = geom_ref[3:4, :]  # [1, T]
 
         npanels = -(-bsz // PANEL)
         for q in range(npanels):
@@ -170,7 +171,7 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
             gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # [1, TILE]
-        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd.reshape(-1, 1)
+        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
         gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
         xbp_out_ref[:] = xbp - jax.lax.dot_general(
             gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -257,19 +258,24 @@ def _fused_impl(
     # donation to early-free whenever nrows % tile != 0.
     tile = max(8, min(-(-tile // 8) * 8, -(-nrows // 8) * 8))
     gtiles = max(1, -(-nrows // tile))
-    bm = body_mean.reshape(-1, 1)
+    bm = body_mean.reshape(1, -1)  # [1, N]: rows on the lane axis (a
+    # [N, 1] column would be lane-padded 128x by the (8, 128) tiling)
     bp = body_perts
     body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
-    bx = body_xyz[:, 0:1]
-    by = body_xyz[:, 1:2]
-    bz = body_xyz[:, 2:3]
     if body_vert is None:
-        bv = jnp.zeros((nrows, 1), dtype=dtype)
+        bvert = jnp.zeros_like(body_lat)
     else:
-        bv = body_vert.astype(dtype).reshape(-1, 1)
+        bvert = body_vert
+    geom = jnp.stack(
+        [body_xyz[:, 0], body_xyz[:, 1], body_xyz[:, 2],
+         bvert.astype(dtype)]
+    )  # [4, N]
 
     tiled = lambda shape: pl.BlockSpec(
         shape, lambda t, b: (t, 0), memory_space=pltpu.VMEM
+    )
+    row_vec = lambda shape: pl.BlockSpec(
+        shape, lambda t, b: (0, t), memory_space=pltpu.VMEM
     )
     per_block3 = lambda shape: pl.BlockSpec(
         shape, lambda t, b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -279,12 +285,9 @@ def _fused_impl(
         _make_fused_kernel(bsz, localize, vertical),
         grid=(gtiles, nblocks),
         in_specs=[
-            tiled((tile, 1)),
+            row_vec((1, tile)),
             tiled((tile, nmems)),
-            tiled((tile, 1)),
-            tiled((tile, 1)),
-            tiled((tile, 1)),
-            tiled((tile, 1)),
+            row_vec((4, tile)),
             per_block3((1, bsz, nmems)),
             per_block3((1, bsz, bsz)),
             per_block3((1, 1, bsz)),
@@ -297,11 +300,11 @@ def _fused_impl(
             per_block3((1, 1, bsz)),
         ],
         out_specs=[
-            tiled((tile, 1)),
+            row_vec((1, tile)),
             tiled((tile, nmems)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nrows, 1), dtype),
+            jax.ShapeDtypeStruct((1, nrows), dtype),
             jax.ShapeDtypeStruct((nrows, nmems), dtype),
         ],
         scratch_shapes=[
@@ -316,12 +319,12 @@ def _fused_impl(
         ),
         interpret=interpret,
     )(
-        bm, bp, bx, by, bz, bv,
+        bm, bp, geom,
         y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
         overt_b, invvrad_b,
     )
 
-    return out_mean[:, 0], out_perts
+    return out_mean[0], out_perts
 
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
