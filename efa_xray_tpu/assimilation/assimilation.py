@@ -262,11 +262,17 @@ class Assimilation:
 
     # -- diagnostics write-back -------------------------------------------
     def record_diagnostics(self, diags) -> None:
-        self.obs.prior_mean = np.asarray(diags.prior_mean, dtype=np.float64)
-        self.obs.prior_var = np.asarray(diags.prior_var, dtype=np.float64)
-        self.obs.post_mean = np.asarray(diags.post_mean, dtype=np.float64)
-        self.obs.post_var = np.asarray(diags.post_var, dtype=np.float64)
-        self.obs.assimilated = np.asarray(diags.assimilated, dtype=bool)
+        # One batched device_get instead of five np.asarray round-trips:
+        # on tunneled backends each host pull pays ~tens of ms of latency.
+        pm, pv, om, ov, asm = jax.device_get(
+            (diags.prior_mean, diags.prior_var, diags.post_mean,
+             diags.post_var, diags.assimilated)
+        )
+        self.obs.prior_mean = np.asarray(pm, dtype=np.float64)
+        self.obs.prior_var = np.asarray(pv, dtype=np.float64)
+        self.obs.post_mean = np.asarray(om, dtype=np.float64)
+        self.obs.post_var = np.asarray(ov, dtype=np.float64)
+        self.obs.assimilated = np.asarray(asm, dtype=bool)
         if self._user_obs is not None and all(
             isinstance(o, Observation) for o in self._user_obs
         ):

@@ -194,19 +194,28 @@ def build_taps(
     glon = jnp.asarray(structure.lon.ravel(), dtype=fdtype)
 
     # Device-side nearest-point search, chunked so the [chunk, ngrid]
-    # distance matrix stays within a bounded footprint.
+    # distance matrix stays within a bounded footprint.  Dispatch all
+    # chunks asynchronously and pull the (tiny) index results with ONE
+    # host transfer — a per-chunk np.asarray would pay a full device
+    # round-trip per chunk (measured ~40 ms each through the tunnel).
     itemsize = jnp.dtype(fdtype).itemsize
     chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * itemsize, 1)))
-    sp_idx = np.empty((nobs, npt), dtype=np.int64)
-    for s in range(0, nobs, chunk):
-        e = min(nobs, s + chunk)
-        idx = _topk_points(
+    parts = [
+        _topk_points(
             glat, glon,
-            jnp.asarray(lats[s:e], dtype=fdtype),
-            jnp.asarray(lons[s:e], dtype=fdtype),
+            jnp.asarray(lats[s:min(nobs, s + chunk)], dtype=fdtype),
+            jnp.asarray(lons[s:min(nobs, s + chunk)], dtype=fdtype),
             npt, metric,
         )
-        sp_idx[s:e] = np.asarray(idx)
+        for s in range(0, nobs, chunk)
+    ]
+    if not parts:  # empty observation batch
+        sp_idx = np.empty((0, npt), dtype=np.int64)
+    else:
+        sp_idx = np.asarray(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0),
+            dtype=np.int64,
+        )
 
     # Recompute the selected distances in f64 on host so the IDW weights and
     # the exact-match test are precision-independent of the device dtype.
