@@ -72,7 +72,15 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
         tail = core.tail_scan(tm, tp, obs, localize=True,
                               fast_geometry=(kernel != "xla"),
                               vertical=vertical)
-        if kernel == "v4":
+        if kernel == "v4g":
+            from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
+
+            bm2, bp2 = _fused_grid_impl(
+                bm, bp, blat, blon, tail, obs, body_vert=bvert,
+                localize=True, block_size=block_size, tile=tile,
+                vertical=vertical, ngrid=ngrid,
+            )
+        elif kernel == "v4":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
 
             bm2, bp2 = _fused_impl(
@@ -249,11 +257,15 @@ def bench_config3(vertical=False, kernel=None):
     }
 
 
-def bench_config4():
+def bench_config4(sharded=False):
     """Pod-scale slice on one chip: the per-chip share of the BASELINE
     v5p-8 target (1e7 points x 80 members, 10k obs -> 4.2M-row slice on a
     16 GB v5e; every chip of the pod runs exactly this, obs replicated,
-    zero per-ob collectives), with the donating v4 kernel."""
+    zero per-ob collectives), with the donating v4 kernel.
+
+    ``sharded=True`` routes the SAME slice through the production
+    shard_map path on a 1-device mesh (exactly what each pod chip
+    executes) — validates no regression from the mesh plumbing."""
     rng = np.random.default_rng(4)
     nstate, nmems, nobs = 4_194_304, 80, 10_000
     state_lat = rng.uniform(-88, 88, nstate)
@@ -264,10 +276,44 @@ def bench_config4():
         prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
         state_lat[rows], state_lon[rows], np.full(nobs, 2000.0), jnp.float32,
     )
-    dt = _timed_update(prior, state_lat, state_lon, obs, donate=True,
-                       iters=2)
+    if sharded:
+        from efa_xray_tpu.parallel import make_mesh
+        from efa_xray_tpu.parallel.sharded import ensrf_update_sharded
+
+        mesh = make_mesh(jax.devices()[:1])
+        pj = jnp.asarray(prior)
+        ye0 = pj[jnp.asarray(rows)]
+        blat = jnp.asarray(state_lat, jnp.float32)
+        blon = jnp.asarray(state_lon, jnp.float32)
+
+        def step(bm, bp, tm, tp):
+            return ensrf_update_sharded(
+                bm, bp, tm, tp, blat, blon, obs, mesh=mesh, localize=True,
+                use_pallas=True, fast_geometry=True, donate=True,
+            )[:4]
+
+        digest = jax.jit(lambda bm, bp: jnp.sum(bm) + jnp.sum(bp[:, 0]))
+        bm = jnp.mean(pj, axis=1)
+        bp = pj - bm[:, None]
+        tm = jnp.mean(ye0, axis=1)
+        tp = ye0 - tm[:, None]
+        del pj, ye0
+        carry = step(bm, bp, tm, tp)
+        _ = float(digest(carry[0], carry[1]))
+        t0 = time.perf_counter()
+        _ = float(digest(carry[0], carry[1]))
+        sync = time.perf_counter() - t0
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step(*carry)
+        _ = float(digest(carry[0], carry[1]))
+        dt = max((time.perf_counter() - t0 - sync) / iters, 1e-9)
+    else:
+        dt = _timed_update(prior, state_lat, state_lon, obs, donate=True,
+                           iters=2)
     return {
-        "config": "4-pod-slice",
+        "config": "4-pod-slice" + ("-sharded" if sharded else ""),
         "nstate": nstate,
         "nmems": nmems,
         "nobs": nobs,
@@ -348,7 +394,10 @@ def main():
                     default=[0, 1, 2, 3, 4, 5])
     ap.add_argument("--vertical", action="store_true",
                     help="config 3 with vertical localization")
-    ap.add_argument("--kernel", default=None, choices=[None, "v3", "v4", "xla"],
+    ap.add_argument("--sharded", action="store_true",
+                    help="config 4 through the shard_map path (1-device mesh)")
+    ap.add_argument("--kernel", default=None,
+                    choices=[None, "v3", "v4", "v4g", "xla"],
                     help="override kernel selection for configs 2/3")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -357,6 +406,8 @@ def main():
         kw = {}
         if c == 3:
             kw = dict(vertical=args.vertical, kernel=args.kernel)
+        elif c == 4:
+            kw = dict(sharded=args.sharded)
         r = BENCHES[c](**kw)
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)

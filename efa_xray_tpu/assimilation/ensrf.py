@@ -180,6 +180,7 @@ class EnSRF(Assimilation):
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
                 ensrf_blocked_body_pallas_fused_donating,
+                ensrf_blocked_body_pallas_fused_grid_donating,
             )
 
             tail = core.tail_scan(
@@ -195,7 +196,36 @@ class EnSRF(Assimilation):
 
             interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
-            if cfg.fast_geometry or not cfg.localize:
+            vt = st.nvars * st.ntimes
+            nrows = int(body_mean.shape[0])
+            if (
+                cfg.localize
+                and cfg.fast_geometry
+                and vt > 1
+                and st.ngrid > 0
+                and nrows == vt * st.ngrid
+            ):
+                # Gridded state: v4-grid — same one-HBM-pass loop nest,
+                # horizontal weights computed ONCE per grid point by XLA
+                # and streamed in (removes the vt-fold trig redundancy;
+                # measured 0.29 s -> see PARITY.md config 3), vertical
+                # localization as a per-(group, ob) scalar table.
+                bm, bp = ensrf_blocked_body_pallas_fused_grid_donating(
+                    body_mean,
+                    body_perts,
+                    body_lat,
+                    body_lon,
+                    tail,
+                    obs,
+                    body_vert=body_vert if vertical else None,
+                    localize=cfg.localize,
+                    block_size=cfg.block_size,
+                    tile=cfg.pallas_tile,
+                    interpret=interpret,
+                    vertical=vertical,
+                    ngrid=st.ngrid,
+                )
+            elif cfg.fast_geometry or not cfg.localize:
                 # The fully-fused v4 kernel (state crosses HBM once;
                 # per-row chordal weights — and, when active, vertical GC
                 # factors — computed in-kernel).  Per-row weights are exact

@@ -190,8 +190,7 @@ def build_taps(
     npt = min(npt, ngrid)
 
     fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    glat = jnp.asarray(structure.lat.ravel(), dtype=fdtype)
-    glon = jnp.asarray(structure.lon.ravel(), dtype=fdtype)
+    glat, glon = structure.grid_latlon_device(fdtype)
 
     # Device-side nearest-point search, chunked so the [chunk, ngrid]
     # distance matrix stays within a bounded footprint.  Dispatch all

@@ -327,7 +327,240 @@ def _fused_impl(
     return out_mean[0], out_perts
 
 
+def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
+    """v4-grid: same loop nest as v4 (state tile resident across ALL obs
+    blocks) but weights stream from a precomputed per-GRID-POINT array
+    instead of per-row in-kernel trig.  For a VT = nvars*ntimes-group
+    state this removes the VT-fold redundancy of recomputing the same
+    grid weight for every group's copy of a row (measured ~36% of v4
+    kernel time at VT=1 — multiplied by VT for gridded states)."""
+
+    def kernel(
+        xbm_in_ref,  # [1, TILE_G]
+        xbp_in_ref,  # [1, TILE_G, M]
+        w_ref,  # [1, B, TILE_G] this block's grid weights
+        wvt_ref,  # [1, 1, B] this (group, block)'s vertical factors
+        y_ref,  # [1, B, M]
+        ggt_ref,  # [1, B, B]
+        gain_ref,  # [1, 1, B]
+        sqrtc_ref,  # [1, 1, B]
+        xbm_out_ref,  # [1, TILE_G] revisited across blocks
+        xbp_out_ref,  # [1, TILE_G, M] revisited across blocks
+        u_ref,  # [B, TILE_G] scratch
+        d0_ref,  # [B, TILE_G] scratch
+    ):
+        f32 = xbp_in_ref.dtype
+        b = pl.program_id(2)
+
+        @pl.when(b == 0)
+        def _():
+            xbm_out_ref[:] = xbm_in_ref[:]
+            xbp_out_ref[:] = xbp_in_ref[:]
+
+        xbp = xbp_out_ref[0]  # [T, M] resident across blocks
+        y = y_ref[0]  # [B, M]
+
+        d0_ref[:] = jax.lax.dot_general(
+            y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+        npanels = -(-bsz // PANEL)
+        for q in range(npanels):
+            base = q * PANEL
+            width = min(PANEL, bsz - base)
+            if base > 0:
+                corr = jax.lax.dot_general(
+                    ggt_ref[0, base : base + width, 0:base],
+                    u_ref[0:base, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                d_panel = d0_ref[base : base + width, :] - corr
+            else:
+                d_panel = d0_ref[0:width, :]
+            for t in range(width):
+                j = base + t
+                if t > 0:
+                    corr2 = jax.lax.dot_general(
+                        ggt_ref[0, j : j + 1, base : base + t],
+                        u_ref[base : base + t, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    d_j = d_panel[t : t + 1, :] - corr2
+                else:
+                    d_j = d_panel[0:1, :]
+                if localize:
+                    d_j = d_j * w_ref[0, j : j + 1, :]
+                    if vertical:
+                        d_j = d_j * wvt_ref[0, 0, j]
+                u_ref[j : j + 1, :] = d_j
+
+        u_t = u_ref[:]
+        mean_upd = jax.lax.dot_general(
+            gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [1, TILE_G]
+        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
+        gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+        xbp_out_ref[0] = xbp - jax.lax.dot_general(
+            gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    return kernel
+
+
+def _fused_grid_impl(
+    body_mean,  # [N] flat, rows = (vt, grid) C-order
+    body_perts,  # [N, M]
+    body_lat,
+    body_lon,
+    tail: TailSolution,
+    obs: ObsArrays,
+    body_vert=None,  # [N]; rows within a vt group share one level
+    localize: bool = True,
+    block_size: int = 128,
+    tile: int = 8192,
+    interpret: bool = False,
+    vertical: bool = False,
+    ngrid: int = 0,
+):
+    """v4-grid phase 2 for states whose rows tile one spatial grid over
+    VT = nrows/ngrid groups (``StateStructure.row_latlon`` ordering).
+
+    Horizontal GC weights are computed ONCE per grid point by XLA (one
+    fused streaming pass over ``[nobs, ngrid]``) and streamed into the
+    kernel per (group, grid-tile, block); vertical localization is a tiny
+    per-(group, ob) scalar table.  The state still crosses HBM exactly
+    once (v4 loop nest).  Weight-array HBM cost: nobs x ngrid floats."""
+    from efa_xray_tpu.observation.localization import chordal_gc_weights
+
+    nobs = tail.ye.shape[0]
+    if nobs == 0:
+        return body_mean, body_perts
+    dtype = body_perts.dtype
+    nrows, nmems = body_perts.shape
+    assert ngrid > 0 and nrows % ngrid == 0
+    vt = nrows // ngrid
+    nblocks = max(1, -(-nobs // block_size))
+    pad = nblocks * block_size - nobs
+    bsz = block_size
+
+    obs = obs.with_default_verts()
+    ye = jnp.pad(tail.ye.astype(dtype), ((0, pad), (0, 0)))
+    gain = jnp.pad(tail.gain_coef.astype(dtype), (0, pad))
+    sqrtc = jnp.pad(tail.sqrt_coef.astype(dtype), (0, pad))
+    radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+
+    y_b = ye.reshape(nblocks, bsz, nmems)
+    gram = jnp.einsum("abm,acm->abc", y_b, y_b)
+    ggt_b = jnp.swapaxes(
+        gram * sqrtc.reshape(nblocks, bsz)[:, :, None], 1, 2
+    )
+    gain_b = gain.reshape(nblocks, 1, bsz)
+    sqrt_b = sqrtc.reshape(nblocks, 1, bsz)
+
+    # Per-grid-point horizontal weights, one XLA pass: [nblocks, B, G].
+    grid_lat = body_lat[:ngrid].astype(dtype)
+    grid_lon = body_lon[:ngrid].astype(dtype)
+    if localize:
+        ob_xyz = jnp.pad(
+            latlon_to_unit(obs.lats, obs.lons).astype(dtype), ((0, pad), (0, 0))
+        )
+        gxyz = latlon_to_unit(grid_lat, grid_lon).astype(dtype)
+        w = chordal_gc_weights(
+            ob_xyz[:, None, :], gxyz[None, :, :], radii[:, None]
+        ).astype(dtype).reshape(nblocks, bsz, ngrid)
+    else:
+        w = jnp.ones((1, bsz, 8), dtype=dtype)  # placeholder
+    # Vertical factors per (group, ob): [VT, nblocks, B] (ones when off).
+    if localize and vertical:
+        group_vert = body_vert.reshape(vt, ngrid)[:, 0].astype(dtype)
+        overt = jnp.pad(obs.verts.astype(dtype), (0, pad))
+        ovrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad),
+                        constant_values=jnp.inf)
+        wvt = _gc_poly(
+            jnp.abs(group_vert[:, None] - overt[None, :])
+            * jnp.where(jnp.isinf(ovrad), 0.0, 1.0 / jnp.abs(ovrad))[None, :]
+        )
+        wvt = jnp.where(
+            jnp.isinf(ovrad)[None, :], 1.0, wvt
+        ).reshape(vt, nblocks, bsz).astype(dtype)
+    else:
+        wvt = jnp.ones((vt, nblocks, bsz), dtype=dtype)
+
+    tile = max(8, min(-(-tile // 8) * 8, -(-ngrid // 8) * 8))
+    gtiles = max(1, -(-ngrid // tile))
+    bm = body_mean.reshape(vt, ngrid)
+    bp = body_perts.reshape(vt, ngrid, nmems)
+
+    w_spec = (
+        pl.BlockSpec((1, bsz, tile), lambda v, t, b: (b, 0, t),
+                     memory_space=pltpu.VMEM)
+        if localize
+        else pl.BlockSpec((1, bsz, 8), lambda v, t, b: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    per_block3 = lambda shape: pl.BlockSpec(
+        shape, lambda v, t, b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_mean, out_perts = pl.pallas_call(
+        _make_fused_grid_kernel(bsz, localize, vertical),
+        grid=(vt, gtiles, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda v, t, b: (v, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, nmems), lambda v, t, b: (v, t, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            pl.BlockSpec((1, 1, bsz), lambda v, t, b: (v, b, 0),
+                         memory_space=pltpu.VMEM),
+            per_block3((1, bsz, nmems)),
+            per_block3((1, bsz, bsz)),
+            per_block3((1, 1, bsz)),
+            per_block3((1, 1, bsz)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda v, t, b: (v, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, nmems), lambda v, t, b: (v, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((vt, ngrid), dtype),
+            jax.ShapeDtypeStruct((vt, ngrid, nmems), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, tile), dtype),
+            pltpu.VMEM((bsz, tile), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # Groups and grid tiles are independent; obs blocks within a
+            # tile are sequential (output revisited).
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        bm, bp, w, wvt, y_b, ggt_b, gain_b, sqrt_b,
+    )
+
+    return out_mean.reshape(nrows), out_perts.reshape(nrows, nmems)
+
+
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
+_STATIC_GRID = _STATIC + ("ngrid",)
+
+ensrf_blocked_body_pallas_fused_grid = jax.jit(
+    _fused_grid_impl, static_argnames=_STATIC_GRID
+)
+
+# Donating variant (see the flat-state twin below): posterior reuses the
+# prior's HBM; exact aliasing through the [N, M] <-> [VT, G, M] reshape.
+ensrf_blocked_body_pallas_fused_grid_donating = jax.jit(
+    _fused_grid_impl, static_argnames=_STATIC_GRID, donate_argnums=(0, 1)
+)
 
 ensrf_blocked_body_pallas_fused = jax.jit(_fused_impl, static_argnames=_STATIC)
 

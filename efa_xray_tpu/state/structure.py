@@ -126,6 +126,27 @@ class StateStructure:
         ``efa_xray/state/ensemble.py:133-135``)."""
         return timeutil.to_datetime64(self.times_s)
 
+    def grid_latlon_device(self, dtype):
+        """Device-resident flat grid ``(lat, lon)``, cached per dtype.
+
+        On tunneled backends re-uploading a multi-MB grid on every
+        ``build_taps`` call costs hundreds of ms (~40 MB/s transfers);
+        the cache rides on the (frozen) structure object so repeated
+        updates against the same state pay it once."""
+        import jax.numpy as jnp
+
+        key = str(jnp.dtype(dtype))
+        cache = getattr(self, "_latlon_dev_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_latlon_dev_cache", cache)
+        if key not in cache:
+            cache[key] = (
+                jnp.asarray(self.lat.ravel(), dtype=dtype),
+                jnp.asarray(self.lon.ravel(), dtype=dtype),
+            )
+        return cache[key]
+
     # --- flattened-row geometry -----------------------------------------
     def flat_index(self, v, t, y, x) -> np.ndarray:
         """Row index in the flattened state for (var, time, y, x)."""

@@ -230,3 +230,63 @@ def test_fused_v4_gridded_state_with_vertical():
                                rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(np.asarray(v4[1]), np.asarray(ref[1]),
                                rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("vertical", [False, True])
+def test_fused_v4_grid_matches_flat(vertical):
+    """v4-grid (per-grid-point weights streamed from XLA, state resident
+    across all blocks) must match the per-row v4 on a vt>1 gridded state."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import (
+        ensrf_blocked_body_pallas_fused,
+        ensrf_blocked_body_pallas_fused_grid,
+    )
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12, seed=14)
+    nrows = bm.shape[0]
+    ngrid = 64  # 2 times x (8x8 grid): rows = (vt=2, g=64)
+    assert nrows == 2 * ngrid
+    body_vert = None
+    if vertical:
+        body_vert = jnp.asarray(np.repeat([500.0, 850.0], ngrid), dtype=bp.dtype)
+        rng = np.random.default_rng(1)
+        obs = obs._replace(
+            verts=jnp.asarray(rng.uniform(400, 900, obs.values.shape[0]),
+                              dtype=bp.dtype),
+            vert_radii=jnp.asarray(
+                np.where(np.arange(obs.values.shape[0]) % 2 == 0, np.inf, 300.0),
+                dtype=bp.dtype),
+        )
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    flat = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, body_vert=body_vert,
+        localize=True, block_size=3, tile=48, interpret=True,
+        vertical=vertical,
+    )
+    grid = ensrf_blocked_body_pallas_fused_grid(
+        bm, bp, blat, blon, tail, obs, body_vert=body_vert,
+        localize=True, block_size=3, tile=48, interpret=True,
+        vertical=vertical, ngrid=ngrid,
+    )
+    np.testing.assert_allclose(np.asarray(grid[0]), np.asarray(flat[0]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grid[1]), np.asarray(flat[1]),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_ensrf_class_routes_gridded_fast_geometry_to_v4_grid():
+    """EnSRF with use_pallas + fast_geometry on a vt>1 state must agree
+    with the XLA path (exercises the v4-grid routing end to end)."""
+    from conftest import make_demo_obs, make_demo_state
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+
+    state = make_demo_state(ntimes=3, ny=7, nx=9, nmems=14, seed=15)
+    obs = make_demo_obs(state, nobs=7, seed=16, radius=900.0)
+    base = FilterConfig(localization="GC", dtype="float32", use_pallas=False,
+                        fast_geometry=True)
+    fused = FilterConfig(localization="GC", dtype="float32", use_pallas=True,
+                         fast_geometry=True, block_size=3, pallas_tile=32)
+    p1, _ = EnSRF(state, list(obs), config=base).update()
+    p2, _ = EnSRF(state, list(obs), config=fused).update()
+    np.testing.assert_allclose(np.asarray(p2.data), np.asarray(p1.data),
+                               atol=2e-4)
