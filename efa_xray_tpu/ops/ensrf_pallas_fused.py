@@ -336,15 +336,17 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
     kernel time at VT=1 — multiplied by VT for gridded states)."""
 
     def kernel(
-        xbm_in_ref,  # [1, TILE_G]
+        xbm_in_ref,  # [1, 1, TILE_G]  (unit sublane axis: Mosaic requires
+        # block[-2] divisible by 8 OR equal to the array dim — a [VT, G]
+        # operand with block (1, tile) violates that whenever VT > 1)
         xbp_in_ref,  # [1, TILE_G, M]
         w_ref,  # [1, B, TILE_G] this block's grid weights
-        wvt_ref,  # [1, 1, B] this (group, block)'s vertical factors
+        wvt_ref,  # [1, 1, 1, B] this (group, block)'s vertical factors
         y_ref,  # [1, B, M]
         ggt_ref,  # [1, B, B]
         gain_ref,  # [1, 1, B]
         sqrtc_ref,  # [1, 1, B]
-        xbm_out_ref,  # [1, TILE_G] revisited across blocks
+        xbm_out_ref,  # [1, 1, TILE_G] revisited across blocks
         xbp_out_ref,  # [1, TILE_G, M] revisited across blocks
         u_ref,  # [B, TILE_G] scratch
         d0_ref,  # [B, TILE_G] scratch
@@ -393,7 +395,7 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
                 if localize:
                     d_j = d_j * w_ref[0, j : j + 1, :]
                     if vertical:
-                        d_j = d_j * wvt_ref[0, 0, j]
+                        d_j = d_j * wvt_ref[0, 0, 0, j]
                 u_ref[j : j + 1, :] = d_j
 
         u_t = u_ref[:]
@@ -401,7 +403,7 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
             gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # [1, TILE_G]
-        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
+        xbm_out_ref[0] = xbm_out_ref[0] + mean_upd
         gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
         xbp_out_ref[0] = xbp - jax.lax.dot_general(
             gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -485,13 +487,16 @@ def _fused_grid_impl(
         )
         wvt = jnp.where(
             jnp.isinf(ovrad)[None, :], 1.0, wvt
-        ).reshape(vt, nblocks, bsz).astype(dtype)
+        ).reshape(vt, nblocks, 1, bsz).astype(dtype)
     else:
-        wvt = jnp.ones((vt, nblocks, bsz), dtype=dtype)
+        wvt = jnp.ones((vt, nblocks, 1, bsz), dtype=dtype)
 
     tile = max(8, min(-(-tile // 8) * 8, -(-ngrid // 8) * 8))
     gtiles = max(1, -(-ngrid // tile))
-    bm = body_mean.reshape(vt, ngrid)
+    # Unit sublane axis on the mean: Mosaic requires block[-2] % 8 == 0 or
+    # block[-2] == array.shape[-2]; (1, 1, tile) on [VT, 1, G] satisfies it
+    # for any VT (a [VT, G] operand with block (1, tile) does not).
+    bm = body_mean.reshape(vt, 1, ngrid)
     bp = body_perts.reshape(vt, ngrid, nmems)
 
     w_spec = (
@@ -509,12 +514,12 @@ def _fused_grid_impl(
         _make_fused_grid_kernel(bsz, localize, vertical),
         grid=(vt, gtiles, nblocks),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda v, t, b: (v, t),
+            pl.BlockSpec((1, 1, tile), lambda v, t, b: (v, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, nmems), lambda v, t, b: (v, t, 0),
                          memory_space=pltpu.VMEM),
             w_spec,
-            pl.BlockSpec((1, 1, bsz), lambda v, t, b: (v, b, 0),
+            pl.BlockSpec((1, 1, 1, bsz), lambda v, t, b: (v, b, 0, 0),
                          memory_space=pltpu.VMEM),
             per_block3((1, bsz, nmems)),
             per_block3((1, bsz, bsz)),
@@ -522,13 +527,13 @@ def _fused_grid_impl(
             per_block3((1, 1, bsz)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda v, t, b: (v, t),
+            pl.BlockSpec((1, 1, tile), lambda v, t, b: (v, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, nmems), lambda v, t, b: (v, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((vt, ngrid), dtype),
+            jax.ShapeDtypeStruct((vt, 1, ngrid), dtype),
             jax.ShapeDtypeStruct((vt, ngrid, nmems), dtype),
         ],
         scratch_shapes=[
