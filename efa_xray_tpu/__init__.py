@@ -29,6 +29,7 @@ from efa_xray_tpu.observation.localization import (
 )
 from efa_xray_tpu.assimilation.assimilation import Assimilation, update
 from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.assimilation.letkf import LETKF
 from efa_xray_tpu.assimilation.adaptive_inflation import AdaptiveInflation
 from efa_xray_tpu.postprocess.postprocess import obs_assimilation_statistics
 from efa_xray_tpu.config import FilterConfig
@@ -45,6 +46,7 @@ __all__ = [
     "distance_to_point",
     "Assimilation",
     "EnSRF",
+    "LETKF",
     "AdaptiveInflation",
     "update",
     "obs_assimilation_statistics",

@@ -70,47 +70,6 @@ class EnSRF(Assimilation):
             and jnp.dtype(cfg.dtype) == jnp.float32
         )
 
-    def obs_arrays(self) -> core.ObsArrays:
-        """Device-ready per-ob arrays.  QC-failed obs (e.g. out of the
-        state's time range) are masked out of the update, generalizing the
-        reference's ``assimilate_this`` gate (``ensrf.py:74-76``)."""
-        taps = self.build_taps()
-        dtype = jnp.dtype(self.config.dtype)
-        radii = np.asarray(self.obs.localize_radius, dtype=np.float64).copy()
-        if self.config.default_radius is not None:
-            radii[np.isinf(radii)] = float(self.config.default_radius)
-        # Interpolation QC (e.g. out-of-time-range) applies only to obs
-        # whose ye comes from interpolation; custom-operator obs define
-        # their own validity.
-        qc = np.asarray(taps.qc_ok) | np.asarray(self.obs.custom_operator)
-        assim = np.asarray(self.obs.assimilate_flags) & qc
-        # Vertical localization applies only to obs with a finite vertical
-        # coordinate; others get an infinite vertical radius (weight 1).
-        verts = np.asarray(self.obs.verts, dtype=np.float64).copy()
-        vrad = np.asarray(self.obs.vert_radius, dtype=np.float64).copy()
-        vrad[~np.isfinite(verts)] = np.inf
-        verts[~np.isfinite(verts)] = 0.0
-        return core.ObsArrays(
-            values=jnp.asarray(self.obs.values, dtype=dtype),
-            errors=jnp.asarray(self.obs.errors, dtype=dtype),
-            lats=jnp.asarray(self.obs.lats, dtype=dtype),
-            lons=jnp.asarray(self.obs.lons, dtype=dtype),
-            radii=jnp.asarray(radii, dtype=dtype),
-            assim=jnp.asarray(assim),
-            verts=jnp.asarray(verts, dtype=dtype),
-            vert_radii=jnp.asarray(vrad, dtype=dtype),
-        )
-
-    def _vertical_active(self) -> bool:
-        """Vertical localization is on when the state declares per-variable
-        vertical coordinates and at least one ob requests a finite vertical
-        radius."""
-        if self.prior.structure.var_verts is None:
-            return False
-        vr = np.asarray(self.obs.vert_radius, dtype=np.float64)
-        verts = np.asarray(self.obs.verts, dtype=np.float64)
-        return bool(np.any(np.isfinite(vr) & np.isfinite(verts)))
-
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
         """Assimilate all observations; return (posterior, observations).
 

@@ -1,0 +1,142 @@
+"""LETKF: the user-facing local ensemble transform Kalman filter.
+
+Same construction/update contract as :class:`~efa_xray_tpu.assimilation.ensrf.EnSRF`
+(the reference's only filter, ``efa_xray/assimilation/ensrf.py:8-151``):
+build with a prior :class:`EnsembleState`, observations, inflation and
+localization options; call :meth:`update` for ``(posterior, observations)``
+with per-ob diagnostics recorded.
+
+This solver is an extension beyond the reference.  Where the EnSRF
+assimilates observations strictly serially (each ob updates the state the
+next ob sees — SURVEY.md §7 lists this as the fundamental scaling limit),
+the LETKF analyzes **all observations at once** with an independent
+ensemble-space solve per local patch: batched MXU matmuls end to end, no
+sequential scan over observations (see
+:mod:`efa_xray_tpu.assimilation.letkf_core` for the math and references).
+
+When to prefer which:
+
+* ``EnSRF`` — exact reference parity (gain-space Gaspari-Cohn
+  localization, reproduces the reference analysis to 1e-6).
+* ``LETKF`` — production throughput at large ``nobs`` (cost is flat in
+  nobs once footprints saturate ``letkf_k_obs``), R-space localization,
+  all-at-once analysis.  Matches the EnSRF analysis mean/covariance
+  exactly when localization is off.
+
+Limitations vs EnSRF (v1): horizontal localization only (rows of a column
+share weights — exact in that regime; vertical localization needs
+per-level solves), and no per-ob diagnostics of the *serial* update
+sequence since there is none.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.assimilation import letkf_core
+from efa_xray_tpu.assimilation.assimilation import Assimilation
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation.observation import ObservationBatch
+from efa_xray_tpu.state.ensemble import EnsembleState
+
+
+class LETKF(Assimilation):
+    def __init__(
+        self,
+        state: EnsembleState,
+        obs,
+        inflation=None,
+        verbose: bool = False,
+        loc="GC",
+        config: Optional[FilterConfig] = None,
+        mesh=None,
+    ):
+        if config is None:
+            config = FilterConfig(
+                localization="GC" if loc not in (None, False) else None,
+                verbose=verbose,
+            )
+        super().__init__(
+            state,
+            obs,
+            inflation=inflation,
+            verbose=verbose,
+            config=config,
+            mesh=mesh,
+        )
+
+    def update(self) -> Tuple[EnsembleState, ObservationBatch]:
+        """Assimilate all observations simultaneously; return
+        ``(posterior, observations)``."""
+        cfg = self.config
+        if self.verbose:
+            self.log.info("Beginning LETKF update (all obs at once)")
+        body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
+        obs = self.obs_arrays()
+
+        st = self.prior.structure
+        dtype = jnp.dtype(cfg.dtype)
+        grid_lat, grid_lon = st.grid_latlon_device(dtype)
+
+        if self.mesh is not None:
+            from efa_xray_tpu.parallel.sharded import letkf_update_sharded
+
+            bm, bp, tm, tp, diags = letkf_update_sharded(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                grid_lat,
+                grid_lon,
+                obs,
+                mesh=self.mesh,
+                ngrid=st.ngrid,
+                patch_size=cfg.letkf_patch_size,
+                k_obs=cfg.letkf_k_obs,
+                localize=cfg.localize,
+                sqrt_method=cfg.letkf_sqrt,
+                ns_iters=cfg.letkf_ns_iters,
+                chunk=cfg.letkf_chunk,
+            )
+        else:
+            bm, bp, tm, tp, diags = letkf_core.letkf_update(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                grid_lat,
+                grid_lon,
+                obs,
+                ngrid=st.ngrid,
+                patch_size=cfg.letkf_patch_size,
+                k_obs=cfg.letkf_k_obs,
+                localize=cfg.localize,
+                sqrt_method=cfg.letkf_sqrt,
+                ns_iters=cfg.letkf_ns_iters,
+                chunk=cfg.letkf_chunk,
+            )
+
+        self.record_diagnostics(diags)
+
+        if cfg.adaptive_inflation_update:
+            from efa_xray_tpu.assimilation.adaptive_inflation import (
+                AdaptiveInflation,
+            )
+
+            if isinstance(self.inflation, AdaptiveInflation):
+                b = self.obs
+                self.inflation.update_inflation(
+                    b.lats,
+                    b.lons,
+                    b.localize_radius,
+                    b.values - b.prior_mean,
+                    b.prior_var,
+                    b.errors,
+                    assimilated=b.assimilated,
+                )
+
+        self.post, _ = self.format_posterior_state(bm, bp)
+        return self.post, self.obs

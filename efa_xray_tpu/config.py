@@ -52,6 +52,22 @@ class FilterConfig:
     # Whitaker-Hamill; analysis mean exactly order-invariant when
     # unlocalized).
     unbiased_variance: bool = False
+    # --- LETKF solver knobs (efa_xray_tpu.assimilation.letkf; an extension
+    # beyond the reference, which has only the serial EnSRF) ---
+    # Grid points per local patch sharing one ensemble-space solve (weights
+    # at the patch centroid).  1 = textbook per-point LETKF (exact).
+    letkf_patch_size: int = 1
+    # Max observations entering each local solve (nearest-k truncation;
+    # only binds when a localization footprint holds more than k obs).
+    letkf_k_obs: int = 64
+    # Batched SPD inverse-sqrt backend: "newton_schulz" (pure matmuls,
+    # MXU-native) or "eigh" (exact reference backend).
+    letkf_sqrt: str = "newton_schulz"
+    # Newton-Schulz iteration count (quadratically convergent once the
+    # linear phase ~log2(cond) is past; 30 covers cond ~ 1e4 in f32).
+    letkf_ns_iters: int = 30
+    # Patches solved per lax.map step (bounds the [chunk, k, M] gather).
+    letkf_chunk: int = 1024
     # When ``inflation`` is an AdaptiveInflation instance, Bayesian-update
     # its mean field from this batch's innovations after the analysis
     # (Anderson 2009) so the next cycle's prior inflation has learned from
@@ -71,3 +87,7 @@ class FilterConfig:
             raise ValueError(f"Unknown method {self.method!r}")
         if self.block_size < 1:
             raise ValueError("block_size must be >= 1")
+        if self.letkf_sqrt not in ("newton_schulz", "eigh"):
+            raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
+        if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
+            raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")

@@ -229,3 +229,173 @@ def ensrf_update_sharded(
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]
     return bm, bp, tm, tp, diags
+
+
+# ---------------------------------------------------------------------------
+# Sharded LETKF
+# ---------------------------------------------------------------------------
+
+
+def _letkf_sharded_impl(
+    bm,  # [VT, Gpad]
+    bp,  # [VT, Gpad, M]
+    tail_mean,
+    tail_perts,
+    grid_lat,  # [Gpad]
+    grid_lon,  # [Gpad]
+    obs: core.ObsArrays,
+    *,
+    mesh: Mesh,
+    g_local: int,
+    axis_name: str,
+    patch_size: int,
+    k_obs: int,
+    localize: bool,
+    sqrt_method: str,
+    ns_iters: int,
+    chunk: int,
+):
+    from efa_xray_tpu.assimilation import letkf_core
+
+    vt, _ = bm.shape
+    nens = bp.shape[-1]
+    sharded_g = P(None, axis_name)
+    rep = P()
+    in_specs = (
+        sharded_g,
+        P(None, axis_name, None),
+        rep,
+        rep,
+        P(axis_name),
+        P(axis_name),
+        core.ObsArrays(*([rep] * 8)),
+    )
+    out_specs = (
+        sharded_g,
+        P(None, axis_name, None),
+        rep,
+        rep,
+        core.ObsDiagnostics(*([rep] * 5)),
+    )
+
+    def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, ob):
+        # Every patch's solve is grid-local; the obs-space diagnostics
+        # solve runs redundantly (bit-identically) on each device.  No
+        # collectives anywhere.
+        bm2, bp2, tm2, tp2, diags = letkf_core.letkf_update(
+            bm_l.reshape(vt * g_local),
+            bp_l.reshape(vt * g_local, nens),
+            tm,
+            tp,
+            glat_l,
+            glon_l,
+            ob,
+            ngrid=g_local,
+            patch_size=patch_size,
+            k_obs=k_obs,
+            localize=localize,
+            sqrt_method=sqrt_method,
+            ns_iters=ns_iters,
+            chunk=min(chunk, max(1, -(-g_local // patch_size))),
+        )
+        return (
+            bm2.reshape(vt, g_local),
+            bp2.reshape(vt, g_local, nens),
+            tm2,
+            tp2,
+            diags,
+        )
+
+    fn = jax.shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, obs)
+
+
+_LETKF_STATIC = (
+    "mesh", "g_local", "axis_name", "patch_size", "k_obs", "localize",
+    "sqrt_method", "ns_iters", "chunk",
+)
+_letkf_sharded_jit = jax.jit(_letkf_sharded_impl, static_argnames=_LETKF_STATIC)
+
+
+def letkf_update_sharded(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    grid_lat,  # [G] one copy of the spatial grid
+    grid_lon,
+    obs: core.ObsArrays,
+    mesh: Mesh,
+    ngrid: int,
+    patch_size: int = 1,
+    k_obs: int = 64,
+    localize: bool = True,
+    sqrt_method: str = "newton_schulz",
+    ns_iters: int = 30,
+    chunk: int = 1024,
+    axis_name: str = STATE_AXIS,
+):
+    """Sharded LETKF: the GRID axis (not the flat row axis) shards across
+    the mesh, since rows of a column share their patch's weights.  Patches
+    are independent, the tail/obs replicate, and — like the EnSRF path —
+    **zero collectives** run inside the analysis.
+
+    The grid is padded to a multiple of ``ndev * patch_size`` so local
+    patch boundaries coincide with the unsharded ones: sharded and
+    single-device analyses are identical (pad points repeat the last grid
+    point and are dropped afterwards)."""
+    ns = body_mean.shape[0]
+    nens = body_perts.shape[1]
+    vt = ns // ngrid
+    ndev = mesh.shape[axis_name]
+    g_pad = pad_to_multiple(ngrid, ndev * patch_size)
+    pad = g_pad - ngrid
+
+    bm = body_mean.reshape(vt, ngrid)
+    bp = body_perts.reshape(vt, ngrid, nens)
+    glat, glon = grid_lat, grid_lon
+    if pad:
+        bm = jnp.pad(bm, ((0, 0), (0, pad)))
+        bp = jnp.pad(bp, ((0, 0), (0, pad), (0, 0)))
+        glat = jnp.concatenate([glat, jnp.repeat(glat[-1:], pad)])
+        glon = jnp.concatenate([glon, jnp.repeat(glon[-1:], pad)])
+
+    shard_g1 = NamedSharding(mesh, P(axis_name))
+    shard_g2 = NamedSharding(mesh, P(None, axis_name))
+    shard_g3 = NamedSharding(mesh, P(None, axis_name, None))
+    rep = NamedSharding(mesh, P())
+    bm = jax.device_put(bm, shard_g2)
+    bp = jax.device_put(bp, shard_g3)
+    glat = jax.device_put(glat, shard_g1)
+    glon = jax.device_put(glon, shard_g1)
+    tail_mean = jax.device_put(tail_mean, rep)
+    tail_perts = jax.device_put(tail_perts, rep)
+    obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
+
+    bm, bp, tm, tp, diags = _letkf_sharded_jit(
+        bm,
+        bp,
+        tail_mean,
+        tail_perts,
+        glat,
+        glon,
+        obs,
+        mesh=mesh,
+        g_local=g_pad // ndev,
+        axis_name=axis_name,
+        patch_size=patch_size,
+        k_obs=k_obs,
+        localize=localize,
+        sqrt_method=sqrt_method,
+        ns_iters=ns_iters,
+        chunk=chunk,
+    )
+    bm = bm[:, :ngrid].reshape(ns)
+    bp = bp[:, :ngrid].reshape(ns, nens)
+    return bm, bp, tm, tp, diags

@@ -1,0 +1,262 @@
+"""LETKF solver tests (extension beyond the reference; see
+``efa_xray_tpu/assimilation/letkf_core.py`` for the math and references).
+
+Key correctness anchors:
+
+* with localization OFF, the LETKF and the serial EnSRF (``unbiased=True``)
+  are the same Kalman analysis — mean and covariance must match exactly;
+* the Newton-Schulz inverse-sqrt backend must match the eigendecomposition
+  backend;
+* localization must confine the update to each observation's footprint;
+* the symmetric transform must keep perturbations centered.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation import letkf_core as lcore
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.assimilation.letkf import LETKF
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.parallel import make_mesh
+
+
+def _toy(ngrid=60, vt=2, nmems=12, nobs=9, seed=0, radius=2000.0,
+         ob_sigma=1.0):
+    rng = np.random.default_rng(seed)
+    ns = ngrid * vt
+    prior = rng.normal(280, 4, (ns, nmems))
+    glat = rng.uniform(-60, 60, ngrid)
+    glon = rng.uniform(0, 360, ngrid)
+    rows = rng.integers(0, ngrid, nobs)
+    ye = prior.reshape(vt, ngrid, nmems)[0][rows]
+    vals = ye.mean(1) + rng.normal(0, ob_sigma, nobs)
+    obs = core.ObsArrays(
+        values=jnp.asarray(vals),
+        errors=jnp.full(nobs, float(ob_sigma) ** 2),
+        lats=jnp.asarray(glat[rows]),
+        lons=jnp.asarray(glon[rows]),
+        radii=jnp.full(nobs, radius),
+        assim=jnp.ones(nobs, bool),
+    )
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.asarray(ye.mean(1))
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True))
+    return dict(bm=bm, bp=bp, tm=tm, tp=tp, glat=jnp.asarray(glat),
+                glon=jnp.asarray(glon), blat=jnp.asarray(np.tile(glat, vt)),
+                blon=jnp.asarray(np.tile(glon, vt)), obs=obs, ngrid=ngrid)
+
+
+def test_unlocalized_matches_serial_ensrf_mean_and_covariance():
+    t = _toy()
+    bm1, bp1, *_ = core.ensrf_serial(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["blat"], t["blon"], t["obs"],
+        localize=False, unbiased=True,
+    )
+    bm2, bp2, *_ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        ngrid=t["ngrid"], localize=False, sqrt_method="eigh",
+    )
+    np.testing.assert_allclose(np.asarray(bm1), np.asarray(bm2), atol=1e-10)
+    c1 = np.asarray(bp1 @ bp1.T)
+    c2 = np.asarray(bp2 @ bp2.T)
+    np.testing.assert_allclose(c1, c2, atol=1e-10)
+
+
+def test_newton_schulz_matches_eigh():
+    t = _toy(radius=1500.0)
+    kw = dict(ngrid=t["ngrid"], localize=True, k_obs=6)
+    bm1, bp1, tm1, tp1, _ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        sqrt_method="eigh", **kw,
+    )
+    bm2, bp2, tm2, tp2, _ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        sqrt_method="newton_schulz", ns_iters=60, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(bm1), np.asarray(bm2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(bp1), np.asarray(bp2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tp1), np.asarray(tp2), atol=1e-9)
+
+
+def test_localization_confines_update():
+    """Grid points beyond 2x the radius from every ob must be untouched."""
+    t = _toy(radius=500.0, seed=3)
+    bm, bp, *_ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        ngrid=t["ngrid"], localize=True, k_obs=9,
+    )
+    from efa_xray_tpu.observation.localization import pairwise_distance
+
+    d = np.asarray(
+        pairwise_distance(t["blat"], t["blon"], t["obs"].lats, t["obs"].lons)
+    )
+    far = d.min(axis=1) > 2.0 * 500.0 + 1.0
+    assert far.any()  # the toy layout must exercise the far case
+    np.testing.assert_allclose(
+        np.asarray(bm)[far], np.asarray(t["bm"])[far], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(bp)[far], np.asarray(t["bp"])[far], atol=1e-12
+    )
+    near = ~far
+    assert np.abs(np.asarray(bm)[near] - np.asarray(t["bm"])[near]).max() > 1e-6
+
+
+def test_posterior_perturbations_stay_centered():
+    t = _toy(seed=4)
+    _, bp, _, tp, _ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        ngrid=t["ngrid"], localize=True,
+    )
+    assert float(jnp.abs(bp.sum(axis=1)).max()) < 1e-10
+    assert float(jnp.abs(tp.sum(axis=1)).max()) < 1e-10
+
+
+def test_patch_sharing_approximates_pointwise():
+    # Patch sharing is an approximation for *spatially contiguous* grids:
+    # flat-order neighbors must be physical neighbors.  Use a raster row
+    # (2-degree spacing) so a 4-point patch spans ~6 degrees against a
+    # 4000 km radius.
+    t = _toy(ngrid=64, radius=4000.0, seed=5)
+    glat = jnp.full(64, 45.0)
+    glon = jnp.arange(64, dtype=jnp.float64) * 2.0 + 180.0
+    args = (t["bm"], t["bp"], t["tm"], t["tp"], glat, glon, t["obs"])
+    bm1, bp1, *_ = lcore.letkf_update(*args, ngrid=t["ngrid"], patch_size=1)
+    bm4, bp4, *_ = lcore.letkf_update(*args, ngrid=t["ngrid"], patch_size=4)
+    # Patch centroids move weights slightly; the analyses stay close
+    # relative to the size of the update itself.
+    upd = float(jnp.abs(bm1 - t["bm"]).max())
+    diff = float(jnp.abs(bm1 - bm4).max())
+    assert upd > 0
+    assert diff < 0.2 * upd
+    # and exactly equal when every patch member shares a location
+    bms, *_ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"],
+        jnp.repeat(t["glat"][::4], 4), jnp.repeat(t["glon"][::4], 4),
+        t["obs"], ngrid=t["ngrid"], patch_size=4,
+    )
+    bmp, *_ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"],
+        jnp.repeat(t["glat"][::4], 4), jnp.repeat(t["glon"][::4], 4),
+        t["obs"], ngrid=t["ngrid"], patch_size=1,
+    )
+    np.testing.assert_allclose(np.asarray(bms), np.asarray(bmp), atol=1e-10)
+
+
+def test_assim_mask_removes_influence():
+    t = _toy(seed=6)
+    obs_off = t["obs"]._replace(assim=jnp.zeros_like(t["obs"].assim))
+    bm, bp, tm, tp, diags = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], obs_off,
+        ngrid=t["ngrid"], localize=True,
+    )
+    np.testing.assert_allclose(np.asarray(bm), np.asarray(t["bm"]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(t["bp"]), atol=1e-10)
+    assert not bool(np.asarray(diags.assimilated).any())
+    assert np.isnan(np.asarray(diags.post_mean)).all()
+
+
+def test_k_obs_truncation_exact_when_footprint_is_small():
+    """With radii small enough that every footprint holds <= k obs, k-NN
+    truncation is exact: k=nobs and k=3 must agree."""
+    t = _toy(nobs=6, radius=300.0, seed=7)
+    args = (t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"])
+    bm_full, *_ = lcore.letkf_update(*args, ngrid=t["ngrid"], k_obs=6)
+    bm_k3, *_ = lcore.letkf_update(*args, ngrid=t["ngrid"], k_obs=3)
+    np.testing.assert_allclose(np.asarray(bm_full), np.asarray(bm_k3),
+                               atol=1e-10)
+
+
+def test_empty_obs_is_identity():
+    t = _toy(nobs=0)
+    bm, bp, tm, tp, diags = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        ngrid=t["ngrid"],
+    )
+    np.testing.assert_array_equal(np.asarray(bm), np.asarray(t["bm"]))
+    assert diags.prior_mean.shape == (0,)
+
+
+# ---------------------------------------------------------------------------
+# Driver-level (public API) tests
+# ---------------------------------------------------------------------------
+
+
+def test_letkf_api_update_reduces_variance(demo_state):
+    obs = make_demo_obs(demo_state, nobs=7, radius=1500.0)
+    filt = LETKF(demo_state, obs, inflation=1.05)
+    post, batch = filt.update()
+    assert post.data.shape == demo_state.data.shape
+    assert np.nanmean(batch.post_var) < np.nanmean(batch.prior_var)
+    assert batch.assimilated.all()
+    # posterior pulls the obs-space estimate toward the measurement
+    assert (
+        np.abs(batch.values - batch.post_mean).mean()
+        < np.abs(batch.values - batch.prior_mean).mean()
+    )
+
+
+def test_letkf_matches_ensrf_unlocalized_api(demo_state):
+    obs = make_demo_obs(demo_state, nobs=5)
+    cfg_e = FilterConfig(localization=None, dtype="float64",
+                         unbiased_variance=True)
+    cfg_l = FilterConfig(localization=None, dtype="float64")
+    post_e, _ = EnSRF(demo_state, list(obs), config=cfg_e).update()
+    post_l, _ = LETKF(demo_state, list(obs), config=cfg_l).update()
+    me = np.asarray(post_e.data.mean(axis=-1))
+    ml = np.asarray(post_l.data.mean(axis=-1))
+    np.testing.assert_allclose(me, ml, atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_letkf_sharded_matches_single_device():
+    # ny*nx = 63 grid points: not divisible by 8 devices (padding case).
+    state = make_demo_state(ntimes=2, ny=7, nx=9, nmems=16, seed=9)
+    obs = make_demo_obs(state, nobs=9, seed=10, radius=1200.0)
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    post1, _ = LETKF(state, list(obs), config=cfg).update()
+    post2, batch2 = LETKF(state, list(obs), config=cfg,
+                          mesh=make_mesh()).update()
+    np.testing.assert_allclose(
+        np.asarray(post1.data), np.asarray(post2.data), atol=1e-10
+    )
+    assert np.isfinite(batch2.post_mean[batch2.assimilated]).all()
+
+
+def test_letkf_sharded_obs_solve_issues_no_collectives():
+    """Patches are independent and the tail replicates: the compiled
+    sharded LETKF must contain no cross-device collectives (the analog of
+    the EnSRF invariant in test_sharded.py)."""
+    import re
+
+    from efa_xray_tpu.parallel.sharded import _letkf_sharded_jit
+
+    state = make_demo_state(ntimes=2, ny=8, nx=8, nmems=12, seed=12)
+    obs = make_demo_obs(state, nobs=6, seed=13, radius=1200.0)
+    filt = LETKF(state, list(obs), config=FilterConfig(dtype="float64"),
+                 mesh=make_mesh())
+    bm, bp, tm, tp = filt.format_prior_state()
+    ob = filt.obs_arrays()
+    st = state.structure
+    vt = st.nvars * st.ntimes
+    g = st.ngrid
+    glat, glon = st.grid_latlon_device(jnp.float64)
+    ndev = len(jax.devices())
+    lowered = _letkf_sharded_jit.lower(
+        bm.reshape(vt, g), bp.reshape(vt, g, bp.shape[1]), tm, tp,
+        glat, glon, ob.with_default_verts(),
+        mesh=make_mesh(), g_local=g // ndev, axis_name="state",
+        patch_size=1, k_obs=6, localize=True,
+        sqrt_method="newton_schulz", ns_iters=30, chunk=64,
+    )
+    hlo = lowered.compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, f"collective {op!r} leaked into the LETKF solve"
