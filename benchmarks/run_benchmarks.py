@@ -384,8 +384,103 @@ def bench_config5():
     }
 
 
+def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
+                 k_obs=64, chunk=1024, iters=3, dtype=jnp.float32):
+    """Chained timing of the all-at-once LETKF analysis."""
+    from efa_xray_tpu.assimilation import letkf_core
+
+    pj = jnp.asarray(prior, dtype=dtype)
+    nobs = len(np.asarray(obs.values))
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, ngrid, nobs)
+    ye0 = pj.reshape(-1, ngrid, pj.shape[-1])[0][jnp.asarray(rows)]
+    glat = jnp.asarray(grid_lat, dtype=dtype)
+    glon = jnp.asarray(grid_lon, dtype=dtype)
+
+    def step(bm, bp, tm, tp):
+        return letkf_core.letkf_update(
+            bm, bp, tm, tp, glat, glon, obs, ngrid=ngrid,
+            patch_size=patch_size, k_obs=k_obs, chunk=chunk,
+        )[:4]
+
+    digest = jax.jit(lambda bm, bp: jnp.sum(bm) + jnp.sum(bp[:, 0]))
+    bm = jnp.mean(pj, axis=1)
+    bp = pj - bm[:, None]
+    tm = jnp.mean(ye0, axis=1)
+    tp = ye0 - tm[:, None]
+
+    carry = step(bm, bp, tm, tp)
+    _ = float(digest(carry[0], carry[1]))
+    t0 = time.perf_counter()
+    _ = float(digest(carry[0], carry[1]))
+    sync = time.perf_counter() - t0
+
+    c = (bm, bp, tm, tp)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = step(*c)
+    _ = float(digest(c[0], c[1]))
+    return max((time.perf_counter() - t0 - sync) / iters, 1e-9)
+
+
+def bench_config6(patch_size=8, k_obs=64, nobs=2000):
+    """LETKF at config-2 scale: all obs in one shot (no serial scan)."""
+    rng = np.random.default_rng(2)
+    ny, nx, nmems = 361, 720, 40
+    ngrid = ny * nx
+    lat1d = np.linspace(-90, 90, ny)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    rows = rng.integers(0, ngrid, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        lat.ravel()[rows], lon.ravel()[rows], np.full(nobs, 2000.0),
+        jnp.float32,
+    )
+    dt = _timed_letkf(prior, lat.ravel(), lon.ravel(), obs, ngrid,
+                      patch_size=patch_size, k_obs=k_obs)
+    return {
+        "config": "6-letkf-0.5deg",
+        "nstate": ngrid,
+        "nmems": nmems,
+        "nobs": nobs,
+        "patch_size": patch_size,
+        "k_obs": k_obs,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * ngrid / dt,
+    }
+
+
+def bench_config7(patch_size=8, k_obs=64):
+    """LETKF at the pod-slice scale: 10k obs x 4.2M pts x 80 mems."""
+    rng = np.random.default_rng(4)
+    ngrid, nmems, nobs = 4_194_304, 80, 10_000
+    state_lat = rng.uniform(-88, 88, ngrid)
+    state_lon = rng.uniform(0, 360, ngrid)
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    rows = rng.integers(0, ngrid, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        state_lat[rows], state_lon[rows], np.full(nobs, 2000.0), jnp.float32,
+    )
+    dt = _timed_letkf(prior, state_lat, state_lon, obs, ngrid,
+                      patch_size=patch_size, k_obs=k_obs, iters=2)
+    return {
+        "config": "7-letkf-pod-slice",
+        "nstate": ngrid,
+        "nmems": nmems,
+        "nobs": nobs,
+        "patch_size": patch_size,
+        "k_obs": k_obs,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * ngrid / dt,
+    }
+
+
 BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
-           3: bench_config3, 4: bench_config4, 5: bench_config5}
+           3: bench_config3, 4: bench_config4, 5: bench_config5,
+           6: bench_config6, 7: bench_config7}
 
 
 def main():

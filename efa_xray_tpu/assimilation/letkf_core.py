@@ -171,6 +171,7 @@ def solve_patch_weights(
     npatch, k = idx.shape
     nens = ye.shape[1]
     dtype = ye.dtype
+    chunk = int(min(chunk, npatch))
     nchunks = -(-npatch // chunk)
     pad = nchunks * chunk - npatch
     idx_c = jnp.pad(idx, ((0, pad), (0, 0))).reshape(nchunks, chunk, k)
@@ -266,6 +267,111 @@ def apply_patch_weights(body_mean, body_perts, weights: PatchWeights,
 
 
 # ---------------------------------------------------------------------------
+# Fused select -> solve -> apply sweep (the production body path)
+# ---------------------------------------------------------------------------
+
+
+def _analyze_body_chunked(
+    body_mean,  # [Ns]
+    body_perts,  # [Ns, M]
+    ye,  # [No, M]
+    innov,  # [No]
+    rinv,  # [No]
+    obs_xyz,  # [No, 3]
+    obs_radii,  # [No]
+    grid_xyz,  # [G, 3]
+    *,
+    ngrid: int,
+    patch_size: int,
+    k_obs: int,
+    sqrt_method: str,
+    ns_iters: int,
+    chunk: int,
+):
+    """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
+
+    Each chunk runs the full pipeline — nearest-k obs selection, rho
+    weighting, ensemble-space solve, weight application — so the per-patch
+    ``[M, M]`` transforms live only in the chunk's working set and the
+    whole-state footprint stays at O(state), never O(npatch * M^2)
+    (at pod scale the materialized transforms would be tens of GB).
+    """
+    nens = body_perts.shape[1]
+    dtype = body_perts.dtype
+    nrows = body_mean.shape[0]
+    vt = nrows // ngrid
+    k = int(min(k_obs, ye.shape[0]))
+
+    npatch = -(-ngrid // patch_size)
+    gpad = npatch * patch_size - ngrid
+    chunk = int(min(chunk, npatch))
+    nchunks = -(-npatch // chunk)
+    ppad = nchunks * chunk - npatch
+
+    # Patch-major state layout: [P, VT, S, M] chunks are contiguous slabs.
+    xm = body_mean.reshape(vt, ngrid)
+    xp = body_perts.reshape(vt, ngrid, nens)
+    gx = grid_xyz
+    if gpad:
+        xm = jnp.pad(xm, ((0, 0), (0, gpad)))
+        xp = jnp.pad(xp, ((0, 0), (0, gpad), (0, 0)))
+        gx = jnp.concatenate([gx, jnp.repeat(gx[-1:], gpad, axis=0)], axis=0)
+    xm = xm.reshape(vt, npatch, patch_size).transpose(1, 0, 2)  # [P, VT, S]
+    xp = xp.reshape(vt, npatch, patch_size, nens).transpose(1, 0, 2, 3)
+    pxyz = gx.reshape(npatch, patch_size, 3).mean(axis=1)
+    pxyz = pxyz / jnp.maximum(
+        jnp.linalg.norm(pxyz, axis=-1, keepdims=True), 1e-12
+    )
+    if ppad:
+        xm = jnp.pad(xm, ((0, ppad), (0, 0), (0, 0)))
+        xp = jnp.pad(xp, ((0, ppad), (0, 0), (0, 0), (0, 0)))
+        pxyz = jnp.pad(pxyz, ((0, ppad), (0, 0)))
+
+    xm = xm.reshape(nchunks, chunk, vt, patch_size)
+    xp = xp.reshape(nchunks, chunk, vt, patch_size, nens)
+    pxyz = pxyz.reshape(nchunks, chunk, 3)
+    eye = jnp.eye(nens, dtype=dtype)
+
+    def one(args):
+        xm_c, xp_c, px = args  # [C, VT, S], [C, VT, S, M], [C, 3]
+        dots = jnp.einsum(
+            "pc,oc->po", px, obs_xyz, preferred_element_type=jnp.float32
+        )
+        _, ii = jax.lax.top_k(dots, k)  # [C, K]
+        yl = ye[ii]  # [C, K, M]
+        rho = chordal_gc_weights(
+            px[:, None, :], obs_xyz[ii], obs_radii[ii]
+        ).astype(dtype)
+        a = rinv[ii] * rho  # [C, K]
+        ya = yl * a[..., None]
+        cmat = jnp.einsum("ckm,ckn->cmn", ya, yl, preferred_element_type=dtype)
+        amat = (nens - 1) * eye + cmat
+        if sqrt_method == "eigh":
+            inv_sqrt, inv = _invsqrt_eigh(amat)
+        else:
+            inv_sqrt, inv = _invsqrt_newton_schulz(amat, ns_iters)
+        b = jnp.einsum("ckm,ck->cm", ya, innov[ii], preferred_element_type=dtype)
+        wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype)
+        w = jnp.sqrt(jnp.asarray(nens - 1, dtype)) * inv_sqrt
+        pm = xm_c + jnp.einsum(
+            "cvsm,cm->cvs", xp_c, wbar, preferred_element_type=dtype
+        )
+        pp = jnp.einsum(
+            "cvsm,cmk->cvsk", xp_c, w, preferred_element_type=dtype
+        )
+        return pm, pp
+
+    with jax.named_scope("letkf/body_sweep"):
+        pm, pp = jax.lax.map(one, (xm, xp, pxyz))
+
+    pm = pm.reshape(nchunks * chunk, vt, patch_size)[: npatch]
+    pp = pp.reshape(nchunks * chunk, vt, patch_size, nens)[: npatch]
+    pm = pm.transpose(1, 0, 2).reshape(vt, npatch * patch_size)[:, :ngrid]
+    pp = pp.transpose(1, 0, 2, 3).reshape(vt, npatch * patch_size, nens)[:, :ngrid]
+    return pm.reshape(nrows), pp.reshape(nrows, nens)
+
+
+# ---------------------------------------------------------------------------
 # Full update
 # ---------------------------------------------------------------------------
 
@@ -330,12 +436,25 @@ def letkf_update(
     )
 
     if localize:
-        pxyz = patch_centroids(grid_lat.astype(dtype), grid_lon.astype(dtype),
-                               patch_size)
-        idx = select_local_obs(pxyz, obs_xyz, k_obs)
-        weights = solve(pxyz, idx)
-        bm, bp = apply_patch_weights(body_mean, body_perts, weights, ngrid,
-                                     patch_size)
+        grid_xyz = latlon_to_unit(
+            grid_lat.astype(dtype), grid_lon.astype(dtype)
+        ).astype(dtype)
+        bm, bp = _analyze_body_chunked(
+            body_mean,
+            body_perts,
+            tail_perts,
+            innov,
+            rinv,
+            obs_xyz,
+            radii,
+            grid_xyz,
+            ngrid=ngrid,
+            patch_size=patch_size,
+            k_obs=k_obs,
+            sqrt_method=sqrt_method,
+            ns_iters=ns_iters,
+            chunk=chunk,
+        )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.
         pxyz = jnp.zeros((1, 3), dtype=dtype).at[0, 2].set(1.0)

@@ -46,6 +46,9 @@ class CyclingHarness:
     state_lons: np.ndarray  # [nvars]
     ob_error: float = 1.0
     localize_radius: float = 2000.0
+    # "ensrf" (the reference's serial filter, blocked execution) or "letkf"
+    # (all-at-once local transform filter; LETKF knobs ride on the config).
+    solver: str = "ensrf"
     config: FilterConfig = dataclasses.field(default_factory=FilterConfig)
     obs_operator: Optional[Callable] = None  # ensemble [M, nvars] -> ye [nobs, M]
     obs_operator_rows: Optional[np.ndarray] = None
@@ -94,15 +97,32 @@ class CyclingHarness:
             radii=jnp.full(nobs, self.localize_radius, dtype=dtype),
             assim=jnp.ones(nobs, dtype=bool),
         )
-        bm2, bp2, tm2, tp2, diags = core.ensrf_blocked(
-            bm, bp, tm, tp,
-            jnp.asarray(self.state_lats, dtype=dtype),
-            jnp.asarray(self.state_lons, dtype=dtype),
-            obs,
-            localize=self.config.localize,
-            block_size=min(self.config.block_size, max(nobs, 1)),
-            unbiased=self.config.unbiased_variance,
-        )
+        if self.solver == "letkf":
+            from efa_xray_tpu.assimilation import letkf_core
+
+            bm2, bp2, tm2, tp2, diags = letkf_core.letkf_update(
+                bm, bp, tm, tp,
+                jnp.asarray(self.state_lats, dtype=dtype),
+                jnp.asarray(self.state_lons, dtype=dtype),
+                obs,
+                ngrid=int(bm.shape[0]),
+                patch_size=self.config.letkf_patch_size,
+                k_obs=self.config.letkf_k_obs,
+                localize=self.config.localize,
+                sqrt_method=self.config.letkf_sqrt,
+                ns_iters=self.config.letkf_ns_iters,
+                chunk=self.config.letkf_chunk,
+            )
+        else:
+            bm2, bp2, tm2, tp2, diags = core.ensrf_blocked(
+                bm, bp, tm, tp,
+                jnp.asarray(self.state_lats, dtype=dtype),
+                jnp.asarray(self.state_lons, dtype=dtype),
+                obs,
+                localize=self.config.localize,
+                block_size=min(self.config.block_size, max(nobs, 1)),
+                unbiased=self.config.unbiased_variance,
+            )
         if self.adaptive_inflation:
             from efa_xray_tpu.assimilation.adaptive_inflation import (
                 update_inflation_rows,

@@ -134,6 +134,34 @@ def test_cycling_harness_api():
     assert stats[-1].obs_post_rmse < stats[-1].obs_prior_rmse
 
 
+def test_l96_cycling_with_letkf_solver():
+    """The LETKF solver must hold the cycling analysis below observation
+    error just like the EnSRF (same harness, solver='letkf')."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=3)
+    lats, lons = l96.fake_latlon(nvars)
+    harness = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=1.0,
+        localize_radius=4000.0,
+        solver="letkf",
+        config=FilterConfig(localization="GC", dtype="float64",
+                            letkf_k_obs=20, letkf_chunk=40),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        inflation=1.05,
+    )
+    stats = harness.run(ens, truth, ncycles=25)
+    tail = np.mean([s.analysis_rmse for s in stats[-8:]])
+    assert tail < 1.0, f"LETKF analysis RMSE {tail}"
+    assert stats[-1].obs_post_rmse < stats[-1].obs_prior_rmse
+    assert np.isfinite([s.analysis_rmse for s in stats]).all()
+
+
 def test_adaptive_inflation_cycles_beat_fixed_inflation():
     """VERDICT r1 item 7: with a small (underdispersed) ensemble, cycling
     with Anderson-2009 adaptive inflation must beat both no inflation and
