@@ -478,9 +478,41 @@ def bench_config7(patch_size=8, k_obs=64):
     }
 
 
+def bench_config8(nobs_list=(2000, 10000, 50000)):
+    """Solver scaling in nobs at config-2 scale: the serial EnSRF is
+    linear in nobs by construction (``ensrf.py:50``); the LETKF is flat
+    once footprints saturate k_obs.  Reports both so the crossover is a
+    measured fact, not a claim."""
+    rng = np.random.default_rng(2)
+    ny, nx, nmems = 361, 720, 40
+    ngrid = ny * nx
+    lat1d = np.linspace(-90, 90, ny)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    out = {"config": "8-solver-scaling", "nstate": ngrid, "nmems": nmems,
+           "points": []}
+    for nobs in nobs_list:
+        rows = rng.integers(0, ngrid, nobs)
+        obs = _obs_arrays(
+            prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+            lat.ravel()[rows], lon.ravel()[rows], np.full(nobs, 2000.0),
+            jnp.float32,
+        )
+        t_ensrf = _timed_update(prior, lat.ravel(), lon.ravel(), obs)
+        t_letkf = _timed_letkf(prior, lat.ravel(), lon.ravel(), obs, ngrid,
+                               patch_size=8, k_obs=64)
+        out["points"].append(
+            {"nobs": nobs, "ensrf_seconds": t_ensrf,
+             "letkf_seconds": t_letkf}
+        )
+        print(json.dumps(out["points"][-1]), flush=True)
+    return out
+
+
 BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
            3: bench_config3, 4: bench_config4, 5: bench_config5,
-           6: bench_config6, 7: bench_config7}
+           6: bench_config6, 7: bench_config7, 8: bench_config8}
 
 
 def main():

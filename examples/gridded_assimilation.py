@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-from efa_xray_tpu import EnSRF, EnsembleState, obs_assimilation_statistics
+from efa_xray_tpu import EnSRF, LETKF, EnsembleState, obs_assimilation_statistics
 from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.utils.demo_data import gefs_like_state, observations_from_truth
 
@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--radius", type=float, default=1000.0)
     ap.add_argument("--inflation", type=float, default=1.05)
     ap.add_argument("--mesh", action="store_true", help="shard over all devices")
+    ap.add_argument("--solver", choices=["ensrf", "letkf"], default="ensrf",
+                    help="serial square-root filter (reference parity) or "
+                    "all-at-once local transform filter")
     ap.add_argument("--out", default=None, help="netCDF output path")
     args = ap.parse_args()
 
@@ -43,7 +46,8 @@ def main():
         print(f"mesh: {mesh}")
 
     cfg = FilterConfig(localization="GC", method="blocked")
-    filt = EnSRF(state, obs, inflation=args.inflation, config=cfg, mesh=mesh)
+    solver_cls = LETKF if args.solver == "letkf" else EnSRF
+    filt = solver_cls(state, obs, inflation=args.inflation, config=cfg, mesh=mesh)
     t0 = time.perf_counter()
     post, batch = filt.update()
     np.asarray(post.data)  # force completion before timing
