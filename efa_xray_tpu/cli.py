@@ -1,0 +1,189 @@
+"""Command-line interface: run an assimilation without writing any code.
+
+The reference is library-only (its setup.py cannot even install —
+``setup.py:25-26``); production DA systems are driven from schedulers, so
+the framework ships a small CLI:
+
+    python -m efa_xray_tpu.cli info --state prior.nc
+    python -m efa_xray_tpu.cli assimilate \
+        --state prior.nc --obs obs.csv --out posterior.nc \
+        [--solver ensrf|letkf] [--inflation 1.05] [--radius 2000] \
+        [--stats stats.csv] [--mesh] [--fast-geometry]
+
+Observation CSV columns (header required): ``value, lat, lon, time,
+obtype`` plus optional ``error`` (default 1.0), ``radius`` (km GC
+halfwidth; blank/inf = no localization), ``vert``, ``vert_radius``,
+``assimilate`` (0/1, default 1), ``description``.  ``time`` is anything
+``numpy.datetime64`` parses (e.g. ``2026-08-01T06:00``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+
+import numpy as np
+
+
+def read_obs_csv(path: str):
+    """Parse an observation CSV into an ObservationBatch."""
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.utils import timeutil
+
+    rows = []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        required = {"value", "lat", "lon", "time", "obtype"}
+        if reader.fieldnames is None or not required.issubset(
+            {c.strip() for c in reader.fieldnames}
+        ):
+            raise SystemExit(
+                f"obs CSV needs columns {sorted(required)}; "
+                f"got {reader.fieldnames}"
+            )
+        for r in reader:
+            rows.append({k.strip(): (v.strip() if v is not None else "")
+                         for k, v in r.items()})
+    if not rows:
+        raise SystemExit(f"no observations in {path}")
+
+    def fcol(name, default):
+        out = []
+        for r in rows:
+            v = r.get(name, "")
+            out.append(float(v) if v not in ("", None) else default)
+        return np.asarray(out, dtype=np.float64)
+
+    times = timeutil.to_epoch_seconds(
+        np.asarray([np.datetime64(r["time"]) for r in rows])
+    )
+    assim = np.asarray(
+        [r.get("assimilate", "1") not in ("0", "false", "False", "")
+         for r in rows], dtype=bool,
+    )
+    return ObservationBatch(
+        values=fcol("value", np.nan),
+        errors=fcol("error", 1.0),
+        lats=fcol("lat", np.nan),
+        lons=fcol("lon", np.nan),
+        times_s=times,
+        obtypes=[r["obtype"] for r in rows],
+        localize_radius=fcol("radius", np.inf),
+        assimilate_flags=assim,
+        verts=fcol("vert", np.nan),
+        vert_radius=fcol("vert_radius", np.inf),
+        descriptions=[r.get("description") or None for r in rows],
+    )
+
+
+def cmd_info(args):
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    state = EnsembleState.from_netcdf(args.state)
+    s = state.structure
+    print(f"state file : {args.state}")
+    print(f"variables  : {', '.join(s.var_names)}")
+    print(f"grid       : {s.ny} x {s.nx} ({'2-D' if s.grid_is_2d else 'points'})")
+    print(f"times      : {s.ntimes} ({s.times64()[0]} .. {s.times64()[-1]})")
+    print(f"members    : {s.nmems}")
+    print(f"state rows : {s.nstate}")
+    mean = np.asarray(state.ensemble_mean())
+    spread = np.asarray(state.ensemble_spread())
+    print(f"mean/spread: {mean.mean():.4g} / {spread.mean():.4g}")
+    return 0
+
+
+def cmd_assimilate(args):
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    state = EnsembleState.from_netcdf(args.state, dtype=args.dtype)
+    batch = read_obs_csv(args.obs)
+    if args.radius is not None:
+        batch.localize_radius = np.where(
+            np.isinf(batch.localize_radius), args.radius, batch.localize_radius
+        )
+
+    cfg = FilterConfig(
+        localization=None if args.no_localization else "GC",
+        dtype=args.dtype,
+        fast_geometry=args.fast_geometry,
+        verbose=args.verbose,
+    )
+    mesh = None
+    if args.mesh:
+        from efa_xray_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    if args.solver == "letkf":
+        from efa_xray_tpu.assimilation.letkf import LETKF
+
+        filt = LETKF(state, batch, inflation=args.inflation,
+                     verbose=args.verbose, config=cfg, mesh=mesh)
+    else:
+        from efa_xray_tpu.assimilation.ensrf import EnSRF
+
+        filt = EnSRF(state, batch, inflation=args.inflation,
+                     verbose=args.verbose, config=cfg, mesh=mesh)
+    post, out_batch = filt.update()
+
+    post.save_to_disk(args.out)
+    nassim = int(np.sum(out_batch.assimilated))
+    print(f"assimilated {nassim}/{len(out_batch)} obs -> {args.out}")
+
+    if args.stats:
+        from efa_xray_tpu.postprocess.postprocess import (
+            obs_assimilation_statistics,
+        )
+
+        df = obs_assimilation_statistics(state, post, out_batch)
+        df.to_csv(args.stats, index=False)
+        pm = df["prior mean"].to_numpy()
+        om = df["post mean"].to_numpy()
+        vals = df["value"].to_numpy()
+        ok = np.isfinite(om)
+        print(
+            f"obs-space RMSE prior={np.sqrt(np.mean((vals - pm) ** 2)):.4g} "
+            f"posterior={np.sqrt(np.mean((vals[ok] - om[ok]) ** 2)):.4g} "
+            f"-> {args.stats}"
+        )
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="efa-xray-tpu",
+        description="TPU-native ensemble data assimilation (EnSRF / LETKF)",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_info = sub.add_parser("info", help="describe a state netCDF file")
+    p_info.add_argument("--state", required=True)
+    p_info.set_defaults(func=cmd_info)
+
+    p_as = sub.add_parser("assimilate", help="assimilate obs into a state")
+    p_as.add_argument("--state", required=True, help="prior state netCDF")
+    p_as.add_argument("--obs", required=True, help="observation CSV")
+    p_as.add_argument("--out", required=True, help="posterior netCDF path")
+    p_as.add_argument("--stats", default=None, help="per-ob stats CSV path")
+    p_as.add_argument("--solver", choices=["ensrf", "letkf"], default="ensrf")
+    p_as.add_argument("--inflation", type=float, default=None)
+    p_as.add_argument("--radius", type=float, default=None,
+                      help="default GC halfwidth km for obs without one")
+    p_as.add_argument("--no-localization", action="store_true")
+    p_as.add_argument("--fast-geometry", action="store_true")
+    p_as.add_argument("--dtype", default="float32",
+                      choices=["float32", "float64"])
+    p_as.add_argument("--mesh", action="store_true",
+                      help="shard over all visible devices")
+    p_as.add_argument("--verbose", action="store_true")
+    p_as.set_defaults(func=cmd_assimilate)
+
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""CLI round-trip: state netCDF + obs CSV in, posterior netCDF + stats out.
+
+The reference has no CLI (and its setup.py cannot install); this covers the
+framework's scheduler-facing entry point end to end on both solvers.
+"""
+
+import csv
+
+import numpy as np
+import pytest
+
+from conftest import make_demo_state
+from efa_xray_tpu import cli
+from efa_xray_tpu.state.ensemble import EnsembleState
+from efa_xray_tpu.utils import timeutil
+
+
+def _write_obs_csv(path, state, nobs=6, seed=3, radius=1500.0):
+    rng = np.random.default_rng(seed)
+    s = state.structure
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["value", "lat", "lon", "time", "obtype", "error",
+                    "radius", "assimilate", "description"])
+        for i in range(nobs):
+            t = timeutil.to_datetime64(int(s.times_s[i % s.ntimes]))
+            w.writerow([
+                f"{280.0 + rng.normal(0, 2):.3f}",
+                f"{rng.uniform(s.lat.min() + 0.5, s.lat.max() - 0.5):.4f}",
+                f"{rng.uniform(s.lon.min() + 0.5, s.lon.max() - 0.5):.4f}",
+                str(t),
+                s.var_names[0],
+                "1.0",
+                "" if i == 0 else str(radius),  # blank radius -> --radius default
+                "1" if i != 1 else "0",  # one QC'd-out ob
+                f"ob-{i}",
+            ])
+
+
+@pytest.mark.parametrize("solver", ["ensrf", "letkf"])
+def test_cli_assimilate_round_trip(tmp_path, solver, capsys):
+    state = make_demo_state(ny=6, nx=8, nmems=16, seed=8)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "obs.csv"
+    _write_obs_csv(str(obs_csv), state)
+    out_nc = tmp_path / "post.nc"
+    stats_csv = tmp_path / "stats.csv"
+
+    rc = cli.main([
+        "assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(out_nc), "--stats", str(stats_csv),
+        "--solver", solver, "--inflation", "1.05", "--radius", "2000",
+        "--dtype", "float64",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "assimilated 5/6 obs" in printed
+
+    post = EnsembleState.from_netcdf(str(out_nc))
+    assert post.data.shape == state.data.shape
+    assert not np.allclose(np.asarray(post.data), np.asarray(state.data))
+
+    with open(stats_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 6
+    vals = np.array([float(r["value"]) for r in rows])
+    pm = np.array([float(r["prior mean"]) for r in rows])
+    # "post mean" re-applies H to the posterior for EVERY ob (reference
+    # postprocess semantics), so it is finite even for the QC'd-out ob.
+    om = np.array([float(r["post mean"]) for r in rows])
+    assim = np.array([r["assimilated"] == "True" for r in rows])
+    assert assim.sum() == 5
+    ok = assim
+    assert (np.abs(vals[ok] - om[ok]) <= np.abs(vals[ok] - pm[ok]) + 1e-9).mean() > 0.5
+
+
+def test_cli_info(tmp_path, capsys):
+    state = make_demo_state(ny=5, nx=7, nmems=10)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    rc = cli.main(["info", "--state", str(prior_nc)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "T2m" in out and "members    : 10" in out
+
+
+def test_cli_rejects_malformed_obs(tmp_path):
+    state = make_demo_state(ny=5, nx=7, nmems=10)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    bad = tmp_path / "bad.csv"
+    bad.write_text("foo,bar\n1,2\n")
+    with pytest.raises(SystemExit):
+        cli.main(["assimilate", "--state", str(prior_nc), "--obs", str(bad),
+                  "--out", str(tmp_path / "x.nc")])
