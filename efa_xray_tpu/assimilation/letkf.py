@@ -23,10 +23,12 @@ When to prefer which:
   all-at-once analysis.  Matches the EnSRF analysis mean/covariance
   exactly when localization is off.
 
-Limitations vs EnSRF (v1): horizontal localization only (rows of a column
-share weights — exact in that regime; vertical localization needs
-per-level solves), and no per-ob diagnostics of the *serial* update
-sequence since there is none.
+Localization modes: horizontal-only (rows of a column share one solve —
+exact in that regime) or horizontal x vertical (when the state declares
+``var_verts`` and obs carry finite ``vert``/``vert_radius``; solves run
+per (level-group, patch) since vertical weights differ by level).  There
+are no per-ob diagnostics of a *serial* update sequence since there is
+none.
 """
 
 from __future__ import annotations
@@ -80,6 +82,10 @@ class LETKF(Assimilation):
         st = self.prior.structure
         dtype = jnp.dtype(cfg.dtype)
         grid_lat, grid_lon = st.grid_latlon_device(dtype)
+        vertical = cfg.localize and self._vertical_active()
+        body_vert = (
+            jnp.asarray(st.row_vert(), dtype=dtype) if vertical else None
+        )
 
         if self.mesh is not None:
             from efa_xray_tpu.parallel.sharded import letkf_update_sharded
@@ -100,6 +106,8 @@ class LETKF(Assimilation):
                 sqrt_method=cfg.letkf_sqrt,
                 ns_iters=cfg.letkf_ns_iters,
                 chunk=cfg.letkf_chunk,
+                vertical=vertical,
+                body_vert=body_vert,
             )
         else:
             bm, bp, tm, tp, diags = letkf_core.letkf_update(
@@ -117,6 +125,8 @@ class LETKF(Assimilation):
                 sqrt_method=cfg.letkf_sqrt,
                 ns_iters=cfg.letkf_ns_iters,
                 chunk=cfg.letkf_chunk,
+                vertical=vertical,
+                body_vert=body_vert,
             )
 
         self.record_diagnostics(diags)

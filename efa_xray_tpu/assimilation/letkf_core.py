@@ -45,7 +45,11 @@ import jax
 import jax.numpy as jnp
 
 from efa_xray_tpu.assimilation.ensrf_core import ObsArrays, ObsDiagnostics, _empty_diags
-from efa_xray_tpu.observation.localization import chordal_gc_weights, latlon_to_unit
+from efa_xray_tpu.observation.localization import (
+    chordal_gc_weights,
+    gaspari_cohn,
+    latlon_to_unit,
+)
 
 
 class PatchWeights(NamedTuple):
@@ -157,6 +161,9 @@ def solve_patch_weights(
     sqrt_method: str = "newton_schulz",
     ns_iters: int = 30,
     chunk: int = 1024,
+    patch_verts=None,  # [P] vertical coordinates (vertical mode)
+    obs_verts=None,  # [No]
+    obs_vert_radii=None,  # [No] vertical GC halfwidths (inf = off)
 ) -> PatchWeights:
     """Solve the LETKF ensemble-space analysis for every patch.
 
@@ -176,11 +183,17 @@ def solve_patch_weights(
     pad = nchunks * chunk - npatch
     idx_c = jnp.pad(idx, ((0, pad), (0, 0))).reshape(nchunks, chunk, k)
     pxyz_c = jnp.pad(patch_xyz, ((0, pad), (0, 0))).reshape(nchunks, chunk, 3)
+    if patch_verts is None:
+        pvert_c = jnp.zeros((nchunks, chunk), dtype=dtype)
+    else:
+        pvert_c = jnp.pad(
+            patch_verts.astype(dtype), (0, pad)
+        ).reshape(nchunks, chunk)
 
     eye = jnp.eye(nens, dtype=dtype)
 
     def one(args):
-        ii, pxyz = args  # [C, K], [C, 3]
+        ii, pxyz, pvert = args  # [C, K], [C, 3], [C]
         yl = ye[ii]  # [C, K, M]
         dl = innov[ii]  # [C, K]
         a = rinv[ii]  # [C, K]
@@ -188,6 +201,11 @@ def solve_patch_weights(
             rho = chordal_gc_weights(
                 pxyz[:, None, :], obs_xyz[ii], obs_radii[ii]
             ).astype(dtype)
+            if patch_verts is not None:
+                rho = rho * gaspari_cohn(
+                    jnp.abs(pvert[:, None] - obs_verts[ii]),
+                    obs_vert_radii[ii],
+                ).astype(dtype)
             a = a * rho
         ya = yl * a[..., None]  # [C, K, M]
         cmat = jnp.einsum(
@@ -204,7 +222,7 @@ def solve_patch_weights(
         return wbar, transform
 
     with jax.named_scope("letkf/solve"):
-        wbar, transform = jax.lax.map(one, (idx_c, pxyz_c))
+        wbar, transform = jax.lax.map(one, (idx_c, pxyz_c, pvert_c))
     wbar = wbar.reshape(nchunks * chunk, nens)[:npatch]
     transform = transform.reshape(nchunks * chunk, nens, nens)[:npatch]
     return PatchWeights(wbar=wbar, transform=transform)
@@ -287,6 +305,9 @@ def _analyze_body_chunked(
     sqrt_method: str,
     ns_iters: int,
     chunk: int,
+    group_vert=None,  # [VT] per-group vertical coordinate (vertical mode)
+    obs_verts=None,  # [No]
+    obs_vert_radii=None,  # [No]
 ):
     """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
 
@@ -295,20 +316,24 @@ def _analyze_body_chunked(
     ``[M, M]`` transforms live only in the chunk's working set and the
     whole-state footprint stays at O(state), never O(npatch * M^2)
     (at pod scale the materialized transforms would be tens of GB).
+
+    Horizontal-only mode (``group_vert=None``): one solve per spatial
+    patch, shared by all VT = nvars*ntimes copies of its rows (exact).
+    Vertical mode: rho gains a vertical Gaspari-Cohn factor, which differs
+    per level, so the solve runs per (group, patch) — VT times the solves,
+    rows laid out ``[(VT * P), S, M]`` with no transpose (the flat state is
+    already (group, grid) C-order).
     """
     nens = body_perts.shape[1]
     dtype = body_perts.dtype
     nrows = body_mean.shape[0]
     vt = nrows // ngrid
     k = int(min(k_obs, ye.shape[0]))
+    vertical = group_vert is not None
 
     npatch = -(-ngrid // patch_size)
     gpad = npatch * patch_size - ngrid
-    chunk = int(min(chunk, npatch))
-    nchunks = -(-npatch // chunk)
-    ppad = nchunks * chunk - npatch
 
-    # Patch-major state layout: [P, VT, S, M] chunks are contiguous slabs.
     xm = body_mean.reshape(vt, ngrid)
     xp = body_perts.reshape(vt, ngrid, nens)
     gx = grid_xyz
@@ -316,24 +341,44 @@ def _analyze_body_chunked(
         xm = jnp.pad(xm, ((0, 0), (0, gpad)))
         xp = jnp.pad(xp, ((0, 0), (0, gpad), (0, 0)))
         gx = jnp.concatenate([gx, jnp.repeat(gx[-1:], gpad, axis=0)], axis=0)
-    xm = xm.reshape(vt, npatch, patch_size).transpose(1, 0, 2)  # [P, VT, S]
-    xp = xp.reshape(vt, npatch, patch_size, nens).transpose(1, 0, 2, 3)
     pxyz = gx.reshape(npatch, patch_size, 3).mean(axis=1)
     pxyz = pxyz / jnp.maximum(
         jnp.linalg.norm(pxyz, axis=-1, keepdims=True), 1e-12
     )
-    if ppad:
-        xm = jnp.pad(xm, ((0, ppad), (0, 0), (0, 0)))
-        xp = jnp.pad(xp, ((0, ppad), (0, 0), (0, 0), (0, 0)))
-        pxyz = jnp.pad(pxyz, ((0, ppad), (0, 0)))
 
-    xm = xm.reshape(nchunks, chunk, vt, patch_size)
-    xp = xp.reshape(nchunks, chunk, vt, patch_size, nens)
+    if vertical:
+        # One analysis unit per (group, patch): [U = VT*P, S(, M)] slabs.
+        nunits = vt * npatch
+        xm = xm.reshape(nunits, patch_size)
+        xp = xp.reshape(nunits, patch_size, nens)
+        pxyz = jnp.tile(pxyz, (vt, 1))
+        pvert = jnp.repeat(group_vert.astype(dtype), npatch)
+    else:
+        # One unit per spatial patch, applied across all VT groups.
+        nunits = npatch
+        xm = xm.reshape(vt, npatch, patch_size).transpose(1, 0, 2)
+        xp = xp.reshape(vt, npatch, patch_size, nens).transpose(1, 0, 2, 3)
+        pvert = jnp.zeros(nunits, dtype=dtype)
+
+    chunk = int(min(chunk, nunits))
+    nchunks = -(-nunits // chunk)
+    upad = nchunks * chunk - nunits
+    if upad:
+        pad1 = ((0, upad),) + ((0, 0),) * (xm.ndim - 1)
+        pad2 = ((0, upad),) + ((0, 0),) * (xp.ndim - 1)
+        xm = jnp.pad(xm, pad1)
+        xp = jnp.pad(xp, pad2)
+        pxyz = jnp.pad(pxyz, ((0, upad), (0, 0)))
+        pvert = jnp.pad(pvert, (0, upad))
+
+    xm = xm.reshape((nchunks, chunk) + xm.shape[1:])
+    xp = xp.reshape((nchunks, chunk) + xp.shape[1:])
     pxyz = pxyz.reshape(nchunks, chunk, 3)
+    pvert = pvert.reshape(nchunks, chunk)
     eye = jnp.eye(nens, dtype=dtype)
 
     def one(args):
-        xm_c, xp_c, px = args  # [C, VT, S], [C, VT, S, M], [C, 3]
+        xm_c, xp_c, px, pv = args
         dots = jnp.einsum(
             "pc,oc->po", px, obs_xyz, preferred_element_type=jnp.float32
         )
@@ -342,6 +387,10 @@ def _analyze_body_chunked(
         rho = chordal_gc_weights(
             px[:, None, :], obs_xyz[ii], obs_radii[ii]
         ).astype(dtype)
+        if vertical:
+            rho = rho * gaspari_cohn(
+                jnp.abs(pv[:, None] - obs_verts[ii]), obs_vert_radii[ii]
+            ).astype(dtype)
         a = rinv[ii] * rho  # [C, K]
         ya = yl * a[..., None]
         cmat = jnp.einsum("ckm,ckn->cmn", ya, yl, preferred_element_type=dtype)
@@ -353,21 +402,35 @@ def _analyze_body_chunked(
         b = jnp.einsum("ckm,ck->cm", ya, innov[ii], preferred_element_type=dtype)
         wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype)
         w = jnp.sqrt(jnp.asarray(nens - 1, dtype)) * inv_sqrt
-        pm = xm_c + jnp.einsum(
-            "cvsm,cm->cvs", xp_c, wbar, preferred_element_type=dtype
-        )
-        pp = jnp.einsum(
-            "cvsm,cmk->cvsk", xp_c, w, preferred_element_type=dtype
-        )
+        if vertical:
+            pm = xm_c + jnp.einsum(
+                "csm,cm->cs", xp_c, wbar, preferred_element_type=dtype
+            )
+            pp = jnp.einsum(
+                "csm,cmk->csk", xp_c, w, preferred_element_type=dtype
+            )
+        else:
+            pm = xm_c + jnp.einsum(
+                "cvsm,cm->cvs", xp_c, wbar, preferred_element_type=dtype
+            )
+            pp = jnp.einsum(
+                "cvsm,cmk->cvsk", xp_c, w, preferred_element_type=dtype
+            )
         return pm, pp
 
     with jax.named_scope("letkf/body_sweep"):
-        pm, pp = jax.lax.map(one, (xm, xp, pxyz))
+        pm, pp = jax.lax.map(one, (xm, xp, pxyz, pvert))
 
-    pm = pm.reshape(nchunks * chunk, vt, patch_size)[: npatch]
-    pp = pp.reshape(nchunks * chunk, vt, patch_size, nens)[: npatch]
-    pm = pm.transpose(1, 0, 2).reshape(vt, npatch * patch_size)[:, :ngrid]
-    pp = pp.transpose(1, 0, 2, 3).reshape(vt, npatch * patch_size, nens)[:, :ngrid]
+    pm = pm.reshape((nchunks * chunk,) + pm.shape[2:])[:nunits]
+    pp = pp.reshape((nchunks * chunk,) + pp.shape[2:])[:nunits]
+    if vertical:
+        pm = pm.reshape(vt, npatch * patch_size)[:, :ngrid]
+        pp = pp.reshape(vt, npatch * patch_size, nens)[:, :ngrid]
+    else:
+        pm = pm.transpose(1, 0, 2).reshape(vt, npatch * patch_size)[:, :ngrid]
+        pp = pp.transpose(1, 0, 2, 3).reshape(
+            vt, npatch * patch_size, nens
+        )[:, :ngrid]
     return pm.reshape(nrows), pp.reshape(nrows, nens)
 
 
@@ -380,7 +443,7 @@ def _analyze_body_chunked(
     jax.jit,
     static_argnames=(
         "ngrid", "patch_size", "k_obs", "localize", "sqrt_method",
-        "ns_iters", "chunk",
+        "ns_iters", "chunk", "vertical",
     ),
 )
 def letkf_update(
@@ -399,6 +462,8 @@ def letkf_update(
     sqrt_method: str = "newton_schulz",
     ns_iters: int = 30,
     chunk: int = 1024,
+    vertical: bool = False,
+    body_vert=None,  # [Ns]; each (var,time) group must sit at ONE level
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -421,6 +486,15 @@ def letkf_update(
     )
     obs_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
     radii = obs.radii.astype(dtype)
+    vertical = bool(vertical and localize and body_vert is not None)
+    if vertical:
+        obs = obs.with_default_verts()
+        overts = obs.verts.astype(dtype)
+        ovrad = obs.vert_radii.astype(dtype)
+        vt = body_mean.shape[0] // ngrid
+        group_vert = body_vert.reshape(vt, ngrid)[:, 0].astype(dtype)
+    else:
+        overts = ovrad = group_vert = None
 
     solve = functools.partial(
         solve_patch_weights,
@@ -433,6 +507,8 @@ def letkf_update(
         sqrt_method=sqrt_method,
         ns_iters=ns_iters,
         chunk=chunk,
+        obs_verts=overts,
+        obs_vert_radii=ovrad,
     )
 
     if localize:
@@ -454,6 +530,9 @@ def letkf_update(
             sqrt_method=sqrt_method,
             ns_iters=ns_iters,
             chunk=chunk,
+            group_vert=group_vert,
+            obs_verts=overts,
+            obs_vert_radii=ovrad,
         )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.
@@ -469,7 +548,10 @@ def letkf_update(
     # ``efa_xray/assimilation/ensrf.py:144-149``).
     if localize:
         ob_idx = select_local_obs(obs_xyz, obs_xyz, k_obs)
-        ob_weights = solve(obs_xyz, ob_idx)
+        ob_weights = solve(
+            obs_xyz, ob_idx,
+            patch_verts=overts if vertical else None,
+        )
     else:
         ob_weights = PatchWeights(
             wbar=jnp.broadcast_to(weights.wbar, (nobs, nens)),

@@ -254,6 +254,8 @@ def _letkf_sharded_impl(
     sqrt_method: str,
     ns_iters: int,
     chunk: int,
+    vertical: bool = False,
+    body_vert=None,  # [VT, Gpad] (sharded like bm) or None
 ):
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -261,6 +263,8 @@ def _letkf_sharded_impl(
     nens = bp.shape[-1]
     sharded_g = P(None, axis_name)
     rep = P()
+    if body_vert is None:
+        body_vert = jnp.zeros_like(bm)
     in_specs = (
         sharded_g,
         P(None, axis_name, None),
@@ -268,6 +272,7 @@ def _letkf_sharded_impl(
         rep,
         P(axis_name),
         P(axis_name),
+        sharded_g,
         core.ObsArrays(*([rep] * 8)),
     )
     out_specs = (
@@ -278,7 +283,7 @@ def _letkf_sharded_impl(
         core.ObsDiagnostics(*([rep] * 5)),
     )
 
-    def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, ob):
+    def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, bvert_l, ob):
         # Every patch's solve is grid-local; the obs-space diagnostics
         # solve runs redundantly (bit-identically) on each device.  No
         # collectives anywhere.
@@ -297,6 +302,8 @@ def _letkf_sharded_impl(
             sqrt_method=sqrt_method,
             ns_iters=ns_iters,
             chunk=min(chunk, max(1, -(-g_local // patch_size))),
+            vertical=vertical,
+            body_vert=bvert_l.reshape(vt * g_local) if vertical else None,
         )
         return (
             bm2.reshape(vt, g_local),
@@ -313,12 +320,12 @@ def _letkf_sharded_impl(
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, obs)
+    return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, body_vert, obs)
 
 
 _LETKF_STATIC = (
     "mesh", "g_local", "axis_name", "patch_size", "k_obs", "localize",
-    "sqrt_method", "ns_iters", "chunk",
+    "sqrt_method", "ns_iters", "chunk", "vertical",
 )
 _letkf_sharded_jit = jax.jit(_letkf_sharded_impl, static_argnames=_LETKF_STATIC)
 
@@ -340,6 +347,8 @@ def letkf_update_sharded(
     ns_iters: int = 30,
     chunk: int = 1024,
     axis_name: str = STATE_AXIS,
+    vertical: bool = False,
+    body_vert=None,  # [Ns] per-row vertical coordinate (vertical mode)
 ):
     """Sharded LETKF: the GRID axis (not the flat row axis) shards across
     the mesh, since rows of a column share their patch's weights.  Patches
@@ -359,12 +368,15 @@ def letkf_update_sharded(
 
     bm = body_mean.reshape(vt, ngrid)
     bp = body_perts.reshape(vt, ngrid, nens)
+    bvert = None if body_vert is None else body_vert.reshape(vt, ngrid)
     glat, glon = grid_lat, grid_lon
     if pad:
         bm = jnp.pad(bm, ((0, 0), (0, pad)))
         bp = jnp.pad(bp, ((0, 0), (0, pad), (0, 0)))
         glat = jnp.concatenate([glat, jnp.repeat(glat[-1:], pad)])
         glon = jnp.concatenate([glon, jnp.repeat(glon[-1:], pad)])
+        if bvert is not None:
+            bvert = jnp.pad(bvert, ((0, 0), (0, pad)), mode="edge")
 
     shard_g1 = NamedSharding(mesh, P(axis_name))
     shard_g2 = NamedSharding(mesh, P(None, axis_name))
@@ -374,6 +386,8 @@ def letkf_update_sharded(
     bp = jax.device_put(bp, shard_g3)
     glat = jax.device_put(glat, shard_g1)
     glon = jax.device_put(glon, shard_g1)
+    if bvert is not None:
+        bvert = jax.device_put(bvert, shard_g2)
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
@@ -395,6 +409,8 @@ def letkf_update_sharded(
         sqrt_method=sqrt_method,
         ns_iters=ns_iters,
         chunk=chunk,
+        vertical=vertical,
+        body_vert=bvert,
     )
     bm = bm[:, :ngrid].reshape(ns)
     bp = bp[:, :ngrid].reshape(ns, nens)

@@ -260,3 +260,61 @@ def test_letkf_sharded_obs_solve_issues_no_collectives():
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo, f"collective {op!r} leaked into the LETKF solve"
+
+
+# ---------------------------------------------------------------------------
+# Vertical (per-level) mode
+# ---------------------------------------------------------------------------
+
+
+def test_letkf_vertical_masks_far_levels():
+    """An ob with a tight vertical radius at level A must leave level-B
+    rows untouched, and update level-A rows exactly as a horizontal-only
+    analysis of the A-level slab would (the ob sits AT level A, so its
+    vertical factor there is exactly 1)."""
+    t = _toy(ngrid=40, vt=1, nmems=10, nobs=5, seed=11, radius=2000.0)
+    # Two level groups sharing the toy's horizontal layout.
+    bm2 = jnp.concatenate([t["bm"], t["bm"] + 7.0])
+    bp2 = jnp.concatenate([t["bp"], t["bp"] * 0.8])
+    body_vert = jnp.concatenate([jnp.full(40, 500.0), jnp.full(40, 850.0)])
+    obs_v = t["obs"]._replace(
+        verts=jnp.full(5, 500.0), vert_radii=jnp.full(5, 100.0)
+    )
+    bm, bp, tm, tp, _ = lcore.letkf_update(
+        bm2, bp2, t["tm"], t["tp"], t["glat"], t["glon"], obs_v,
+        ngrid=40, localize=True, k_obs=5, vertical=True,
+        body_vert=body_vert,
+    )
+    # 850 hPa group: |850-500| = 350 > 2*100 -> zero weight, untouched.
+    np.testing.assert_allclose(np.asarray(bm)[40:], np.asarray(bm2)[40:],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bp)[40:], np.asarray(bp2)[40:],
+                               atol=1e-12)
+    # 500 hPa group == horizontal-only analysis of that slab alone.
+    bm_h, bp_h, *_ = lcore.letkf_update(
+        t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"],
+        ngrid=40, localize=True, k_obs=5,
+    )
+    np.testing.assert_allclose(np.asarray(bm)[:40], np.asarray(bm_h),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(bp)[:40], np.asarray(bp_h),
+                               atol=1e-10)
+
+
+def test_letkf_vertical_api_and_sharded():
+    """Driver-level vertical LETKF on a two-level state, single vs mesh."""
+    from test_vertical_localization import _ob, make_level_state
+
+    state = make_level_state(nmems=12, ny=6, nx=8, seed=4)
+    obs = [_ob(state, vert=500.0, vrad=150.0)]
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    post1, b1 = LETKF(state, list(obs), config=cfg).update()
+    post2, b2 = LETKF(state, list(obs), config=cfg, mesh=make_mesh()).update()
+    np.testing.assert_allclose(
+        np.asarray(post1.data), np.asarray(post2.data), atol=1e-10
+    )
+    d = np.asarray(post1.data) - np.asarray(state.data)
+    vi_500 = state.structure.var_index("T_500")
+    vi_850 = state.structure.var_index("T_850")
+    assert np.abs(d[vi_500]).max() > 1e-6  # observed level updated
+    np.testing.assert_allclose(d[vi_850], 0.0, atol=1e-12)  # far level inert
