@@ -93,8 +93,8 @@ def run_tpu(w, block_size=128, localize=True, iters=3):
                 ensrf_blocked_body_pallas_fused,
             )
 
-            tail = core.tail_scan(tm, tp, obs, localize=localize,
-                                  fast_geometry=True)
+            tail = core.tail_scan_blocked(tm, tp, obs, localize=localize,
+                                          fast_geometry=True, panel=512)
             bm2, bp2 = ensrf_blocked_body_pallas_fused(
                 bm, bp, blat, blon, tail, obs,
                 localize=localize, block_size=block_size,

@@ -69,9 +69,9 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
     # allocations that can never be freed (measured: 4 x 2 GB padded
     # constants at the pod-slice size).
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
-        tail = core.tail_scan(tm, tp, obs, localize=True,
-                              fast_geometry=(kernel != "xla"),
-                              vertical=vertical)
+        tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                      fast_geometry=(kernel != "xla"),
+                                      vertical=vertical, panel=512)
         if kernel == "v4g":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
 

@@ -116,6 +116,7 @@ class EnSRF(Assimilation):
                 vertical=vertical,
                 use_pallas=self._use_pallas(),
                 interpret=__import__("jax").default_backend() != "tpu",
+                tail_panel=cfg.tail_panel,
                 # EnSRF owns the formatted prior: let the posterior shards
                 # reuse its HBM.
                 donate=True,
@@ -142,7 +143,7 @@ class EnSRF(Assimilation):
                 ensrf_blocked_body_pallas_fused_grid_donating,
             )
 
-            tail = core.tail_scan(
+            tail = core.tail_scan_blocked(
                 tail_mean,
                 tail_perts,
                 obs,
@@ -150,6 +151,7 @@ class EnSRF(Assimilation):
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
                 vertical=vertical,
+                panel=cfg.tail_panel,
             )
             import jax
 

@@ -395,6 +395,139 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
+                     "panel"),
+)
+def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
+                      localize: bool = True, unbiased: bool = False,
+                      fast_geometry: bool = False, vertical: bool = False,
+                      panel: int = 512) -> TailSolution:
+    """Hierarchical (panel-blocked) phase 1 — same outputs as
+    :func:`tail_scan`, exact up to fp reassociation.
+
+    The plain tail scan touches the whole ``[No, M]`` tail once per ob
+    (``No`` sequential steps), which dominates the update beyond ~10k obs.
+    Here obs are processed in panels of ``B``:
+
+    1. run the ordinary serial scan on just the panel's own ``[B, M]``
+       rows (a panel's obs and rows are index-aligned, so this IS
+       :func:`tail_scan` on the slice) -> the panel's exact ``ye``/
+       coefficient sequence and diagnostics;
+    2. apply those B pre-solved obs to every row OUTSIDE the panel with
+       the same blocked operator the state body uses
+       (:func:`apply_obs_block`; the in-panel rows are masked to zero
+       weight since step 1 already updated them).
+
+    Sequential work drops from ``No`` full-tail passes to ``No`` tiny
+    ``[B, M]`` steps + ``No/B`` MXU-blocked tail passes.
+    """
+    nens = tail_perts.shape[1]
+    dtype = tail_perts.dtype
+    nobs = obs.values.shape[0]
+    if nobs == 0 or nobs <= panel:
+        return tail_scan(tail_mean, tail_perts, obs, localize=localize,
+                         unbiased=unbiased, fast_geometry=fast_geometry,
+                         vertical=vertical)
+
+    obs = obs.with_default_verts()
+    npanels = -(-nobs // panel)
+    pad = npanels * panel - nobs
+
+    def padded(x, fill=0.0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x.astype(dtype) if x.dtype != jnp.bool_ else x, cfg,
+                       constant_values=fill)
+
+    tm = jnp.pad(tail_mean, (0, pad))
+    tp = jnp.pad(tail_perts, ((0, pad), (0, 0)))
+    values = padded(obs.values)
+    errors = padded(obs.errors, 1.0)
+    lats = padded(obs.lats)
+    lons = padded(obs.lons)
+    radii = padded(obs.radii, jnp.inf)
+    assim = jnp.pad(obs.assim, (0, pad))  # padded obs are no-ops
+    verts = padded(obs.verts)
+    vrads = padded(obs.vert_radii, jnp.inf)
+    ntot = nobs + pad
+
+    if localize and fast_geometry:
+        all_xyz = latlon_to_unit(lats, lons).astype(dtype)
+    else:
+        all_xyz = None
+    row_idx = jnp.arange(ntot)
+
+    def sl(x, start):
+        return jax.lax.dynamic_slice_in_dim(x, start, panel, axis=0)
+
+    def step(carry, p):
+        tm, tp = carry
+        base = p * panel
+        pob = ObsArrays(
+            values=sl(values, base),
+            errors=sl(errors, base),
+            lats=sl(lats, base),
+            lons=sl(lons, base),
+            radii=sl(radii, base),
+            assim=sl(assim, base),
+            verts=sl(verts, base),
+            vert_radii=sl(vrads, base),
+        )
+        # 1. exact serial solve on the panel's own rows.
+        sol = tail_scan(
+            jax.lax.dynamic_slice_in_dim(tm, base, panel),
+            jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),
+            pob, localize=localize, unbiased=unbiased,
+            fast_geometry=fast_geometry, vertical=vertical,
+        )
+        # 2. blocked application to all rows OUTSIDE the panel.
+        outside = ((row_idx < base) | (row_idx >= base + panel)).astype(dtype)
+        if localize and fast_geometry:
+            pxyz = sl(all_xyz, base)
+            w = chordal_gc_weights(
+                all_xyz[:, None, :], pxyz[None, :, :], pob.radii[None, :]
+            ).astype(dtype)
+        elif localize:
+            w = gaspari_cohn(
+                haversine((lats[:, None], lons[:, None]),
+                          (pob.lats[None, :], pob.lons[None, :])),
+                pob.radii[None, :],
+            ).astype(dtype)
+        else:
+            w = jnp.ones((ntot, panel), dtype=dtype)
+        if localize and vertical:
+            w = w * gaspari_cohn(
+                jnp.abs(verts[:, None] - pob.verts[None, :]),
+                pob.vert_radii[None, :],
+            ).astype(dtype)
+        w = w * outside[:, None]
+        tm2, tp2 = apply_obs_block(
+            tm, tp, sol.ye, sol.gain_coef, sol.sqrt_coef, w
+        )
+        # panel rows were updated exactly in step 1; write them back.
+        tm2 = jax.lax.dynamic_update_slice_in_dim(tm2, sol.tail_mean, base,
+                                                  axis=0)
+        tp2 = jax.lax.dynamic_update_slice_in_dim(tp2, sol.tail_perts, base,
+                                                  axis=0)
+        return (tm2, tp2), (sol.ye, sol.gain_coef, sol.sqrt_coef, sol.diags)
+
+    with jax.named_scope("ensrf/tail_scan_blocked"):
+        (tm, tp), (ye, gain, sqrtc, diags) = jax.lax.scan(
+            step, (tm, tp), jnp.arange(npanels)
+        )
+
+    flat = lambda x: x.reshape((npanels * panel,) + x.shape[2:])[:nobs]
+    return TailSolution(
+        ye=flat(ye),
+        gain_coef=flat(gain),
+        sqrt_coef=flat(sqrtc),
+        tail_mean=tm[:nobs],
+        tail_perts=tp[:nobs],
+        diags=ObsDiagnostics(*(flat(d) for d in diags)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Strategy 2, phase 2: blocked state-body update
 # ---------------------------------------------------------------------------
@@ -554,14 +687,23 @@ def ensrf_blocked(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    tail_panel: Optional[int] = None,
 ):
     """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
 
     Drop-in equivalent of :func:`ensrf_serial` (same returns).
+    ``tail_panel``: panel size for the hierarchical phase-1 solve (None =
+    plain per-ob scan; a panel only pays off beyond a few thousand obs).
     """
-    tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
-                     unbiased=unbiased, fast_geometry=fast_geometry,
-                     vertical=vertical)
+    if tail_panel:
+        tail = tail_scan_blocked(tail_mean, tail_perts, obs,
+                                 localize=localize, unbiased=unbiased,
+                                 fast_geometry=fast_geometry,
+                                 vertical=vertical, panel=tail_panel)
+    else:
+        tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
+                         unbiased=unbiased, fast_geometry=fast_geometry,
+                         vertical=vertical)
     bm, bp = ensrf_blocked_body(
         body_mean,
         body_perts,

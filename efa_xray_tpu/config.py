@@ -27,6 +27,11 @@ class FilterConfig:
     method: str = "blocked"
     # Observations applied to the state body per phase-2 block.
     block_size: int = 128
+    # Panel size for the hierarchical phase-1 tail solve
+    # (ensrf_core.tail_scan_blocked): beyond ~10k obs the plain per-ob tail
+    # scan dominates the update; panels keep the sequential part on tiny
+    # [panel, M] slices.  Identical results up to fp reassociation.
+    tail_panel: int = 512
     # Forward-operator knobs (reference: efa_xray/state/ensemble.py:170-239).
     npt: int = 4
     exact_match_km: float = 1.0

@@ -69,6 +69,7 @@ def _ensrf_sharded_impl(
     interpret: bool,
     fast_geometry: bool,
     vertical: bool,
+    tail_panel: int,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
     # The fully-fused v4 kernel applies whenever per-row weights are the
@@ -89,8 +90,11 @@ def _ensrf_sharded_impl(
                 unbiased=unbiased, fast_geometry=fast_geometry,
                 body_vert=bvert, vertical=vertical,
             )
-        tail = core.tail_scan(tm, tp, ob, localize=localize, unbiased=unbiased,
-                              fast_geometry=fast_geometry, vertical=vertical)
+        tail = core.tail_scan_blocked(
+            tm, tp, ob, localize=localize, unbiased=unbiased,
+            fast_geometry=fast_geometry, vertical=vertical,
+            panel=tail_panel,
+        )
         if fused:
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
                 ensrf_blocked_body_pallas_fused,
@@ -136,6 +140,7 @@ def _ensrf_sharded_impl(
 _SHARDED_STATIC = (
     "mesh", "localize", "method", "block_size", "tile", "axis_name",
     "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
+    "tail_panel",
 )
 
 _ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
@@ -170,6 +175,7 @@ def ensrf_update_sharded(
     body_vert=None,
     vertical: bool = False,
     donate: bool = False,
+    tail_panel: int = 512,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -225,6 +231,7 @@ def ensrf_update_sharded(
         interpret=interpret,
         fast_geometry=fast_geometry,
         vertical=vertical,
+        tail_panel=tail_panel,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

@@ -369,3 +369,52 @@ def test_f32_drift_at_production_nobs_is_bounded():
     post32 = np.asarray(out[0])[:, None] + np.asarray(out[1])
     rel = np.abs(post32 - post64).max() / np.abs(post64).mean()
     assert rel < 1e-5, f"f32 blocked drift {rel:.3e} exceeds 1e-5"
+
+
+def test_tail_scan_blocked_equals_tail_scan_any_panel():
+    """The hierarchical phase-1 solve (panels of B obs + blocked tail
+    application) must reproduce the per-ob tail scan exactly, for panel
+    sizes that do and do not divide nobs, with masked obs, per-ob radii
+    (incl. inf), vertical factors, and both geometries."""
+    import jax.numpy as jnp
+
+    from efa_xray_tpu.assimilation import ensrf_core as core
+
+    rng = np.random.default_rng(12)
+    nobs, nmems = 67, 9
+    ye = rng.normal(280, 3, (nobs, nmems))
+    tm = jnp.asarray(ye.mean(1))
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True))
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + rng.normal(0, 1, nobs)),
+        errors=jnp.asarray(rng.uniform(0.5, 2.0, nobs)),
+        lats=jnp.asarray(rng.uniform(-70, 70, nobs)),
+        lons=jnp.asarray(rng.uniform(0, 360, nobs)),
+        radii=jnp.asarray(rng.choice([1500.0, 3000.0, np.inf], nobs)),
+        assim=jnp.asarray(rng.random(nobs) > 0.2),
+        verts=jnp.asarray(rng.uniform(100, 1000, nobs)),
+        vert_radii=jnp.asarray(rng.choice([300.0, np.inf], nobs)),
+    )
+    for kw in (dict(localize=True), dict(localize=False),
+               dict(localize=True, fast_geometry=True),
+               dict(localize=True, vertical=True),
+               dict(localize=True, unbiased=True)):
+        a = core.tail_scan(tm, tp, obs, **kw)
+        for panel in (16, 32, 67, 100):
+            b = core.tail_scan_blocked(tm, tp, obs, panel=panel, **kw)
+            for name in ("ye", "gain_coef", "sqrt_coef", "tail_mean",
+                         "tail_perts"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, name)),
+                    np.asarray(getattr(b, name)),
+                    atol=1e-11, err_msg=f"{kw} panel={panel} {name}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(a.diags.assimilated), np.asarray(b.diags.assimilated)
+            )
+            for f in ("prior_mean", "prior_var", "post_mean", "post_var"):
+                x = np.asarray(getattr(a.diags, f))
+                y = np.asarray(getattr(b.diags, f))
+                np.testing.assert_allclose(
+                    x[np.isfinite(x)], y[np.isfinite(y)], atol=1e-11
+                )
