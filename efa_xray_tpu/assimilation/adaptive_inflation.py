@@ -251,3 +251,38 @@ class AdaptiveInflation:
         out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
         for i, v in enumerate(s.var_names):
             self.mean[v] = out[i]
+
+
+@jax.jit
+def row_spread(perts):
+    """Per-row ensemble spread (ddof=1): ``[rows]`` from ``[rows, M]``."""
+    return jnp.sqrt(jnp.sum(perts**2, axis=1) / (perts.shape[1] - 1))
+
+
+@jax.jit
+def rtps(prior_spread, post_perts, alpha):
+    """Relaxation-to-prior-spread posterior inflation (Whitaker & Hamill
+    2012, MWR 140:3078) — an extension beyond the reference, which has no
+    posterior inflation at all (its AdaptiveInflation stops at the prior
+    multiply, ``efa_xray/assimilation/adaptive_inflation.py:59-74``).
+
+    ``prior_spread`` is the per-row background spread (``row_spread`` of
+    the prior perturbations — computed BEFORE the update so it survives
+    buffer donation).  Per state row the posterior perturbations scale so
+    the analysis spread relaxes toward the background spread,
+
+        sigma_a' = (1 - alpha) * sigma_a + alpha * sigma_b
+        X_a'     = X_a * sigma_a' / sigma_a
+
+    ``alpha = 0`` is a no-op, ``alpha = 1`` restores the prior spread
+    exactly.  Rows whose posterior spread is zero (e.g. collapsed or
+    padded rows) are left untouched.  Works on sharded arrays unchanged
+    (purely row-local).
+    """
+    sb = prior_spread
+    sa = row_spread(post_perts)
+    safe = sa > 0
+    factor = jnp.where(
+        safe, 1.0 + alpha * (sb - sa) / jnp.where(safe, sa, 1.0), 1.0
+    )
+    return post_perts * factor[:, None].astype(post_perts.dtype)

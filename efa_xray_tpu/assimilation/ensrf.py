@@ -94,6 +94,14 @@ class EnSRF(Assimilation):
         if self.verbose:
             self.log.info("Beginning observation loop (%s)", cfg.method)
 
+        # Background spread per row, captured BEFORE the update so RTPS
+        # survives buffer donation of the prior perturbations.
+        prior_spread = None
+        if cfg.rtps_alpha > 0.0:
+            from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
+
+            prior_spread = row_spread(body_perts)
+
         if self.mesh is not None:
             from efa_xray_tpu.parallel import sharded
 
@@ -248,6 +256,11 @@ class EnSRF(Assimilation):
                 body_vert=body_vert,
                 vertical=vertical,
             )
+
+        if prior_spread is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtps
+
+            bp = rtps(prior_spread, bp, cfg.rtps_alpha)
 
         self.record_diagnostics(diags)
 

@@ -86,6 +86,11 @@ class LETKF(Assimilation):
         body_vert = (
             jnp.asarray(st.row_vert(), dtype=dtype) if vertical else None
         )
+        prior_spread = None
+        if cfg.rtps_alpha > 0.0:
+            from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
+
+            prior_spread = row_spread(body_perts)
 
         if self.mesh is not None:
             from efa_xray_tpu.parallel.sharded import letkf_update_sharded
@@ -128,6 +133,11 @@ class LETKF(Assimilation):
                 vertical=vertical,
                 body_vert=body_vert,
             )
+
+        if prior_spread is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtps
+
+            bp = rtps(prior_spread, bp, cfg.rtps_alpha)
 
         self.record_diagnostics(diags)
 

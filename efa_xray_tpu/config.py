@@ -73,6 +73,11 @@ class FilterConfig:
     letkf_ns_iters: int = 30
     # Patches solved per lax.map step (bounds the [chunk, k, M] gather).
     letkf_chunk: int = 1024
+    # Relaxation-to-prior-spread posterior inflation (Whitaker & Hamill
+    # 2012): after the analysis, each row's posterior spread relaxes toward
+    # the background spread by this fraction.  0 = off (reference parity);
+    # 1 = restore prior spread exactly.  Applies to both solvers.
+    rtps_alpha: float = 0.0
     # When ``inflation`` is an AdaptiveInflation instance, Bayesian-update
     # its mean field from this batch's innovations after the analysis
     # (Anderson 2009) so the next cycle's prior inflation has learned from
@@ -96,3 +101,5 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
         if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
+        if not 0.0 <= self.rtps_alpha <= 1.0:
+            raise ValueError("rtps_alpha must be in [0, 1]")

@@ -123,6 +123,13 @@ class CyclingHarness:
                 block_size=min(self.config.block_size, max(nobs, 1)),
                 unbiased=self.config.unbiased_variance,
             )
+        if self.config.rtps_alpha > 0.0:
+            from efa_xray_tpu.assimilation.adaptive_inflation import (
+                row_spread,
+                rtps,
+            )
+
+            bp2 = rtps(row_spread(bp), bp2, self.config.rtps_alpha)
         if self.adaptive_inflation:
             from efa_xray_tpu.assimilation.adaptive_inflation import (
                 update_inflation_rows,

@@ -212,3 +212,58 @@ def test_ensrf_update_learns_adaptive_inflation_in_the_loop():
     cfg = FilterConfig(localization="GC", adaptive_inflation_update=False)
     EnSRF(state, obs, inflation=frozen, verbose=False, config=cfg).update()
     np.testing.assert_allclose(frozen.mean[v], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# RTPS posterior inflation (extension: Whitaker & Hamill 2012)
+# ---------------------------------------------------------------------------
+
+
+def test_rtps_endpoints():
+    import jax.numpy as jnp
+
+    from efa_xray_tpu.assimilation.adaptive_inflation import row_spread, rtps
+
+    rng = np.random.default_rng(0)
+    pb = jnp.asarray(rng.normal(0, 2, (50, 10)))
+    pb = pb - pb.mean(axis=1, keepdims=True)
+    pa = pb * 0.4
+    sb = row_spread(pb)
+    # alpha=1 restores the prior spread exactly; alpha=0 is a no-op
+    np.testing.assert_allclose(
+        np.asarray(row_spread(rtps(sb, pa, 1.0))), np.asarray(sb), atol=1e-12
+    )
+    np.testing.assert_array_equal(np.asarray(rtps(sb, pa, 0.0)), np.asarray(pa))
+    # intermediate alpha interpolates the spread linearly
+    got = np.asarray(row_spread(rtps(sb, pa, 0.5)))
+    want = 0.5 * np.asarray(row_spread(pa)) + 0.5 * np.asarray(sb)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # zero-spread rows untouched
+    pa0 = pa.at[3].set(0.0)
+    np.testing.assert_array_equal(np.asarray(rtps(sb, pa0, 0.8))[3], 0.0)
+
+
+@pytest.mark.parametrize("solver", ["ensrf", "letkf"])
+def test_rtps_through_the_drivers(solver, demo_state):
+    from conftest import make_demo_obs
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.assimilation.letkf import LETKF
+    from efa_xray_tpu.config import FilterConfig
+
+    obs = make_demo_obs(demo_state, nobs=6, radius=2000.0)
+    cls = LETKF if solver == "letkf" else EnSRF
+    cfg0 = FilterConfig(localization="GC", dtype="float64")
+    cfg1 = FilterConfig(localization="GC", dtype="float64", rtps_alpha=1.0)
+    post0, _ = cls(demo_state, list(obs), config=cfg0).update()
+    post1, _ = cls(demo_state, list(obs), config=cfg1).update()
+    prior_spread = np.asarray(demo_state.ensemble_spread())
+    s0 = np.asarray(post0.ensemble_spread())
+    s1 = np.asarray(post1.ensemble_spread())
+    # without RTPS the analysis contracts; with alpha=1 spread == prior
+    assert s0.mean() < prior_spread.mean()
+    np.testing.assert_allclose(s1, prior_spread, rtol=1e-8)
+    # and the analysis mean is untouched by RTPS
+    np.testing.assert_allclose(
+        np.asarray(post1.ensemble_mean()), np.asarray(post0.ensemble_mean()),
+        atol=1e-10,
+    )
