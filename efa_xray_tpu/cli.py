@@ -100,6 +100,19 @@ def cmd_assimilate(args):
 
     state = EnsembleState.from_netcdf(args.state, dtype=args.dtype)
     batch = read_obs_csv(args.obs)
+    if args.thin_km:
+        from efa_xray_tpu.observation.thinning import thin_by_distance
+
+        n0 = len(batch)
+        batch = thin_by_distance(batch, args.thin_km)
+        print(f"thinned {n0} -> {len(batch)} obs (min {args.thin_km} km)")
+    if args.superob_deg:
+        from efa_xray_tpu.observation.thinning import superob
+
+        n0 = len(batch)
+        batch = superob(batch, args.superob_deg)
+        print(f"superobbed {n0} -> {len(batch)} obs "
+              f"({args.superob_deg} deg cells)")
     if args.radius is not None:
         batch.localize_radius = np.where(
             np.isinf(batch.localize_radius), args.radius, batch.localize_radius
@@ -173,6 +186,10 @@ def main(argv=None):
     p_as.add_argument("--radius", type=float, default=None,
                       help="default GC halfwidth km for obs without one")
     p_as.add_argument("--no-localization", action="store_true")
+    p_as.add_argument("--thin-km", type=float, default=None,
+                      help="thin obs to a minimum pairwise separation (km)")
+    p_as.add_argument("--superob-deg", type=float, default=None,
+                      help="average obs per lat/lon cell of this size (deg)")
     p_as.add_argument("--fast-geometry", action="store_true")
     p_as.add_argument("--dtype", default="float32",
                       choices=["float32", "float64"])
