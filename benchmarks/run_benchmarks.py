@@ -385,7 +385,8 @@ def bench_config5():
 
 
 def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
-                 k_obs=64, chunk=1024, iters=3, dtype=jnp.float32):
+                 k_obs=64, chunk=1024, iters=3, dtype=jnp.float32,
+                 body_vert=None, vertical=False):
     """Chained timing of the all-at-once LETKF analysis."""
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -396,11 +397,13 @@ def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
     ye0 = pj.reshape(-1, ngrid, pj.shape[-1])[0][jnp.asarray(rows)]
     glat = jnp.asarray(grid_lat, dtype=dtype)
     glon = jnp.asarray(grid_lon, dtype=dtype)
+    bvert = None if body_vert is None else jnp.asarray(body_vert, dtype=dtype)
 
     def step(bm, bp, tm, tp):
         return letkf_core.letkf_update(
             bm, bp, tm, tp, glat, glon, obs, ngrid=ngrid,
             patch_size=patch_size, k_obs=k_obs, chunk=chunk,
+            vertical=vertical, body_vert=bvert,
         )[:4]
 
     digest = jax.jit(lambda bm, bp: jnp.sum(bm) + jnp.sum(bp[:, 0]))
@@ -478,6 +481,44 @@ def bench_config7(patch_size=8, k_obs=64):
     }
 
 
+def bench_config9(patch_size=8, k_obs=64):
+    """LETKF on the config-3 workload with VERTICAL localization: solves
+    run per (level-group, patch) — VT = 80 groups x the spatial patches."""
+    rng = np.random.default_rng(3)
+    nvars, nlev, ny, nx, nmems, nobs = 4, 20, 90, 180, 30, 5000
+    ngrid = ny * nx
+    nstate = nvars * nlev * ngrid
+    lat1d = np.linspace(-89, 89, ny)
+    lon1d = np.arange(0, 360, 2.0)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    prior = rng.normal(0, 5, (nstate, nmems)).astype(np.float32)
+    rows = rng.integers(0, nstate, nobs)
+    row_lat = np.tile(lat.ravel(), nvars * nlev)
+    row_lon = np.tile(lon.ravel(), nvars * nlev)
+    levels = np.linspace(1000.0, 100.0, nlev)
+    body_vert = np.repeat(np.tile(levels, nvars), ngrid)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        row_lat[rows], row_lon[rows], np.full(nobs, 2000.0), jnp.float32,
+    )._replace(
+        verts=jnp.asarray(body_vert[rows], dtype=jnp.float32),
+        vert_radii=jnp.full(nobs, 300.0, dtype=jnp.float32),
+    )
+    dt = _timed_letkf(prior, lat.ravel(), lon.ravel(), obs, ngrid,
+                      patch_size=patch_size, k_obs=k_obs,
+                      body_vert=body_vert, vertical=True, iters=2)
+    return {
+        "config": "9-letkf-gefs-3d-vert",
+        "nstate": nstate,
+        "nmems": nmems,
+        "nobs": nobs,
+        "patch_size": patch_size,
+        "k_obs": k_obs,
+        "seconds": dt,
+        "obs_points_per_sec": nobs * nstate / dt,
+    }
+
+
 def bench_config8(nobs_list=(2000, 10000, 50000)):
     """Solver scaling in nobs at config-2 scale: the serial EnSRF is
     linear in nobs by construction (``ensrf.py:50``); the LETKF is flat
@@ -512,7 +553,8 @@ def bench_config8(nobs_list=(2000, 10000, 50000)):
 
 BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
            3: bench_config3, 4: bench_config4, 5: bench_config5,
-           6: bench_config6, 7: bench_config7, 8: bench_config8}
+           6: bench_config6, 7: bench_config7, 8: bench_config8,
+           9: bench_config9}
 
 
 def main():

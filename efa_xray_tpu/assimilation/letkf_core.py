@@ -233,21 +233,6 @@ def solve_patch_weights(
 # ---------------------------------------------------------------------------
 
 
-def patch_centroids(grid_lat, grid_lon, patch_size: int):
-    """Unit-vector centroids of contiguous ``patch_size``-point runs of the
-    flattened grid: ``[ceil(G / S), 3]``.  Exact grid-point positions when
-    ``patch_size == 1``."""
-    xyz = latlon_to_unit(grid_lat, grid_lon)  # [G, 3]
-    g = xyz.shape[0]
-    npatch = -(-g // patch_size)
-    pad = npatch * patch_size - g
-    # Pad by repeating the last point so centroids stay on the sphere.
-    xyz = jnp.concatenate([xyz, jnp.repeat(xyz[-1:], pad, axis=0)], axis=0)
-    mean = xyz.reshape(npatch, patch_size, 3).mean(axis=1)
-    norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
-    return mean / jnp.maximum(norm, 1e-12)
-
-
 def apply_patch_weights(body_mean, body_perts, weights: PatchWeights,
                         ngrid: int, patch_size: int):
     """Transform the state body by per-patch weights: one batched matmul.
