@@ -170,28 +170,29 @@ def thin_by_distance(batch: ObservationBatch, min_km: float) -> ObservationBatch
         axis=1,
     )
     # chordal threshold equivalent to the great-circle min_km
-    chord2 = (2.0 * np.sin(min_km / (2.0 * EARTH_RADIUS_KM))) ** 2
+    chord = 2.0 * np.sin(min(min_km / (2.0 * EARTH_RADIUS_KM), np.pi / 2))
+    chord2 = chord**2
 
-    cell = min_km / EARTH_RADIUS_KM  # radians; cells sized so neighbors
-    # within min_km live in the 3x3 (lat) x wrapped (lon) neighborhood
+    # 3-D cell hash on the unit sphere (pole- and dateline-safe: a lat/lon
+    # hash misses neighbors near the poles where lon cells shrink).  Cube
+    # cells of side = chord guarantee any pair closer than chord shares a
+    # 3x3x3 neighborhood.
+    cells3 = np.floor(xyz / chord).astype(np.int64)
     errs = np.asarray(batch.errors, float)
     kept: list = []
     grid: dict = {}
 
-    def cell_key(i):
-        return (int(np.floor(lat[i] / cell)),
-                int(np.floor(lon[i] / cell)))
-
-    nlon_cells = max(1, int(np.ceil(2 * np.pi / cell)))
     for i in work[np.argsort(errs[work], kind="stable")]:
-        ky, kx = cell_key(i)
+        kx, ky, kz = cells3[i]
         ok = True
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                for j in grid.get((ky + dy, (kx + dx) % nlon_cells), ()):
-                    d2 = ((xyz[i] - xyz[j]) ** 2).sum()
-                    if d2 < chord2:
-                        ok = False
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for j in grid.get((kx + dx, ky + dy, kz + dz), ()):
+                        if ((xyz[i] - xyz[j]) ** 2).sum() < chord2:
+                            ok = False
+                            break
+                    if not ok:
                         break
                 if not ok:
                     break
@@ -199,7 +200,7 @@ def thin_by_distance(batch: ObservationBatch, min_km: float) -> ObservationBatch
                 break
         if ok:
             kept.append(i)
-            grid.setdefault((ky, kx % nlon_cells), []).append(i)
+            grid.setdefault((kx, ky, kz), []).append(i)
 
     keep_idx = np.sort(np.concatenate([np.asarray(kept, int),
                                        np.nonzero(skip)[0]]).astype(int))

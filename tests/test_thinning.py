@@ -130,3 +130,27 @@ def test_thinned_batch_assimilates():
                                           dtype="float64")).update()
     assert out.assimilated.all()
     assert np.nanmean(out.post_var) < np.nanmean(out.prior_var)
+
+
+def test_thin_is_pole_safe():
+    """Near the pole, longitude cells collapse — a lat/lon hash would miss
+    neighbors across many lon cells.  Two obs 0.2 deg from the pole at
+    opposite longitudes are ~44 km apart and must not both survive a
+    100 km thinning."""
+    b = _batch([89.8, 89.8, 45.0], [0.0, 180.0, 90.0],
+               errors=[0.5, 1.0, 1.0])
+    out = thin_by_distance(b, min_km=100.0)
+    assert len(out) == 2
+    assert 0.5 in list(out.errors)  # the better polar ob survived
+    # brute-force check of the invariant on a random polar cloud
+    rng = np.random.default_rng(9)
+    n = 200
+    bb = _batch(rng.uniform(85.0, 90.0, n), rng.uniform(0, 360, n),
+                errors=rng.uniform(0.5, 2.0, n))
+    out = thin_by_distance(bb, min_km=80.0)
+    from efa_xray_tpu.observation import localization as loc
+
+    d = np.array(loc.pairwise_distance(out.lats, out.lons,
+                                       out.lats, out.lons))
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= 80.0 - 1e-6
