@@ -125,6 +125,8 @@ class EnSRF(Assimilation):
                 use_pallas=self._use_pallas(),
                 interpret=__import__("jax").default_backend() != "tpu",
                 tail_panel=cfg.tail_panel,
+                cull=cfg.cull,
+                spatial_sort=cfg.spatial_sort,
                 # EnSRF owns the formatted prior: let the posterior shards
                 # reuse its HBM.
                 donate=True,
@@ -195,6 +197,11 @@ class EnSRF(Assimilation):
                     ngrid=st.ngrid,
                 )
             elif cfg.fast_geometry or not cfg.localize:
+                # Geometry-only row permutation for the kernel's cull:
+                # computed once per structure, two gathers per update.
+                row_order = inv_order = None
+                if cfg.spatial_sort:
+                    row_order, inv_order = st.spatial_order_device()
                 # The fully-fused v4 kernel (state crosses HBM once;
                 # per-row chordal weights — and, when active, vertical GC
                 # factors — computed in-kernel).  Per-row weights are exact
@@ -218,6 +225,10 @@ class EnSRF(Assimilation):
                     tile=cfg.pallas_tile,
                     interpret=interpret,
                     vertical=vertical,
+                    cull=cfg.cull,
+                    spatial_sort=cfg.spatial_sort,
+                    row_order=row_order,
+                    inv_order=inv_order,
                 )
             else:
                 bm, bp = ensrf_blocked_body_pallas(

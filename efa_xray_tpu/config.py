@@ -51,6 +51,20 @@ class FilterConfig:
     # polynomial arccos; ~2e-8 rad error) instead of the exact haversine.
     # Off by default to keep bit-level reference parity.
     fast_geometry: bool = False
+    # Localization culling in the fused v4 kernel: skip (row-tile,
+    # obs-block) pairs — and individual 8-ob panels — whose Gaspari-Cohn
+    # weights are provably all zero.  EXACT (the skipped work is
+    # multiplication by zero); on by default.
+    cull: bool = True
+    # Permute state rows into spherical Morton order around the fused
+    # kernel (exact — the update is row-local; the inverse permutation is
+    # applied on the way out) so row tiles cover compact caps and culling
+    # bites.  Pays off when the observation ORDER is also spatially
+    # coherent; obs order is part of the serial algorithm's definition, so
+    # sorting obs is left to the caller (see
+    # observation.localization.spatial_sort_order and
+    # observation.thinning.sort_spatially).
+    spatial_sort: bool = False
     # False reproduces the reference's np.var (ddof=0) in the gain
     # denominator against a ddof=1 covariance (ensrf.py:69,95) — weakly
     # observation-order dependent.  True uses ddof=1 throughout (textbook

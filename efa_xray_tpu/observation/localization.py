@@ -139,6 +139,49 @@ def chordal_gc_weights(row_xyz, ob_xyz, halfwidth):
     return gaspari_cohn(dist, halfwidth)
 
 
+def morton3d_keys(xyz, bits: int = 10):
+    """Morton (Z-order) keys for unit vectors: uint32, ``bits`` per axis.
+
+    Sorting rows of a scattered state by these keys makes consecutive rows
+    spatially adjacent on the sphere, so a contiguous row tile covers a
+    compact cap — the property the fused kernel's localization culling
+    (:mod:`efa_xray_tpu.ops.ensrf_pallas_fused`) needs to skip
+    (row-tile, obs-block) pairs whose Gaspari-Cohn weights are all zero.
+    """
+    scale = jnp.uint32((1 << bits) - 1)
+    q = jnp.clip((jnp.asarray(xyz) + 1.0) * 0.5 * float((1 << bits) - 1),
+                 0.0, float((1 << bits) - 1)).astype(jnp.uint32)
+    q = jnp.minimum(q, scale)
+
+    def spread(v):
+        v = v & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0xFF0000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0F00F00F)
+        v = (v | (v << 4)) & jnp.uint32(0xC30C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x49249249)
+        return v
+
+    return (
+        spread(q[..., 0])
+        | (spread(q[..., 1]) << jnp.uint32(1))
+        | (spread(q[..., 2]) << jnp.uint32(2))
+    )
+
+
+def spatial_sort_order(lat, lon, bits: int = 10):
+    """Permutation that orders points by spherical Morton key.
+
+    Returns an index array usable with ``np.take``/``jnp.take``.  Row order
+    of a state is a free (exact) choice — per-row EnSRF updates are
+    row-local — while OBSERVATION order is part of the serial algorithm's
+    definition (the reference itself shuffles it, ``efa_demo.ipynb`` cell
+    11); sorting obs spatially is therefore an explicit, documented choice
+    that picks one valid assimilation order that maximizes localization
+    sparsity.
+    """
+    return jnp.argsort(morton3d_keys(latlon_to_unit(lat, lon), bits=bits))
+
+
 def gaspari_cohn_np(distances, halfwidth):
     """NumPy twin of :func:`gaspari_cohn` for host-side/test use."""
     r = np.asarray(distances, dtype=np.float64) / abs(halfwidth)

@@ -205,3 +205,45 @@ def thin_by_distance(batch: ObservationBatch, min_km: float) -> ObservationBatch
     keep_idx = np.sort(np.concatenate([np.asarray(kept, int),
                                        np.nonzero(skip)[0]]).astype(int))
     return ObservationBatch(**_subset(batch, keep_idx))
+
+
+def _morton3d_np(lats, lons, bits: int = 10) -> np.ndarray:
+    """NumPy twin of ``localization.morton3d_keys`` on (lat, lon) degrees."""
+    phi = np.radians(np.asarray(lats, float))
+    lam = np.radians(np.asarray(lons, float))
+    xyz = np.stack(
+        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+        axis=-1,
+    )
+    scale = (1 << bits) - 1
+    q = np.clip((xyz + 1.0) * 0.5 * scale, 0, scale).astype(np.uint32)
+
+    def spread(v):
+        v = v & np.uint32(0x3FF)
+        v = (v | (v << 16)) & np.uint32(0xFF0000FF)
+        v = (v | (v << 8)) & np.uint32(0x0F00F00F)
+        v = (v | (v << 4)) & np.uint32(0xC30C30C3)
+        v = (v | (v << 2)) & np.uint32(0x49249249)
+        return v
+
+    return (
+        spread(q[..., 0])
+        | (spread(q[..., 1]) << np.uint32(1))
+        | (spread(q[..., 2]) << np.uint32(2))
+    )
+
+
+def sort_spatially(batch: ObservationBatch) -> ObservationBatch:
+    """Reorder observations into spherical Morton (Z-curve) order.
+
+    Observation ORDER is part of the serial EnSRF's definition — the
+    reference itself assimilates in arbitrary order and even shuffles it
+    (``efa_demo.ipynb`` cell 11) — so this picks one valid order, the one
+    that maximizes localization sparsity: consecutive obs become spatially
+    adjacent, so the fused kernel's (row-tile, obs-panel) culling
+    (``FilterConfig.cull`` + ``FilterConfig.spatial_sort``) can skip most
+    of the provably-zero-weight work.  Without localization the analysis
+    mean is order-independent (in exact arithmetic), making the sort free.
+    """
+    order = np.argsort(_morton3d_np(batch.lats, batch.lons), kind="stable")
+    return ObservationBatch(**_subset(batch, order))

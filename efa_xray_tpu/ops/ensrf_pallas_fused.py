@@ -66,8 +66,13 @@ def _gc_poly(r):
     return jnp.where(r <= 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
 
 
-def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
+def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
+                       cull: bool):
     def kernel(
+        bits_ref,  # scalar-prefetch [gtiles, nblocks] int32 (SMEM): bit q
+        # set = panel q of this (row-tile, obs-block) pair may have a
+        # nonzero localization weight; 0 = the whole pair is provably dead
+        # and skipped (exact).  Ignored when ``cull`` is statically off.
         xbm_in_ref,  # [1, TILE]
         xbp_in_ref,  # [TILE, M]
         geom_ref,  # [4, TILE] rows: unit-vector x, y, z, vertical coord.
@@ -91,93 +96,205 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool):
         d0_ref,  # [B, TILE] scratch
     ):
         f32 = xbp_in_ref.dtype
+        t = pl.program_id(0)
         b = pl.program_id(1)
+        bits = bits_ref[t, b] if cull else jnp.int32(1)
 
         @pl.when(b == 0)
         def _():
             xbm_out_ref[:] = xbm_in_ref[:]
             xbp_out_ref[:] = xbp_in_ref[:]
 
-        xbp = xbp_out_ref[:]  # current tile state (resident across blocks)
-        y = y_ref[0, :, :]  # [B, M]
+        # Localization culling: when the tile/block bounding caps prove
+        # w == 0 for every (ob, row) pair here, u would be identically zero
+        # and the state update a no-op — skipping is exact, and with
+        # spatially sorted rows + obs it removes most blocks (GC support
+        # 2*halfwidth covers ~10% of the sphere at 2000 km).
+        @pl.when(bits != 0)
+        def _():
+            xbp = xbp_out_ref[:]  # current tile state (resident across blocks)
+            y = y_ref[0, :, :]  # [B, M]
 
-        d0_ref[:] = jax.lax.dot_general(
-            y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )
+            d0_ref[:] = jax.lax.dot_general(
+                y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
 
-        if localize:
-            bx = geom_ref[0:1, :]  # [1, T]
-            by = geom_ref[1:2, :]
-            bz = geom_ref[2:3, :]
-            if vertical:
-                bv = geom_ref[3:4, :]  # [1, T]
-
-        npanels = -(-bsz // PANEL)
-        for q in range(npanels):
-            base = q * PANEL
-            width = min(PANEL, bsz - base)
-            if base > 0:
-                corr = jax.lax.dot_general(
-                    ggt_ref[0, base : base + width, 0:base],
-                    u_ref[0:base, :],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                d_panel = d0_ref[base : base + width, :] - corr
-            else:
-                d_panel = d0_ref[0:width, :]
             if localize:
-                # Panel's weights [width, TILE]: chordal GC from unit vectors.
-                ox = ox_ref[0, 0, base : base + width].reshape(-1, 1)
-                oy = oy_ref[0, 0, base : base + width].reshape(-1, 1)
-                oz = oz_ref[0, 0, base : base + width].reshape(-1, 1)
-                dot = jnp.clip(ox * bx + oy * by + oz * bz, -1.0, 1.0)
-                # arccos(dot) via the half-angle form c = 2*arccos(cos(c/2)):
-                # cos(c/2) = sqrt((1+dot)/2) keeps precision near c = 0.
-                ang = 2.0 * _arccos_poly(
-                    jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
-                )
-                r = (EARTH_RADIUS_KM * ang) * invrad_ref[
-                    0, 0, base : base + width
-                ].reshape(-1, 1)
-                w_panel = jnp.where(
-                    invrad_ref[0, 0, base : base + width].reshape(-1, 1) > 0,
-                    _gc_poly(r),
-                    1.0,
-                )
+                bx = geom_ref[0:1, :]  # [1, T]
+                by = geom_ref[1:2, :]
+                bz = geom_ref[2:3, :]
                 if vertical:
-                    ov = overt_ref[0, 0, base : base + width].reshape(-1, 1)
-                    ivr = invvrad_ref[0, 0, base : base + width].reshape(-1, 1)
-                    rv = jnp.abs(bv - ov) * ivr
-                    w_panel = w_panel * jnp.where(ivr > 0, _gc_poly(rv), 1.0)
-            for t in range(width):
-                j = base + t
-                if t > 0:
-                    corr2 = jax.lax.dot_general(
-                        ggt_ref[0, j : j + 1, base : base + t],
-                        u_ref[base : base + t, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    d_j = d_panel[t : t + 1, :] - corr2
-                else:
-                    d_j = d_panel[0:1, :]
-                if localize:
-                    d_j = d_j * w_panel[t : t + 1, :]
-                u_ref[j : j + 1, :] = d_j
+                    bv = geom_ref[3:4, :]  # [1, T]
 
-        u_t = u_ref[:]
-        mean_upd = jax.lax.dot_general(
-            gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # [1, TILE]
-        xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
-        gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
-        xbp_out_ref[:] = xbp - jax.lax.dot_general(
-            gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        )
+            npanels = -(-bsz // PANEL)
+            for q in range(npanels):
+                base = q * PANEL
+                width = min(PANEL, bsz - base)
+
+                def _panel_body(base=base, width=width):
+                    if base > 0:
+                        corr = jax.lax.dot_general(
+                            ggt_ref[0, base : base + width, 0:base],
+                            u_ref[0:base, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )
+                        d_panel = d0_ref[base : base + width, :] - corr
+                    else:
+                        d_panel = d0_ref[0:width, :]
+                    if localize:
+                        # Panel's weights [width, TILE]: chordal GC from
+                        # unit vectors.
+                        ox = ox_ref[0, 0, base : base + width].reshape(-1, 1)
+                        oy = oy_ref[0, 0, base : base + width].reshape(-1, 1)
+                        oz = oz_ref[0, 0, base : base + width].reshape(-1, 1)
+                        dot = jnp.clip(ox * bx + oy * by + oz * bz, -1.0, 1.0)
+                        # arccos(dot) via the half-angle form
+                        # c = 2*arccos(cos(c/2)): cos(c/2) = sqrt((1+dot)/2)
+                        # keeps precision near c = 0.
+                        ang = 2.0 * _arccos_poly(
+                            jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
+                        )
+                        r = (EARTH_RADIUS_KM * ang) * invrad_ref[
+                            0, 0, base : base + width
+                        ].reshape(-1, 1)
+                        w_panel = jnp.where(
+                            invrad_ref[0, 0, base : base + width].reshape(-1, 1)
+                            > 0,
+                            _gc_poly(r),
+                            1.0,
+                        )
+                        if vertical:
+                            ov = overt_ref[0, 0, base : base + width].reshape(
+                                -1, 1
+                            )
+                            ivr = invvrad_ref[
+                                0, 0, base : base + width
+                            ].reshape(-1, 1)
+                            rv = jnp.abs(bv - ov) * ivr
+                            w_panel = w_panel * jnp.where(
+                                ivr > 0, _gc_poly(rv), 1.0
+                            )
+                    for t in range(width):
+                        j = base + t
+                        if t > 0:
+                            corr2 = jax.lax.dot_general(
+                                ggt_ref[0, j : j + 1, base : base + t],
+                                u_ref[base : base + t, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                            )
+                            d_j = d_panel[t : t + 1, :] - corr2
+                        else:
+                            d_j = d_panel[0:1, :]
+                        if localize:
+                            d_j = d_j * w_panel[t : t + 1, :]
+                        u_ref[j : j + 1, :] = d_j
+
+                if localize and cull:
+                    # Per-panel cull: a dead panel's weights are all zero,
+                    # so its u rows are exactly zero — skip the weight
+                    # chain, the correction matmul, and the per-ob
+                    # recurrence steps (the dominant in-kernel costs).
+                    alive = ((bits >> q) & 1) != 0
+
+                    @pl.when(alive)
+                    def _():
+                        _panel_body()
+
+                    @pl.when(jnp.logical_not(alive))
+                    def _():
+                        u_ref[base : base + width, :] = jnp.zeros(
+                            (width, u_ref.shape[1]), dtype=f32
+                        )
+                else:
+                    _panel_body()
+
+            u_t = u_ref[:]
+            mean_upd = jax.lax.dot_general(
+                gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [1, TILE]
+            xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
+            gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+            xbp_out_ref[:] = xbp - jax.lax.dot_general(
+                gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
 
     return kernel
+
+
+# Culling-bound slack: covers f32 arccos conditioning in the mask bound vs
+# the kernel's 2e-8-accurate polynomial angle (2e-3 rad ~ 13 km — far below
+# any meteorological localization radius, so the sparsity loss is nil).
+_CULL_MARGIN_RAD = 2e-3
+
+
+def cull_masks(body_xyz, ob_xyz, radii, assim, tile, nblocks, block_size):
+    """Localization cull masks for the fused kernel.
+
+    Returns ``(mask, pmask)``: ``mask[gtiles, nblocks]`` int32 is 1 where a
+    (row-tile, obs-block) pair may have a nonzero Gaspari-Cohn weight, and
+    ``pmask[gtiles, nblocks, npanels]`` refines the same bound to the
+    kernel's ``PANEL``-ob granularity.  Zeros are provably-dead pairs,
+    skippable exactly.
+
+    Bound: for tile cap center ``c`` with angular radius ``cap``, every row
+    satisfies ``angle(ob, row) >= angle(ob, c) - cap``; GC support ends at
+    ``2 * halfwidth``, so the pair is dead when
+    ``angle(ob, c) - cap > 2 * halfwidth / R`` for every ob in the block
+    (panel).  Obs with ``radii = inf`` (no localization) keep every pair
+    alive; obs with ``assim = False`` contribute nothing (their tail gain
+    and sqrt coefficients are zero — ``ensrf_core.tail_scan``) and never
+    keep a pair alive.
+    """
+    nrows = body_xyz.shape[0]
+    nobs = ob_xyz.shape[0]
+    gtiles = max(1, -(-nrows // tile))
+    rpad = gtiles * tile - nrows
+    if rpad:
+        body_xyz = jnp.concatenate(
+            [body_xyz, jnp.broadcast_to(body_xyz[-1:], (rpad, 3))]
+        )
+    txyz = body_xyz.reshape(gtiles, tile, 3)
+    csum = jnp.sum(txyz, axis=1)
+    cnorm = jnp.sqrt(jnp.sum(csum * csum, axis=1, keepdims=True))
+    # Degenerate (antipodally spread) tiles fall back to an arbitrary
+    # center; the resulting cap covers the tile, so the bound stays valid.
+    fallback = jnp.asarray([1.0, 0.0, 0.0], dtype=body_xyz.dtype)
+    center = jnp.where(
+        cnorm > 1e-6, csum / jnp.maximum(cnorm, 1e-6), fallback[None, :]
+    )  # [gtiles, 3]
+    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", txyz, center), axis=1)
+    cap = jnp.arccos(jnp.clip(cosmin, -1.0, 1.0))  # [gtiles]
+
+    ang = jnp.arccos(jnp.clip(ob_xyz @ center.T, -1.0, 1.0))  # [nobs, gtiles]
+    support = 2.0 * jnp.abs(radii) / EARTH_RADIUS_KM  # inf -> always alive
+    alive = ang <= cap[None, :] + support[:, None] + _CULL_MARGIN_RAD
+    alive = jnp.logical_and(alive, assim[:, None])
+    pad = nblocks * block_size - nobs
+    if pad:
+        alive = jnp.pad(alive, ((0, pad), (0, 0)))
+    npanels = -(-block_size // PANEL)
+    ppad = nblocks * npanels * PANEL - nblocks * block_size
+    a = alive
+    if ppad:  # block_size not a PANEL multiple: pad to the panel grid
+        a = jnp.pad(
+            a.reshape(nblocks, block_size, gtiles),
+            ((0, 0), (0, npanels * PANEL - block_size), (0, 0)),
+        ).reshape(nblocks * npanels * PANEL, gtiles)
+    pmask = (
+        a.reshape(nblocks, npanels, PANEL, gtiles)
+        .any(axis=2)
+        .transpose(2, 0, 1)
+        .astype(jnp.int32)
+    )  # [gtiles, nblocks, npanels]
+    mask = (
+        alive.reshape(nblocks, block_size, gtiles)
+        .any(axis=1)
+        .T.astype(jnp.int32)
+    )  # [gtiles, nblocks]
+    return mask, pmask
 
 
 def _fused_impl(
@@ -193,6 +310,10 @@ def _fused_impl(
     tile: int = 8192,
     interpret: bool = False,
     vertical: bool = False,
+    cull: bool = True,
+    spatial_sort: bool = False,
+    row_order=None,
+    inv_order=None,
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -208,7 +329,16 @@ def _fused_impl(
     Exposed as two jitted entry points below: the plain one, and a
     buffer-donating one for callers that own ``body_mean``/``body_perts``
     and will not reuse them — donation halves peak HBM and is what lets
-    multi-GB states (4M x 80 rows measured) run on a 16 GB chip."""
+    multi-GB states (4M x 80 rows measured) run on a 16 GB chip.
+
+    ``cull`` (default on, localized runs only) skips (row-tile, obs-block)
+    pairs whose localization weights are provably all zero — exact, via
+    :func:`tile_block_mask`.  ``spatial_sort`` additionally permutes state
+    rows into spherical Morton order inside the jit (row order is a free
+    exact choice; the inverse permutation is applied on the way out) so row
+    tiles cover compact caps; culling then pays off whenever the OBS order
+    is also spatially coherent (see
+    :func:`efa_xray_tpu.observation.localization.spatial_sort_order`)."""
     nobs = tail.ye.shape[0]
     if nobs == 0:
         return body_mean, body_perts
@@ -258,58 +388,109 @@ def _fused_impl(
     # donation to early-free whenever nrows % tile != 0.
     tile = max(8, min(-(-tile // 8) * 8, -(-nrows // 8) * 8))
     gtiles = max(1, -(-nrows // tile))
-    bm = body_mean.reshape(1, -1)  # [1, N]: rows on the lane axis (a
-    # [N, 1] column would be lane-padded 128x by the (8, 128) tiling)
-    bp = body_perts
     body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
     if body_vert is None:
         bvert = jnp.zeros_like(body_lat)
     else:
         bvert = body_vert
+    if spatial_sort:
+        # Row order is free (every per-row quantity is row-local), so sort
+        # rows into spherical Morton order: contiguous tiles become compact
+        # caps and the cull mask goes sparse.  Two extra state passes
+        # (gather in, scatter out) — ~1 ms each at 1M x 80 vs the multi-x
+        # win from culling.  The permutation is pure geometry (independent
+        # of the ensemble data), so callers that update repeatedly should
+        # precompute it once (``localization.spatial_sort_order``) and pass
+        # ``row_order``/``inv_order``; the in-jit argsort fallback costs
+        # tens of ms at 1M rows.
+        if row_order is None:
+            from efa_xray_tpu.observation.localization import morton3d_keys
+
+            row_order = jnp.argsort(morton3d_keys(body_xyz))
+        order = row_order
+        if inv_order is None:
+            inv_order = jnp.zeros_like(order).at[order].set(
+                jnp.arange(nrows, dtype=order.dtype)
+            )
+        body_mean = jnp.take(body_mean, order, axis=0)
+        body_perts = jnp.take(body_perts, order, axis=0)
+        body_xyz = jnp.take(body_xyz, order, axis=0)
+        bvert = jnp.take(bvert, order, axis=0)
+    bm = body_mean.reshape(1, -1)  # [1, N]: rows on the lane axis (a
+    # [N, 1] column would be lane-padded 128x by the (8, 128) tiling)
+    bp = body_perts
     geom = jnp.stack(
         [body_xyz[:, 0], body_xyz[:, 1], body_xyz[:, 2],
          bvert.astype(dtype)]
     )  # [4, N]
 
+    npanels = -(-bsz // PANEL)
+    # Panel alive-bits, one int32 per (row-tile, obs-block): scalar-prefetch
+    # control for the kernel's culling.  An int32 holds up to 32 panels =
+    # block_size 256; beyond that, culling is disabled rather than packed
+    # wider (blocks that big defeat panel granularity anyway).
+    cull = bool(cull and localize and npanels <= 32)
+    if cull:
+        _, pmask = cull_masks(
+            body_xyz,
+            latlon_to_unit(obs.lats, obs.lons).astype(dtype),
+            obs.radii.astype(dtype),
+            obs.assim,
+            tile,
+            nblocks,
+            bsz,
+        )
+        shifts = jnp.arange(npanels, dtype=jnp.int32)
+        bits = jnp.sum(pmask << shifts[None, None, :], axis=-1).astype(
+            jnp.int32
+        )
+    else:
+        bits = jnp.zeros((1, 1), dtype=jnp.int32)  # unread placeholder
+
+    # Index maps take (t, b, bits_ref): the trailing scalar-prefetch ref is
+    # unused for data placement.
     tiled = lambda shape: pl.BlockSpec(
-        shape, lambda t, b: (t, 0), memory_space=pltpu.VMEM
+        shape, lambda t, b, *_: (t, 0), memory_space=pltpu.VMEM
     )
     row_vec = lambda shape: pl.BlockSpec(
-        shape, lambda t, b: (0, t), memory_space=pltpu.VMEM
+        shape, lambda t, b, *_: (0, t), memory_space=pltpu.VMEM
     )
     per_block3 = lambda shape: pl.BlockSpec(
-        shape, lambda t, b: (b, 0, 0), memory_space=pltpu.VMEM
+        shape, lambda t, b, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_kernel(bsz, localize, vertical),
-        grid=(gtiles, nblocks),
-        in_specs=[
-            row_vec((1, tile)),
-            tiled((tile, nmems)),
-            row_vec((4, tile)),
-            per_block3((1, bsz, nmems)),
-            per_block3((1, bsz, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-            per_block3((1, 1, bsz)),
-        ],
-        out_specs=[
-            row_vec((1, tile)),
-            tiled((tile, nmems)),
-        ],
+        _make_fused_kernel(bsz, localize, vertical, cull),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gtiles, nblocks),
+            in_specs=[
+                row_vec((1, tile)),
+                tiled((tile, nmems)),
+                row_vec((4, tile)),
+                per_block3((1, bsz, nmems)),
+                per_block3((1, bsz, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+            ],
+            out_specs=[
+                row_vec((1, tile)),
+                tiled((tile, nmems)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bsz, tile), dtype),
+                pltpu.VMEM((bsz, tile), dtype),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((1, nrows), dtype),
             jax.ShapeDtypeStruct((nrows, nmems), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bsz, tile), dtype),
-            pltpu.VMEM((bsz, tile), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -319,11 +500,17 @@ def _fused_impl(
         ),
         interpret=interpret,
     )(
+        bits,
         bm, bp, geom,
         y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
         overt_b, invvrad_b,
     )
 
+    if spatial_sort:
+        return (
+            jnp.take(out_mean[0], inv_order, axis=0),
+            jnp.take(out_perts, inv_order, axis=0),
+        )
     return out_mean[0], out_perts
 
 
@@ -555,6 +742,7 @@ def _fused_grid_impl(
 
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
+_STATIC_FLAT = _STATIC + ("cull", "spatial_sort")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(
@@ -567,10 +755,12 @@ ensrf_blocked_body_pallas_fused_grid_donating = jax.jit(
     _fused_grid_impl, static_argnames=_STATIC_GRID, donate_argnums=(0, 1)
 )
 
-ensrf_blocked_body_pallas_fused = jax.jit(_fused_impl, static_argnames=_STATIC)
+ensrf_blocked_body_pallas_fused = jax.jit(
+    _fused_impl, static_argnames=_STATIC_FLAT
+)
 
 # Donates the state buffers (args 0 and 1): the caller's arrays become
 # invalid after the call.  EnSRF uses this (it owns the formatted prior).
 ensrf_blocked_body_pallas_fused_donating = jax.jit(
-    _fused_impl, static_argnames=_STATIC, donate_argnums=(0, 1)
+    _fused_impl, static_argnames=_STATIC_FLAT, donate_argnums=(0, 1)
 )

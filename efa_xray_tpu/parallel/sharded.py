@@ -70,6 +70,8 @@ def _ensrf_sharded_impl(
     fast_geometry: bool,
     vertical: bool,
     tail_panel: int,
+    cull: bool,
+    spatial_sort: bool,
 ):
     in_specs, out_specs = _shard_specs(axis_name)
     # The fully-fused v4 kernel applies whenever per-row weights are the
@@ -105,6 +107,7 @@ def _ensrf_sharded_impl(
                 body_vert=bvert if vertical else None,
                 localize=localize, block_size=block_size, tile=tile,
                 interpret=interpret, vertical=vertical,
+                cull=cull, spatial_sort=spatial_sort,
             )
         elif use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -140,7 +143,7 @@ def _ensrf_sharded_impl(
 _SHARDED_STATIC = (
     "mesh", "localize", "method", "block_size", "tile", "axis_name",
     "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
-    "tail_panel",
+    "tail_panel", "cull", "spatial_sort",
 )
 
 _ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
@@ -176,6 +179,8 @@ def ensrf_update_sharded(
     vertical: bool = False,
     donate: bool = False,
     tail_panel: int = 512,
+    cull: bool = True,
+    spatial_sort: bool = False,
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -232,6 +237,8 @@ def ensrf_update_sharded(
         fast_geometry=fast_geometry,
         vertical=vertical,
         tail_panel=tail_panel,
+        cull=cull,
+        spatial_sort=spatial_sort,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

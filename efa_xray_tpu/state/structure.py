@@ -147,6 +147,35 @@ class StateStructure:
             )
         return cache[key]
 
+    def spatial_order_device(self):
+        """Device-resident ``(order, inverse)`` permutation sorting the
+        flattened state rows into spherical Morton order, cached on the
+        structure (pure geometry — independent of the ensemble data).
+
+        Used by the fused kernel's localization culling
+        (``FilterConfig.spatial_sort``): precomputing here makes the
+        per-update cost just two state gathers instead of an in-jit
+        argsort every call."""
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_spatial_order_cache", None)
+        if cache is None:
+            from efa_xray_tpu.observation.localization import (
+                spatial_sort_order,
+            )
+
+            row_lat, row_lon = self.row_latlon()
+            order = spatial_sort_order(
+                jnp.asarray(row_lat, dtype=jnp.float32),
+                jnp.asarray(row_lon, dtype=jnp.float32),
+            )
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype)
+            )
+            cache = (order, inv)
+            object.__setattr__(self, "_spatial_order_cache", cache)
+        return cache
+
     # --- flattened-row geometry -----------------------------------------
     def flat_index(self, v, t, y, x) -> np.ndarray:
         """Row index in the flattened state for (var, time, y, x)."""

@@ -290,3 +290,179 @@ def test_ensrf_class_routes_gridded_fast_geometry_to_v4_grid():
     p2, _ = EnSRF(state, list(obs), config=fused).update()
     np.testing.assert_allclose(np.asarray(p2.data), np.asarray(p1.data),
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Localization culling + spatial row sorting (v4 fused kernel)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_setup(nstate=600, nmems=10, nobs=21, radius=400.0, seed=7,
+                   inf_frac=0.2, unassim_frac=0.15):
+    """Scattered-row workload with mixed radii (some inf = unlocalized) and
+    some unassimilated obs — the cases the cull mask must respect."""
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-88, 88, nstate)
+    lon = rng.uniform(0, 360, nstate)
+    prior = rng.normal(280, 3, (nstate, nmems)).astype(np.float32)
+    rows = rng.integers(0, nstate, nobs)
+    ye = prior[rows]
+    radii = np.where(rng.random(nobs) < inf_frac, np.inf,
+                     rng.uniform(radius * 0.5, radius * 1.5, nobs))
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + rng.normal(0, 1, nobs), jnp.float32),
+        errors=jnp.ones(nobs, jnp.float32),
+        lats=jnp.asarray(lat[rows], jnp.float32),
+        lons=jnp.asarray(lon[rows], jnp.float32),
+        radii=jnp.asarray(radii, jnp.float32),
+        assim=jnp.asarray(rng.random(nobs) > unassim_frac),
+    )
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.mean(jnp.asarray(ye), axis=1)
+    tp = jnp.asarray(ye) - tm[:, None]
+    return (bm, bp, tm, tp, jnp.asarray(lat, jnp.float32),
+            jnp.asarray(lon, jnp.float32), obs)
+
+
+@pytest.mark.parametrize("cull,spatial_sort", [(True, False), (False, True),
+                                               (True, True)])
+def test_fused_cull_and_sort_match_xla(cull, spatial_sort):
+    """Culling skips only provably-zero work and row sorting is an exact
+    permutation: both must reproduce the XLA blocked oracle bit-for-bit as
+    well as the unculled fused kernel does."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import (
+        ensrf_blocked_body_pallas_fused,
+    )
+
+    bm, bp, tm, tp, blat, blon, obs = _scatter_setup()
+    tail = core.tail_scan(tm, tp, obs, localize=True, fast_geometry=True)
+    bm_x, bp_x, *_ = core.ensrf_blocked(
+        bm, bp, tm, tp, blat, blon, obs, localize=True, block_size=8,
+        fast_geometry=True,
+    )
+    bm_base, bp_base = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=8,
+        tile=64, interpret=True, cull=False, spatial_sort=False,
+    )
+    bm_p, bp_p = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=8,
+        tile=64, interpret=True, cull=cull, spatial_sort=spatial_sort,
+    )
+    # Identical arithmetic (skips are multiplications by exact zeros; the
+    # sort is a row permutation of row-local work): bitwise equality.
+    np.testing.assert_array_equal(np.asarray(bm_p), np.asarray(bm_base))
+    np.testing.assert_array_equal(np.asarray(bp_p), np.asarray(bp_base))
+    np.testing.assert_allclose(np.asarray(bm_p), np.asarray(bm_x),
+                               rtol=2e-5, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(bp_p), np.asarray(bp_x),
+                               rtol=2e-5, atol=5e-4)
+
+
+def test_cull_mask_is_conservative():
+    """Every (tile, block/panel) pair the mask kills must have identically
+    zero Gaspari-Cohn weights for every (assimilated) ob in it."""
+    from efa_xray_tpu.observation.localization import (
+        gaspari_cohn_np,
+        latlon_to_unit,
+    )
+    from efa_xray_tpu.ops.ensrf_pallas_fused import PANEL, cull_masks
+
+    bm, bp, tm, tp, blat, blon, obs = _scatter_setup(nstate=500, nobs=40,
+                                                     radius=900.0, seed=3)
+    tile, bsz = 48, 16
+    nblocks = -(-len(obs.values) // bsz)
+    xyz = latlon_to_unit(blat, blon)
+    oxyz = latlon_to_unit(obs.lats, obs.lons)
+    mask, pmask = cull_masks(xyz, oxyz, obs.radii, obs.assim,
+                             tile, nblocks, bsz)
+    mask, pmask = np.asarray(mask), np.asarray(pmask)
+
+    # Brute-force weights on the exact chordal geometry (f64).
+    x = np.asarray(xyz, np.float64)
+    o = np.asarray(oxyz, np.float64)
+    ang = np.arccos(np.clip(o @ x.T, -1, 1))  # [nobs, nstate]
+    dist = 6371.0 * ang
+    w = gaspari_cohn_np(dist, 1.0) * 0.0  # init
+    radii = np.asarray(obs.radii, np.float64)
+    for j in range(len(radii)):
+        w[j] = (np.ones_like(dist[j]) if np.isinf(radii[j])
+                else gaspari_cohn_np(dist[j], radii[j]))
+    w *= np.asarray(obs.assim, np.float64)[:, None]
+
+    nstate = x.shape[0]
+    gtiles = -(-nstate // tile)
+    npanels = -(-bsz // PANEL)
+    for t in range(gtiles):
+        rows = slice(t * tile, min((t + 1) * tile, nstate))
+        for b in range(nblocks):
+            obs_sl = slice(b * bsz, min((b + 1) * bsz, len(radii)))
+            any_w = np.any(w[obs_sl, rows] != 0.0)
+            if not mask[t, b]:
+                assert not any_w, (t, b)
+            for q in range(npanels):
+                p0 = b * bsz + q * PANEL
+                psl = slice(p0, min(p0 + PANEL, min((b + 1) * bsz,
+                                                    len(radii))))
+                if psl.start >= psl.stop:
+                    continue
+                if not pmask[t, b, q]:
+                    assert not np.any(w[psl, rows] != 0.0), (t, b, q)
+    # And the mask actually kills something on this workload (sanity that
+    # the test exercises the cull path at all).
+    assert (pmask == 0).any()
+
+
+def test_sort_spatially_improves_mask_sparsity():
+    """Morton-sorting rows AND obs must strictly increase the number of
+    culled panels on a scattered global workload."""
+    from efa_xray_tpu.observation.localization import (
+        latlon_to_unit,
+        spatial_sort_order,
+    )
+    from efa_xray_tpu.ops.ensrf_pallas_fused import cull_masks
+
+    rng = np.random.default_rng(11)
+    n, nobs, tile, bsz = 4096, 256, 256, 32
+    lat = jnp.asarray(rng.uniform(-88, 88, n), jnp.float32)
+    lon = jnp.asarray(rng.uniform(0, 360, n), jnp.float32)
+    olat = jnp.asarray(rng.uniform(-88, 88, nobs), jnp.float32)
+    olon = jnp.asarray(rng.uniform(0, 360, nobs), jnp.float32)
+    radii = jnp.full(nobs, 800.0, jnp.float32)
+    ok = jnp.ones(nobs, bool)
+    xyz = latlon_to_unit(lat, lon)
+    oxyz = latlon_to_unit(olat, olon)
+    nblocks = nobs // bsz
+    _, p_unsorted = cull_masks(xyz, oxyz, radii, ok, tile, nblocks, bsz)
+    ro = spatial_sort_order(lat, lon)
+    oo = spatial_sort_order(olat, olon)
+    _, p_sorted = cull_masks(xyz[ro], oxyz[oo], radii[oo], ok, tile,
+                             nblocks, bsz)
+    frac_unsorted = float(jnp.mean(p_unsorted.astype(jnp.float32)))
+    frac_sorted = float(jnp.mean(p_sorted.astype(jnp.float32)))
+    assert frac_sorted < frac_unsorted
+    # Compact caps kill a solid share even at this toy scale (16 tiles x 32
+    # panels); at headline scale (128 tiles x 256 panels, r=2000 km) the
+    # measured alive fraction is far lower.
+    assert frac_sorted < 0.75
+
+
+def test_sort_spatially_batch_roundtrip():
+    """ObservationBatch spatial sort keeps every field aligned."""
+    from conftest import make_demo_obs, make_demo_state
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.observation.thinning import sort_spatially
+
+    state = make_demo_state(ntimes=1, ny=6, nx=6, nmems=8, seed=0)
+    batch = ObservationBatch.coerce(make_demo_obs(state, nobs=25, seed=1))
+    out = sort_spatially(batch)
+    assert sorted(np.asarray(out.values).tolist()) == sorted(
+        np.asarray(batch.values).tolist()
+    )
+    # field alignment: (value, lat, lon, error) tuples are preserved
+    a = {(float(v), float(la), float(lo), float(e))
+         for v, la, lo, e in zip(batch.values, batch.lats, batch.lons,
+                                 batch.errors)}
+    b = {(float(v), float(la), float(lo), float(e))
+         for v, la, lo, e in zip(out.values, out.lats, out.lons, out.errors)}
+    assert a == b

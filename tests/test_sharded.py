@@ -181,7 +181,7 @@ def test_sharded_obs_loop_issues_no_collectives():
         mesh=mesh, localize=True, method="blocked", block_size=8,
         tile=64, axis_name=STATE_AXIS, unbiased=False,
         use_pallas=False, interpret=True, fast_geometry=False,
-        vertical=False, tail_panel=8,
+        vertical=False, tail_panel=8, cull=True, spatial_sort=True,
     )
     hlo = lowered.compile().as_text()
     for op in ("all-reduce", "all-gather", "collective-permute",
