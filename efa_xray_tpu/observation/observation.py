@@ -271,3 +271,68 @@ class ObservationBatch:
         if self.prior_mean is not None:
             self.writeback(out)
         return out
+
+    def to_dataframe(self):
+        """Pandas view of the batch (one row per ob), including result
+        slots when the filter has run.  Inverse of :meth:`from_dataframe`.
+        """
+        import pandas as pd
+
+        cols = {
+            "value": np.asarray(self.values, dtype=np.float64),
+            "error": np.asarray(self.errors, dtype=np.float64),
+            "lat": np.asarray(self.lats, dtype=np.float64),
+            "lon": np.asarray(self.lons, dtype=np.float64),
+            "time": timeutil.to_datetime64(self.times_s),
+            "obtype": list(self.obtypes),
+            "localize_radius": np.asarray(self.localize_radius,
+                                          dtype=np.float64),
+            "assimilate_this": np.asarray(self.assimilate_flags, dtype=bool),
+            "vert": np.asarray(self.verts, dtype=np.float64),
+            "vert_radius": np.asarray(self.vert_radius, dtype=np.float64),
+            "description": list(self.descriptions),
+        }
+        for name in ("prior_mean", "prior_var", "post_mean", "post_var",
+                     "assimilated"):
+            val = getattr(self, name)
+            if val is not None:
+                cols[name] = np.asarray(val)
+        return pd.DataFrame(cols)
+
+    @classmethod
+    def from_dataframe(cls, df) -> "ObservationBatch":
+        """Build a batch from a DataFrame with (at least) columns
+        ``value, error, lat, lon, time, obtype``.  Optional columns:
+        ``localize_radius`` (default inf = no localization),
+        ``assimilate_this`` (default True), ``vert`` (default NaN),
+        ``vert_radius`` (default inf), ``description`` (default None).
+        The tabular twin of the reference's per-Observation constructor
+        (``efa_xray/observation/observation.py:17-36``)."""
+        n = len(df)
+
+        def col(name, default, dtype=np.float64):
+            if name in df.columns:
+                return np.asarray(df[name], dtype=dtype)
+            return np.full(n, default, dtype=dtype)
+
+        descriptions = (
+            [None if (d is None or (isinstance(d, float) and np.isnan(d)))
+             else str(d) for d in df["description"]]
+            if "description" in df.columns
+            else [None] * n
+        )
+        return cls(
+            values=np.asarray(df["value"], dtype=np.float64),
+            errors=np.asarray(df["error"], dtype=np.float64),
+            lats=np.asarray(df["lat"], dtype=np.float64),
+            lons=np.asarray(df["lon"], dtype=np.float64),
+            times_s=timeutil.to_epoch_seconds(
+                np.asarray(df["time"], dtype="datetime64[s]")
+            ),
+            obtypes=[str(t) for t in df["obtype"]],
+            localize_radius=col("localize_radius", np.inf),
+            assimilate_flags=col("assimilate_this", True, dtype=bool),
+            verts=col("vert", np.nan),
+            descriptions=descriptions,
+            vert_radius=col("vert_radius", np.inf),
+        )

@@ -1,1 +1,7 @@
 from efa_xray_tpu.postprocess.postprocess import obs_assimilation_statistics  # noqa: F401
+from efa_xray_tpu.postprocess.verification import (  # noqa: F401
+    desroziers_diagnostics,
+    field_verification,
+    innovation_consistency,
+    rank_histogram,
+)

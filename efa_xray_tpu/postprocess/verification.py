@@ -89,3 +89,64 @@ def innovation_consistency(batch: ObservationBatch) -> Dict[str, float]:
         "consistency_ratio": float(np.mean(d2) / np.mean(expected)),
         "nobs": int(ok.sum()),
     }
+
+
+def desroziers_diagnostics(
+    stats: pd.DataFrame, group_by: Optional[str] = "obtype"
+) -> pd.DataFrame:
+    """Desroziers et al. (2005, QJRMS) a-posteriori consistency diagnostics.
+
+    Input is the per-ob table from
+    :func:`efa_xray_tpu.postprocess.postprocess.obs_assimilation_statistics`
+    (the TPU-native twin of ``efa_xray/postprocess/postprocess.py:8-39`` —
+    the reference computes the raw per-ob stats but offers no consistency
+    analysis of them).  With background departures ``d_b = y - H(x_b)`` and
+    analysis departures ``d_a = y - H(x_a)``, a filter using correct R and
+    HBH^T satisfies, in expectation over obs:
+
+    * ``E[d_a d_b] = R``            (estimated obs-error variance)
+    * ``E[(d_b - d_a) d_b] = HBH^T`` (estimated background variance in
+      obs space)
+    * ``E[d_b^2] = HBH^T + R``       (total innovation variance)
+
+    Returns one row per ``group_by`` group (or a single "all" row): counts,
+    assigned vs estimated R, the estimated-to-assigned ratio (> 1 means
+    the assigned obs error is too small), estimated HBH^T vs the ensemble
+    prior variance, and the total-innovation consistency ratio that drives
+    adaptive inflation.
+    """
+    df = stats[stats["assimilated"].astype(bool)]
+    if len(df) == 0:
+        raise ValueError("No assimilated observations in the table")
+
+    def one(g: pd.DataFrame) -> Dict[str, float]:
+        d_b = np.asarray(g["value"] - g["prior mean"], dtype=np.float64)
+        d_a = np.asarray(g["value"] - g["post mean"], dtype=np.float64)
+        r_assigned = float(np.mean(g["ob error"]))
+        r_est = float(np.mean(d_a * d_b))
+        hbht_est = float(np.mean((d_b - d_a) * d_b))
+        total = float(np.mean(d_b * d_b))
+        prior_var = float(np.mean(g["prior variance"]))
+        return {
+            "nobs": int(len(g)),
+            "R_assigned": r_assigned,
+            "R_estimated": r_est,
+            "R_ratio": r_est / r_assigned if r_assigned > 0 else np.nan,
+            "HBHT_estimated": hbht_est,
+            "prior_var_ensemble": prior_var,
+            "innov_var": total,
+            "innov_var_expected": prior_var + r_assigned,
+            "innov_consistency": (
+                total / (prior_var + r_assigned)
+                if prior_var + r_assigned > 0
+                else np.nan
+            ),
+        }
+
+    if group_by is None:
+        rows = {"all": one(df)}
+    else:
+        rows = {k: one(g) for k, g in df.groupby(group_by)}
+    out = pd.DataFrame.from_dict(rows, orient="index")
+    out.index.name = group_by or "group"
+    return out

@@ -189,3 +189,91 @@ def read_state(filename: str, dtype=None):
         "mem": ds["mem"],
     }
     return EnsembleState.from_vardict(vardict, coorddict, dtype=dtype)
+
+
+# --- ObservationBatch round-trip ----------------------------------------------
+
+_OBS_FLOAT_FIELDS = (
+    "values", "errors", "lats", "lons", "localize_radius", "verts",
+    "vert_radius",
+)
+_OBS_RESULT_FIELDS = ("prior_mean", "prior_var", "post_mean", "post_var")
+
+
+def write_obs(filename: str, batch) -> None:
+    """Persist an ObservationBatch as a netCDF4-compatible HDF5 file.
+
+    One ``obs`` dimension; float fields as f64 variables (inf/NaN preserved),
+    flags as int8, times as epoch-second int64 with CF units, obtypes and
+    descriptions as variable-length strings.  Filter result slots
+    (prior/post mean/var, assimilated) are written when present, so a
+    post-assimilation batch round-trips with its diagnostics — the file
+    form of the reference's per-ob result attributes
+    (``efa_xray/observation/observation.py:27-36``).
+    """
+    n = batch.nobs
+    dims = {"obs": n}
+    variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+    for name in _OBS_FLOAT_FIELDS:
+        variables[name] = (
+            ("obs",), np.asarray(getattr(batch, name), dtype=np.float64)
+        )
+    variables["time"] = (
+        ("obs",),
+        np.asarray(batch.times_s, dtype=np.int64).astype("datetime64[s]"),
+    )
+    variables["assimilate_this"] = (
+        ("obs",), np.asarray(batch.assimilate_flags, dtype=np.int8)
+    )
+    variables["custom_operator"] = (
+        ("obs",), np.asarray(batch.custom_operator, dtype=np.int8)
+    )
+    variables["obtype"] = (("obs",), np.asarray(batch.obtypes, dtype=object))
+    variables["description"] = (
+        ("obs",),
+        np.asarray(
+            ["" if d is None else str(d) for d in batch.descriptions],
+            dtype=object,
+        ),
+    )
+    for name in _OBS_RESULT_FIELDS:
+        val = getattr(batch, name)
+        if val is not None:
+            variables[name] = (("obs",), np.asarray(val, dtype=np.float64))
+    if batch.assimilated is not None:
+        variables["assimilated"] = (
+            ("obs",), np.asarray(batch.assimilated, dtype=np.int8)
+        )
+    write_dataset(filename, NcDataset(dims=dims, variables=variables))
+
+
+def read_obs(filename: str):
+    """Inverse of :func:`write_obs`."""
+    from efa_xray_tpu.observation.observation import ObservationBatch
+
+    ds = read_dataset(filename)
+
+    def dec(arr):
+        return [x.decode() if isinstance(x, bytes) else str(x) for x in arr]
+
+    descriptions = [d or None for d in dec(ds["description"])]
+    kwargs = dict(
+        values=np.asarray(ds["values"], dtype=np.float64),
+        errors=np.asarray(ds["errors"], dtype=np.float64),
+        lats=np.asarray(ds["lats"], dtype=np.float64),
+        lons=np.asarray(ds["lons"], dtype=np.float64),
+        times_s=np.asarray(ds["time"]).astype("datetime64[s]").astype(np.int64),
+        obtypes=dec(ds["obtype"]),
+        localize_radius=np.asarray(ds["localize_radius"], dtype=np.float64),
+        assimilate_flags=np.asarray(ds["assimilate_this"], dtype=bool),
+        verts=np.asarray(ds["verts"], dtype=np.float64),
+        descriptions=descriptions,
+        vert_radius=np.asarray(ds["vert_radius"], dtype=np.float64),
+        custom_operator=np.asarray(ds["custom_operator"], dtype=bool),
+    )
+    for name in _OBS_RESULT_FIELDS:
+        if name in ds.variables:
+            kwargs[name] = np.asarray(ds[name], dtype=np.float64)
+    if "assimilated" in ds.variables:
+        kwargs["assimilated"] = np.asarray(ds["assimilated"], dtype=bool)
+    return ObservationBatch(**kwargs)

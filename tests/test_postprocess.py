@@ -2,6 +2,7 @@
 efa_xray/postprocess/postprocess.py:8-39)."""
 
 import numpy as np
+import pytest
 
 from conftest import make_demo_obs, make_demo_state
 from efa_xray_tpu.assimilation.ensrf import EnSRF
@@ -112,3 +113,91 @@ def test_interactive_viewer_headless_update():
     v.update(n_obs=5, ob_error=0.2)
     tighter = v.result["post"].var(axis=1).mean()
     assert tighter < post5.var(axis=1).mean()  # smaller R pulls harder
+
+
+def test_desroziers_recovers_assigned_r():
+    """Desroziers (2005): with correct R and an ensemble B, the estimated
+    obs-error variance E[d_a * d_b] matches the assigned R and the
+    innovation consistency ratio is ~1.  Gaussian twin with many obs and
+    members so sampling noise stays inside loose bounds."""
+    import jax.numpy as jnp
+
+    from conftest import make_demo_state
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import Observation
+    from efa_xray_tpu.postprocess import (
+        desroziers_diagnostics,
+        obs_assimilation_statistics,
+    )
+    from efa_xray_tpu.utils import timeutil
+
+    rng = np.random.default_rng(42)
+    state = make_demo_state(ntimes=1, ny=16, nx=16, nmems=128, seed=5)
+    s = state.structure
+    times = timeutil.to_datetime64(s.times_s)
+    lat2 = np.asarray(s.lat)
+    lon2 = np.asarray(s.lon)
+
+    # Truth = one extra draw from the same climatology the demo state
+    # samples; obs = truth at random grid points + N(0, R) noise.
+    # nobs is kept small relative to nmems: without localization,
+    # spurious sampled covariances add ~nobs * b^2 / (M * (b + R)) of
+    # analysis noise (the effect localization exists to kill), which
+    # biases the Desroziers estimate upward in over-observed regimes.
+    r_true = 1.0
+    nobs = 120
+    iy = rng.integers(1, 15, nobs)
+    ix = rng.integers(1, 15, nobs)
+    field = np.asarray(state.data)[0, 0]  # [ny, nx, M]
+    truth = field.mean(axis=-1) + rng.normal(
+        0, field.std(axis=-1), field.shape[:2]
+    )
+    obs = [
+        Observation(
+            value=float(truth[iy[k], ix[k]]
+                        + rng.normal(0, np.sqrt(r_true))),
+            obtype=s.var_names[0],
+            time=times[0],
+            error=r_true,
+            lat=float(lat2[iy[k], ix[k]]),
+            lon=float(lon2[iy[k], ix[k]]),
+            assimilate_this=True,
+            localize_radius=None,  # no localization: clean Desroziers
+        )
+        for k in range(nobs)
+    ]
+    cfg = FilterConfig(localization=None, dtype="float64")
+    filt = EnSRF(state, obs, config=cfg, verbose=False)
+    post, batch = filt.update()
+
+    df = obs_assimilation_statistics(state, post, batch)
+    dd = desroziers_diagnostics(df)
+    assert int(dd["nobs"].iloc[0]) == nobs
+    # Estimated R within sampling noise of assigned R.
+    assert 0.5 < float(dd["R_ratio"].iloc[0]) < 2.0
+    # HBHT estimate positive and of the order of the ensemble prior var.
+    assert float(dd["HBHT_estimated"].iloc[0]) > 0
+    # grouping=None aggregates everything into one "all" row
+    dd_all = desroziers_diagnostics(df, group_by=None)
+    assert list(dd_all.index) == ["all"]
+
+
+def test_desroziers_requires_assimilated_obs():
+    import pandas as pd
+
+    from efa_xray_tpu.postprocess import desroziers_diagnostics
+
+    df = pd.DataFrame(
+        {
+            "assimilated": [False, False],
+            "value": [1.0, 2.0],
+            "prior mean": [1.0, 2.0],
+            "post mean": [1.0, 2.0],
+            "ob error": [1.0, 1.0],
+            "prior variance": [1.0, 1.0],
+            "obtype": ["T", "T"],
+        }
+    )
+    with pytest.raises(ValueError):
+        desroziers_diagnostics(df)
