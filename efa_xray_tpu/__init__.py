@@ -28,6 +28,7 @@ from efa_xray_tpu.observation.localization import (
     distance_to_point,
 )
 from efa_xray_tpu.assimilation.assimilation import Assimilation, update
+from efa_xray_tpu.assimilation.enkf import EnKF
 from efa_xray_tpu.assimilation.ensrf import EnSRF
 from efa_xray_tpu.assimilation.letkf import LETKF
 from efa_xray_tpu.assimilation.adaptive_inflation import AdaptiveInflation
@@ -45,6 +46,7 @@ __all__ = [
     "haversine",
     "distance_to_point",
     "Assimilation",
+    "EnKF",
     "EnSRF",
     "LETKF",
     "AdaptiveInflation",

@@ -1,0 +1,269 @@
+"""Stochastic (perturbed-observation) EnKF — the classic Monte-Carlo
+ensemble Kalman filter (Evensen 1994; Burgers, van Leeuwen & Evensen 1998).
+
+An extension beyond the reference, which implements only the deterministic
+square-root update (``efa_xray/assimilation/ensrf.py:33-151``).  Each
+member assimilates a perturbed observation ``y + eps_m`` with the FULL
+Kalman gain::
+
+    x_m <- x_m + K (y + eps_m - H x_m),   eps_m ~ N(0, R)
+
+so the perturbation update is ``Xap = Xbp - K (ye - eps~)`` with centered
+perturbations ``eps~`` — no square-root ``beta`` factor.  In expectation
+over the perturbation draws this reproduces the EnSRF posterior
+covariance; per realization it adds O(1/sqrt(M)) sampling noise, in
+exchange for exactly Gaussian-consistent higher moments (the square-root
+filter's deterministic update can produce non-Gaussian outliers in small
+ensembles).
+
+TPU shape: the same serial ``lax.scan`` as
+:func:`efa_xray_tpu.assimilation.ensrf_core.ensrf_serial`; the only extra
+state is the pre-drawn ``[nobs, M]`` perturbation table (one
+``jax.random.normal`` call — never a per-ob host RNG round-trip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation.assimilation import Assimilation
+from efa_xray_tpu.assimilation.ensrf_core import (
+    ObsArrays,
+    ObsDiagnostics,
+    _empty_diags,
+    _loc_weights,
+    _ye_var,
+)
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation.localization import latlon_to_unit
+
+
+def draw_ob_perturbations(key, errors, nmems: int, scale: bool = True):
+    """Centered observation perturbations, ``[nobs, M]``.
+
+    ``eps ~ N(0, R)`` per ob row, centered so the perturbed-ob mean is the
+    ob itself.  ``scale=True`` additionally rescales each row so its
+    ddof=1 sample variance is exactly ``R`` (standard variance-exact
+    trick; removes one O(1/sqrt(M)) noise term from the posterior spread).
+    """
+    errors = jnp.asarray(errors)
+    nobs = errors.shape[0]
+    eps = jax.random.normal(key, (nobs, nmems), dtype=errors.dtype)
+    eps = eps - jnp.mean(eps, axis=1, keepdims=True)
+    if scale:
+        sd = jnp.std(eps, axis=1, ddof=1, keepdims=True)
+        eps = eps / jnp.maximum(sd, 1e-30)
+    return eps * jnp.sqrt(errors)[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+)
+def enkf_serial(
+    body_mean,  # [Ns]
+    body_perts,  # [Ns, M]
+    tail_mean,  # [No]
+    tail_perts,  # [No, M]
+    body_lat,  # [Ns]
+    body_lon,  # [Ns]
+    obs: ObsArrays,
+    eps,  # [No, M] centered observation perturbations
+    localize: bool = True,
+    unbiased: bool = False,
+    fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
+):
+    """Serial perturbed-obs EnKF as one ``lax.scan`` over observations.
+
+    Identical structure to ``ensrf_core.ensrf_serial`` (same augmented
+    state, localization, QC masking and diagnostics); the update applies
+    the full gain to ``ye - eps~`` instead of ``beta * K`` to ``ye``.
+    Returns ``(body_mean, body_perts, tail_mean, tail_perts, diags)``.
+    """
+    nens = body_perts.shape[1]
+    dtype = body_perts.dtype
+    nobs = obs.values.shape[0]
+    if nobs == 0:
+        return body_mean, body_perts, tail_mean, tail_perts, _empty_diags(dtype)
+
+    if localize and fast_geometry:
+        body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
+        tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
+    else:
+        body_xyz = tail_xyz = None
+    obs = obs.with_default_verts()
+    tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
+    bvert = body_vert.astype(dtype) if (localize and vertical) else None
+
+    def step(carry, xs):
+        bm, bp, tm, tp = carry
+        (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad,
+         eps_row) = xs
+
+        ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
+        mye = tm[i]
+        varye = _ye_var(ye, unbiased)
+
+        innov = y - mye
+        kdenom = varye + r_err
+        scale = 1.0 / (kdenom * (nens - 1))
+
+        kcov_b = bp @ ye
+        kcov_t = tp @ ye
+        vkw_b = dict(row_vert=bvert, ob_vert=ob_vert, vert_radius=ob_vrad) \
+            if (localize and vertical) else {}
+        vkw_t = dict(row_vert=tail_vert, ob_vert=ob_vert, vert_radius=ob_vrad) \
+            if (localize and vertical) else {}
+        if localize and fast_geometry:
+            ob_xyz = latlon_to_unit(ob_lat, ob_lon).astype(dtype)
+            w_b = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=body_xyz, ob_xyz=ob_xyz, **vkw_b)
+            w_t = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=tail_xyz, ob_xyz=ob_xyz, **vkw_t)
+        else:
+            w_b = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw_b)
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw_t)
+        if localize:
+            kcov_b = kcov_b * w_b
+            kcov_t = kcov_t * w_t
+
+        kmat_b = kcov_b * scale
+        kmat_t = kcov_t * scale
+
+        # Mean: same Kalman update as the EnSRF.  Perturbations: full gain
+        # applied to the perturbed-ob departures (Burgers et al. 1998 eq. 10).
+        z = ye - eps_row  # [M]
+        bm2 = bm + kmat_b * innov
+        tm2 = tm + kmat_t * innov
+        bp2 = bp - kmat_b[:, None] * z[None, :]
+        tp2 = tp - kmat_t[:, None] * z[None, :]
+
+        bm2 = jnp.where(do_assim, bm2, bm)
+        tm2 = jnp.where(do_assim, tm2, tm)
+        bp2 = jnp.where(do_assim, bp2, bp)
+        tp2 = jnp.where(do_assim, tp2, tp)
+
+        post_row = jax.lax.dynamic_index_in_dim(tp2, i, axis=0, keepdims=False)
+        diag = (
+            mye,
+            varye,
+            jnp.where(do_assim, tm2[i], jnp.nan),
+            jnp.where(do_assim, _ye_var(post_row, unbiased), jnp.nan),
+            do_assim,
+        )
+        return (bm2, bp2, tm2, tp2), diag
+
+    xs = (
+        jnp.arange(nobs),
+        obs.values.astype(dtype),
+        obs.errors.astype(dtype),
+        obs.lats.astype(dtype),
+        obs.lons.astype(dtype),
+        obs.radii.astype(dtype),
+        obs.assim,
+        obs.verts.astype(dtype),
+        obs.vert_radii.astype(dtype),
+        eps.astype(dtype),
+    )
+    with jax.named_scope("enkf/serial_scan"):
+        (bm, bp, tm, tp), diags = jax.lax.scan(
+            step, (body_mean, body_perts, tail_mean, tail_perts), xs
+        )
+    return bm, bp, tm, tp, ObsDiagnostics(*diags)
+
+
+class EnKF(Assimilation):
+    """User-facing stochastic EnKF with the same API as
+    :class:`~efa_xray_tpu.assimilation.ensrf.EnSRF` /
+    :class:`~efa_xray_tpu.assimilation.letkf.LETKF`.
+
+    Extra knobs: ``seed`` (perturbation draw; fixed seed = reproducible
+    analysis) and ``scale_perturbations`` (variance-exact rescaling of the
+    drawn perturbations, on by default).
+    """
+
+    def __init__(
+        self,
+        state,
+        obs,
+        inflation=None,
+        verbose: bool = True,
+        loc=False,
+        config: Optional[FilterConfig] = None,
+        seed: int = 0,
+        scale_perturbations: bool = True,
+    ):
+        if config is None:
+            config = FilterConfig(
+                localization="GC" if loc not in (None, False) else None,
+                verbose=verbose,
+            )
+        super().__init__(state, obs, inflation=inflation, verbose=verbose,
+                         config=config)
+        self.seed = int(seed)
+        self.scale_perturbations = bool(scale_perturbations)
+
+    def update(self) -> Tuple["object", "object"]:
+        cfg = self.config
+        if self.verbose:
+            self.log.info("Beginning stochastic EnKF update sequence")
+        body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
+        obs = self.obs_arrays()
+
+        row_lat, row_lon = self.prior.structure.row_latlon()
+        dtype = jnp.dtype(cfg.dtype)
+        body_lat = jnp.asarray(row_lat, dtype=dtype)
+        body_lon = jnp.asarray(row_lon, dtype=dtype)
+        vertical = cfg.localize and self._vertical_active()
+        body_vert = (
+            jnp.asarray(self.prior.structure.row_vert(), dtype=dtype)
+            if vertical
+            else jnp.zeros_like(body_lat)
+        )
+
+        prior_spread = None
+        if cfg.rtps_alpha > 0.0:
+            from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
+
+            prior_spread = row_spread(body_perts)
+
+        eps = draw_ob_perturbations(
+            jax.random.PRNGKey(self.seed),
+            obs.errors.astype(dtype),
+            self.prior.structure.nmems,
+            scale=self.scale_perturbations,
+        )
+        bm, bp, tm, tp, diags = enkf_serial(
+            body_mean,
+            body_perts,
+            tail_mean,
+            tail_perts,
+            body_lat,
+            body_lon,
+            obs,
+            eps,
+            localize=cfg.localize,
+            unbiased=cfg.unbiased_variance,
+            fast_geometry=cfg.fast_geometry,
+            body_vert=body_vert,
+            vertical=vertical,
+        )
+
+        if prior_spread is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtps
+
+            bp = rtps(prior_spread, bp, cfg.rtps_alpha)
+
+        self.record_diagnostics(diags)
+        self.post, _ = self.format_posterior_state(bm, bp)
+        return self.post, self.obs
