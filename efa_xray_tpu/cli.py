@@ -99,7 +99,12 @@ def cmd_assimilate(args):
     from efa_xray_tpu.state.ensemble import EnsembleState
 
     state = EnsembleState.from_netcdf(args.state, dtype=args.dtype)
-    batch = read_obs_csv(args.obs)
+    if args.obs.endswith((".nc", ".h5", ".hdf5")):
+        from efa_xray_tpu.utils.ncio import read_obs
+
+        batch = read_obs(args.obs)
+    else:
+        batch = read_obs_csv(args.obs)
     if args.thin_km:
         from efa_xray_tpu.observation.thinning import thin_by_distance
 
@@ -117,11 +122,16 @@ def cmd_assimilate(args):
         batch.localize_radius = np.where(
             np.isinf(batch.localize_radius), args.radius, batch.localize_radius
         )
+    if args.sort_spatial:
+        from efa_xray_tpu.observation.thinning import sort_spatially
+
+        batch = sort_spatially(batch)
 
     cfg = FilterConfig(
         localization=None if args.no_localization else "GC",
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
+        spatial_sort=args.sort_spatial,
         verbose=args.verbose,
     )
     mesh = None
@@ -135,6 +145,11 @@ def cmd_assimilate(args):
 
         filt = LETKF(state, batch, inflation=args.inflation,
                      verbose=args.verbose, config=cfg, mesh=mesh)
+    elif args.solver == "enkf":
+        from efa_xray_tpu.assimilation.enkf import EnKF
+
+        filt = EnKF(state, batch, inflation=args.inflation,
+                    verbose=args.verbose, config=cfg, seed=args.seed)
     else:
         from efa_xray_tpu.assimilation.ensrf import EnSRF
 
@@ -145,6 +160,11 @@ def cmd_assimilate(args):
     post.save_to_disk(args.out)
     nassim = int(np.sum(out_batch.assimilated))
     print(f"assimilated {nassim}/{len(out_batch)} obs -> {args.out}")
+    if args.obs_out:
+        from efa_xray_tpu.utils.ncio import write_obs
+
+        write_obs(args.obs_out, out_batch)
+        print(f"wrote posterior observations -> {args.obs_out}")
 
     if args.stats:
         from efa_xray_tpu.postprocess.postprocess import (
@@ -178,10 +198,20 @@ def main(argv=None):
 
     p_as = sub.add_parser("assimilate", help="assimilate obs into a state")
     p_as.add_argument("--state", required=True, help="prior state netCDF")
-    p_as.add_argument("--obs", required=True, help="observation CSV")
+    p_as.add_argument("--obs", required=True,
+                      help="observation CSV or netCDF (.nc/.h5)")
     p_as.add_argument("--out", required=True, help="posterior netCDF path")
+    p_as.add_argument("--obs-out", default=None,
+                      help="write the posterior obs batch (with per-ob "
+                           "diagnostics) to this netCDF path")
     p_as.add_argument("--stats", default=None, help="per-ob stats CSV path")
-    p_as.add_argument("--solver", choices=["ensrf", "letkf"], default="ensrf")
+    p_as.add_argument("--solver", choices=["ensrf", "letkf", "enkf"],
+                      default="ensrf")
+    p_as.add_argument("--seed", type=int, default=0,
+                      help="perturbation seed for --solver enkf")
+    p_as.add_argument("--sort-spatial", action="store_true",
+                      help="Morton-sort obs and state rows (maximizes the "
+                           "fused kernel's localization culling)")
     p_as.add_argument("--inflation", type=float, default=None)
     p_as.add_argument("--radius", type=float, default=None,
                       help="default GC halfwidth km for obs without one")

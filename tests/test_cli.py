@@ -94,3 +94,32 @@ def test_cli_rejects_malformed_obs(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["assimilate", "--state", str(prior_nc), "--obs", str(bad),
                   "--out", str(tmp_path / "x.nc")])
+
+
+def test_cli_nc_obs_enkf_and_obs_out(tmp_path, capsys):
+    """netCDF obs input + EnKF solver + posterior-obs output + spatial sort."""
+    from conftest import make_demo_obs
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.utils import ncio
+
+    state = make_demo_state(nmems=10, seed=4)
+    state.save_to_disk(str(tmp_path / "prior.nc"))
+    batch = ObservationBatch.coerce(make_demo_obs(state, nobs=7, seed=5,
+                                                  radius=900.0))
+    ncio.write_obs(str(tmp_path / "obs.nc"), batch)
+
+    rc = cli.main([
+        "assimilate",
+        "--state", str(tmp_path / "prior.nc"),
+        "--obs", str(tmp_path / "obs.nc"),
+        "--out", str(tmp_path / "post.nc"),
+        "--obs-out", str(tmp_path / "obs_post.nc"),
+        "--solver", "enkf", "--seed", "3", "--sort-spatial",
+        "--dtype", "float64",
+    ])
+    assert rc == 0
+    assert "assimilated" in capsys.readouterr().out
+    post = ncio.read_state(str(tmp_path / "post.nc"))
+    assert post.data.shape == state.data.shape
+    back = ncio.read_obs(str(tmp_path / "obs_post.nc"))
+    assert back.post_mean is not None and np.isfinite(back.post_mean).all()
