@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,9 +47,12 @@ class CyclingHarness:
     state_lons: np.ndarray  # [nvars]
     ob_error: float = 1.0
     localize_radius: float = 2000.0
-    # "ensrf" (the reference's serial filter, blocked execution) or "letkf"
-    # (all-at-once local transform filter; LETKF knobs ride on the config).
+    # "ensrf" (the reference's serial filter, blocked execution), "letkf"
+    # (all-at-once local transform filter; LETKF knobs ride on the config),
+    # or "enkf" (stochastic perturbed-obs filter; ``enkf_seed`` draws the
+    # perturbations, advanced per cycle so draws never repeat).
     solver: str = "ensrf"
+    enkf_seed: int = 0
     config: FilterConfig = dataclasses.field(default_factory=FilterConfig)
     obs_operator: Optional[Callable] = None  # ensemble [M, nvars] -> ye [nobs, M]
     obs_operator_rows: Optional[np.ndarray] = None
@@ -112,6 +116,27 @@ class CyclingHarness:
                 sqrt_method=self.config.letkf_sqrt,
                 ns_iters=self.config.letkf_ns_iters,
                 chunk=self.config.letkf_chunk,
+            )
+        elif self.solver == "enkf":
+            from efa_xray_tpu.assimilation.enkf import (
+                draw_ob_perturbations,
+                enkf_serial,
+            )
+
+            cycle_no = getattr(self, "_enkf_cycle", 0)
+            self._enkf_cycle = cycle_no + 1
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.enkf_seed), cycle_no
+            )
+            eps = draw_ob_perturbations(key, obs.errors, sv.shape[1])
+            bm2, bp2, tm2, tp2, diags = enkf_serial(
+                bm, bp, tm, tp,
+                jnp.asarray(self.state_lats, dtype=dtype),
+                jnp.asarray(self.state_lons, dtype=dtype),
+                obs,
+                eps,
+                localize=self.config.localize,
+                unbiased=self.config.unbiased_variance,
             )
         else:
             bm2, bp2, tm2, tp2, diags = core.ensrf_blocked(
