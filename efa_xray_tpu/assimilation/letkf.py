@@ -130,6 +130,7 @@ class LETKF(Assimilation):
                 sqrt_method=cfg.letkf_sqrt,
                 ns_iters=cfg.letkf_ns_iters,
                 chunk=cfg.letkf_chunk,
+                topk_method=cfg.letkf_topk,
                 vertical=vertical,
                 body_vert=body_vert,
             )

@@ -64,7 +64,22 @@ class PatchWeights(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096):
+def _top_k(dots, k: int, method: str = "exact"):
+    """Nearest-k selection by descending dot product.
+
+    ``method="approx"`` uses ``jax.lax.approx_max_k`` (the TPU-optimized
+    partial-reduction primitive, recall >= 0.95 per row) — obs SELECTION
+    tolerates approximation: a missed far-edge ob carries a near-zero
+    Gaspari-Cohn weight by construction, so analysis impact is far below
+    the localization truncation already accepted by nearest-k itself.
+    """
+    if method == "approx":
+        return jax.lax.approx_max_k(dots, k, recall_target=0.95)
+    return jax.lax.top_k(dots, k)
+
+
+def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096,
+                     topk_method: str = "exact"):
     """Indices of the k nearest observations per patch: ``[P, k]``.
 
     Nearest by great-circle distance == largest chordal dot product, so the
@@ -81,7 +96,7 @@ def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096):
         dots = jnp.einsum(
             "pc,oc->po", pts, obs_xyz, preferred_element_type=jnp.float32
         )
-        _, idx = jax.lax.top_k(dots, k)
+        _, idx = _top_k(dots, k, topk_method)
         return idx
 
     idx = jax.lax.map(one, pxyz).reshape(nchunks * chunk, k)
@@ -293,6 +308,7 @@ def _analyze_body_chunked(
     group_vert=None,  # [VT] per-group vertical coordinate (vertical mode)
     obs_verts=None,  # [No]
     obs_vert_radii=None,  # [No]
+    topk_method: str = "exact",
 ):
     """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
 
@@ -367,7 +383,7 @@ def _analyze_body_chunked(
         dots = jnp.einsum(
             "pc,oc->po", px, obs_xyz, preferred_element_type=jnp.float32
         )
-        _, ii = jax.lax.top_k(dots, k)  # [C, K]
+        _, ii = _top_k(dots, k, topk_method)  # [C, K]
         yl = ye[ii]  # [C, K, M]
         rho = chordal_gc_weights(
             px[:, None, :], obs_xyz[ii], obs_radii[ii]
@@ -428,7 +444,7 @@ def _analyze_body_chunked(
     jax.jit,
     static_argnames=(
         "ngrid", "patch_size", "k_obs", "localize", "sqrt_method",
-        "ns_iters", "chunk", "vertical",
+        "ns_iters", "chunk", "vertical", "topk_method",
     ),
 )
 def letkf_update(
@@ -449,6 +465,7 @@ def letkf_update(
     chunk: int = 1024,
     vertical: bool = False,
     body_vert=None,  # [Ns]; each (var,time) group must sit at ONE level
+    topk_method: str = "exact",
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -518,6 +535,7 @@ def letkf_update(
             group_vert=group_vert,
             obs_verts=overts,
             obs_vert_radii=ovrad,
+            topk_method=topk_method,
         )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.

@@ -87,6 +87,12 @@ class FilterConfig:
     letkf_ns_iters: int = 30
     # Patches solved per lax.map step (bounds the [chunk, k, M] gather).
     letkf_chunk: int = 1024
+    # Nearest-k obs selection primitive: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k, the TPU-optimized partial reduction, recall >=
+    # 0.95 per patch — a missed far-edge ob carries a near-zero GC weight
+    # by construction, so the analysis impact is far below the nearest-k
+    # truncation already accepted).
+    letkf_topk: str = "exact"
     # Relaxation-to-prior-spread posterior inflation (Whitaker & Hamill
     # 2012): after the analysis, each row's posterior spread relaxes toward
     # the background spread by this fraction.  0 = off (reference parity);
@@ -113,6 +119,8 @@ class FilterConfig:
             raise ValueError("block_size must be >= 1")
         if self.letkf_sqrt not in ("newton_schulz", "eigh"):
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
+        if self.letkf_topk not in ("exact", "approx"):
+            raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
         if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
         if not 0.0 <= self.rtps_alpha <= 1.0:

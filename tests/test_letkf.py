@@ -318,3 +318,23 @@ def test_letkf_vertical_api_and_sharded():
     vi_850 = state.structure.var_index("T_850")
     assert np.abs(d[vi_500]).max() > 1e-6  # observed level updated
     np.testing.assert_allclose(d[vi_850], 0.0, atol=1e-12)  # far level inert
+
+
+def test_letkf_topk_methods_agree_on_cpu():
+    """letkf_topk="approx" (lax.approx_max_k) plumbs through the solver;
+    on CPU the approximate primitive reduces to exact selection, so the
+    analyses must match bitwise — the TPU recall tradeoff is opt-in."""
+    from conftest import make_demo_obs, make_demo_state
+    from efa_xray_tpu.assimilation.letkf import LETKF
+
+    state = make_demo_state(ntimes=1, ny=10, nx=10, nmems=12, seed=1)
+    obs = make_demo_obs(state, nobs=15, seed=2, radius=900.0)
+    outs = {}
+    for m in ("exact", "approx"):
+        cfg = FilterConfig(localization="GC", dtype="float64", letkf_k_obs=8,
+                           letkf_chunk=16, letkf_topk=m)
+        post, _ = LETKF(state, list(obs), config=cfg, verbose=False).update()
+        outs[m] = np.asarray(post.data)
+    np.testing.assert_array_equal(outs["exact"], outs["approx"])
+    with pytest.raises(ValueError):
+        FilterConfig(letkf_topk="bogus")
