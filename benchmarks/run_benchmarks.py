@@ -260,8 +260,12 @@ def bench_config3(vertical=False, kernel=None):
             verts=jnp.asarray(body_vert[rows], dtype=jnp.float32),
             vert_radii=jnp.full(nobs, 300.0, dtype=jnp.float32),
         )
+    # tile > ngrid clamps to the whole 16.2k-point grid per group: 3200
+    # grid iterations instead of 6400 — the v4-grid kernel is partly
+    # iteration-overhead bound (measured 0.215 -> 0.189 s at tile=ngrid).
     dt = _timed_update(prior, row_lat, row_lon, obs, ngrid=ngrid,
-                       kernel=kernel, body_vert=body_vert, vertical=vertical)
+                       kernel=kernel, body_vert=body_vert, vertical=vertical,
+                       tile=16384)
     return {
         "config": "3-gefs-3d" + ("-vert" if vertical else ""),
         "nstate": nstate,
