@@ -202,6 +202,7 @@ class EnKF(Assimilation):
         config: Optional[FilterConfig] = None,
         seed: int = 0,
         scale_perturbations: bool = True,
+        mesh=None,
     ):
         if config is None:
             config = FilterConfig(
@@ -209,7 +210,7 @@ class EnKF(Assimilation):
                 verbose=verbose,
             )
         super().__init__(state, obs, inflation=inflation, verbose=verbose,
-                         config=config)
+                         config=config, mesh=mesh)
         self.seed = int(seed)
         self.scale_perturbations = bool(scale_perturbations)
 
@@ -243,21 +244,41 @@ class EnKF(Assimilation):
             self.prior.structure.nmems,
             scale=self.scale_perturbations,
         )
-        bm, bp, tm, tp, diags = enkf_serial(
-            body_mean,
-            body_perts,
-            tail_mean,
-            tail_perts,
-            body_lat,
-            body_lon,
-            obs,
-            eps,
-            localize=cfg.localize,
-            unbiased=cfg.unbiased_variance,
-            fast_geometry=cfg.fast_geometry,
-            body_vert=body_vert,
-            vertical=vertical,
-        )
+        if self.mesh is not None:
+            from efa_xray_tpu.parallel.sharded import enkf_update_sharded
+
+            bm, bp, tm, tp, diags = enkf_update_sharded(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                eps,
+                mesh=self.mesh,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
+            )
+        else:
+            bm, bp, tm, tp, diags = enkf_serial(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                eps,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
+            )
 
         if prior_spread is not None:
             from efa_xray_tpu.assimilation.adaptive_inflation import rtps

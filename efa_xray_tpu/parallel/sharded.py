@@ -246,6 +246,133 @@ def ensrf_update_sharded(
 
 
 # ---------------------------------------------------------------------------
+# Sharded stochastic EnKF
+# ---------------------------------------------------------------------------
+
+
+def _enkf_sharded_impl(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    body_lat,
+    body_lon,
+    body_vert,
+    obs: core.ObsArrays,
+    eps,  # [No, M] centered ob perturbations (replicated)
+    *,
+    mesh: Mesh,
+    localize: bool,
+    axis_name: str,
+    unbiased: bool,
+    fast_geometry: bool,
+    vertical: bool,
+):
+    from efa_xray_tpu.assimilation.enkf import enkf_serial
+
+    in_specs, out_specs = _shard_specs(axis_name)
+    in_specs = in_specs + (P(),)  # eps replicates with the tail
+
+    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, eps_rep):
+        return enkf_serial(
+            bm, bp, tm, tp, blat, blon, ob, eps_rep, localize=localize,
+            unbiased=unbiased, fast_geometry=fast_geometry,
+            body_vert=bvert, vertical=vertical,
+        )
+
+    fn = jax.shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(
+        body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
+        body_vert, obs, eps,
+    )
+
+
+_ENKF_SHARDED_STATIC = (
+    "mesh", "localize", "axis_name", "unbiased", "fast_geometry", "vertical",
+)
+
+_enkf_sharded_jit = jax.jit(
+    _enkf_sharded_impl, static_argnames=_ENKF_SHARDED_STATIC
+)
+
+
+def enkf_update_sharded(
+    body_mean,
+    body_perts,
+    tail_mean,
+    tail_perts,
+    body_lat,
+    body_lon,
+    obs: core.ObsArrays,
+    eps,
+    mesh: Mesh,
+    localize: bool = True,
+    axis_name: str = STATE_AXIS,
+    unbiased: bool = False,
+    fast_geometry: bool = False,
+    body_vert=None,
+    vertical: bool = False,
+):
+    """Sharded stochastic EnKF (same layout/communication design as
+    :func:`ensrf_update_sharded`): state body sharded along the state axis,
+    obs tail AND the perturbation table replicated, the serial scan runs
+    row-locally with zero per-ob collectives.  The perturbed-ob update is
+    exactly as row-parallel as the square-root one — ``eps`` enters only
+    through the obs-space vector ``ye - eps~``."""
+    ns = body_mean.shape[0]
+    ndev = mesh.shape[axis_name]
+    ns_pad = pad_to_multiple(ns, ndev)
+
+    bm = pad_rows(body_mean, ns_pad)
+    bp = pad_rows(body_perts, ns_pad)
+    blat = pad_rows(body_lat, ns_pad)
+    blon = pad_rows(body_lon, ns_pad)
+    if body_vert is None:
+        body_vert = jnp.zeros_like(body_lat[:ns])
+    bvert = pad_rows(body_vert, ns_pad)
+
+    shard1 = NamedSharding(mesh, P(axis_name))
+    shard2 = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P())
+    bm = jax.device_put(bm, shard1)
+    bp = jax.device_put(bp, shard2)
+    blat = jax.device_put(blat, shard1)
+    blon = jax.device_put(blon, shard1)
+    bvert = jax.device_put(bvert, shard1)
+    tail_mean = jax.device_put(tail_mean, rep)
+    tail_perts = jax.device_put(tail_perts, rep)
+    eps = jax.device_put(eps, rep)
+    obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
+
+    bm, bp, tm, tp, diags = _enkf_sharded_jit(
+        bm,
+        bp,
+        tail_mean,
+        tail_perts,
+        blat,
+        blon,
+        bvert,
+        obs,
+        eps,
+        mesh=mesh,
+        localize=localize,
+        axis_name=axis_name,
+        unbiased=unbiased,
+        fast_geometry=fast_geometry,
+        vertical=vertical,
+    )
+    if ns != ns_pad:
+        bm, bp = bm[:ns], bp[:ns]
+    return bm, bp, tm, tp, diags
+
+
+# ---------------------------------------------------------------------------
 # Sharded LETKF
 # ---------------------------------------------------------------------------
 

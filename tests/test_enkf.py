@@ -166,3 +166,20 @@ def test_enkf_cycles_lorenz96_beats_free_run():
     # analyses improve on backgrounds, and late-cycle analyses lock on
     assert rmse[5:].mean() < bg_rmse[5:].mean()
     assert rmse[-8:].mean() < 1.0
+
+
+def test_enkf_sharded_matches_single_device():
+    """Sharded stochastic EnKF (state sharded, obs tail + perturbation
+    table replicated) must reproduce the single-device analysis — same
+    seed, same draws, row-local updates."""
+    from efa_xray_tpu.parallel import make_mesh
+
+    state = make_demo_state(ny=8, nx=8, nmems=12, seed=6)
+    obs = make_demo_obs(state, nobs=9, seed=7, radius=1100.0)
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    post1, _ = EnKF(state, list(obs), config=cfg, verbose=False,
+                    seed=4).update()
+    post8, _ = EnKF(state, list(obs), config=cfg, verbose=False,
+                    seed=4, mesh=make_mesh()).update()
+    np.testing.assert_allclose(np.asarray(post8.data), np.asarray(post1.data),
+                               rtol=1e-10, atol=1e-10)
