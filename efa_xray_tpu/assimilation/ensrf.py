@@ -132,6 +132,23 @@ class EnSRF(Assimilation):
                 donate=True,
             )
         elif cfg.method == "serial":
+            hybrid_kwargs = {}
+            if cfg.hybrid_alpha < 1.0:
+                # Static-B std per row, and interpolated to ob locations
+                # with the same forward-operator taps as the state.
+                from efa_xray_tpu.observation import forward as _fwd
+
+                bsig = jnp.broadcast_to(
+                    jnp.asarray(cfg.static_b_sigma, dtype), body_mean.shape
+                )
+                taps = self.build_taps()
+                tsig = _fwd.apply_taps_obj(bsig[:, None], taps)[:, 0]
+                hybrid_kwargs = dict(
+                    hybrid_alpha=float(cfg.hybrid_alpha),
+                    body_sigma=bsig,
+                    tail_sigma=tsig,
+                    static_length=float(cfg.static_b_length),
+                )
             bm, bp, tm, tp, diags = core.ensrf_serial(
                 body_mean,
                 body_perts,
@@ -145,6 +162,7 @@ class EnSRF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+                **hybrid_kwargs,
             )
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas

@@ -176,7 +176,8 @@ def _loc_weights(row_lat, row_lon, ob_lat, ob_lon, radius, localize: bool, dtype
 
 @functools.partial(
     jax.jit,
-    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
+                     "hybrid_alpha"),
 )
 def ensrf_serial(
     body_mean,  # [Ns]
@@ -191,10 +192,30 @@ def ensrf_serial(
     fast_geometry: bool = False,
     body_vert=None,  # [Ns] vertical coordinate per row (used when vertical)
     vertical: bool = False,
+    hybrid_alpha: float = 1.0,
+    body_sigma=None,  # [Ns] static-B std per row (hybrid_alpha < 1)
+    tail_sigma=None,  # [No] static-B std at ob locations
+    static_length=None,  # scalar km: GC halfwidth of the static correlation
 ):
     """Serial EnSRF as one ``lax.scan`` over observations.
 
     Returns ``(body_mean, body_perts, tail_mean, tail_perts, diags)``.
+
+    ``hybrid_alpha < 1`` blends a STATIC climatological background
+    covariance into the gain (hybrid ensemble-variational in its simplest
+    sequential form; Hamill & Snyder 2000):
+
+        cov(row, ob) = alpha * loc_w * ens_cov
+                       + (1 - alpha) * sigma_s(row) sigma_s(ob) GC(d, L_B)
+        var(ye)      = alpha * var_ens(ye) + (1 - alpha) * sigma_s(ob)^2
+
+    with the static part held FIXED over the batch (the standard
+    hybrid-gain simplification — only the ensemble part tracks the
+    sequential update).  ``hybrid_alpha = 0`` is classic Optimal
+    Interpolation with a compactly-supported Gaspari-Cohn covariance
+    model; ``hybrid_alpha = 1`` (default) is the pure ensemble filter and
+    reproduces the reference exactly.  An extension — the reference has no
+    static or hybrid covariance at all.
     """
     nens = body_perts.shape[1]
     dtype = body_perts.dtype
@@ -211,15 +232,35 @@ def ensrf_serial(
     tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
     bvert = body_vert.astype(dtype) if (localize and vertical) else None
 
+    hybrid = hybrid_alpha < 1.0
+    if hybrid:
+        if body_sigma is None or tail_sigma is None or static_length is None:
+            raise ValueError(
+                "hybrid_alpha < 1 needs body_sigma, tail_sigma and "
+                "static_length"
+            )
+        alpha = jnp.asarray(hybrid_alpha, dtype)
+        bsig = jnp.broadcast_to(
+            jnp.asarray(body_sigma, dtype), body_mean.shape
+        )
+        tsig = jnp.broadcast_to(
+            jnp.asarray(tail_sigma, dtype), tail_mean.shape
+        )
+        slen = jnp.asarray(static_length, dtype)
+
     def step(carry, xs):
         bm, bp, tm, tp = carry
-        i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad = xs
+        (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert,
+         ob_vrad) = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)  # [M]
         mye = tm[i]
         varye = _ye_var(ye, unbiased)
 
         innov = y - mye
+        if hybrid:
+            sig_ob = tsig[i]
+            varye = alpha * varye + (1.0 - alpha) * sig_ob * sig_ob
         kdenom = varye + r_err
         scale = 1.0 / (kdenom * (nens - 1))
         beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
@@ -247,6 +288,18 @@ def ensrf_serial(
 
         kmat_b = kcov_b * scale
         kmat_t = kcov_t * scale
+        if hybrid:
+            # Static covariance column: GC-correlated climatological
+            # variances, added to the (already loc-tapered, scaled)
+            # ensemble gain numerator; kdenom above already blends.
+            gcb = _loc_weights(body_lat, body_lon, ob_lat, ob_lon, slen,
+                              True, dtype)
+            gct = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, slen,
+                              True, dtype)
+            stat_b = bsig * sig_ob * gcb
+            stat_t = tsig * sig_ob * gct
+            kmat_b = alpha * kmat_b + (1.0 - alpha) * stat_b / kdenom
+            kmat_t = alpha * kmat_t + (1.0 - alpha) * stat_t / kdenom
 
         bm2 = bm + kmat_b * innov
         tm2 = tm + kmat_t * innov

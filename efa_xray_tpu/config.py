@@ -93,6 +93,17 @@ class FilterConfig:
     # by construction, so the analysis impact is far below the nearest-k
     # truncation already accepted).
     letkf_topk: str = "exact"
+    # --- Hybrid ensemble-static background covariance (serial method
+    # only; Hamill & Snyder 2000).  hybrid_alpha = 1 is the pure ensemble
+    # filter (reference parity); 0 is classic Optimal Interpolation with a
+    # Gaspari-Cohn covariance model.  The static part is
+    # sigma_s(x) sigma_s(y) GC(d, static_b_length), held fixed over the
+    # batch (standard hybrid-gain simplification).
+    hybrid_alpha: float = 1.0
+    # Static background std: scalar, or per-state-row array of nstate.
+    static_b_sigma: Union[float, object, None] = None
+    # GC halfwidth (km) of the static covariance model.
+    static_b_length: Optional[float] = None
     # Relaxation-to-prior-spread posterior inflation (Whitaker & Hamill
     # 2012): after the analysis, each row's posterior spread relaxes toward
     # the background spread by this fraction.  0 = off (reference parity);
@@ -125,3 +136,17 @@ class FilterConfig:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
         if not 0.0 <= self.rtps_alpha <= 1.0:
             raise ValueError("rtps_alpha must be in [0, 1]")
+        if not 0.0 <= self.hybrid_alpha <= 1.0:
+            raise ValueError("hybrid_alpha must be in [0, 1]")
+        if self.hybrid_alpha < 1.0:
+            if self.static_b_sigma is None or self.static_b_length is None:
+                raise ValueError(
+                    "hybrid_alpha < 1 needs static_b_sigma and "
+                    "static_b_length"
+                )
+            if self.method != "serial":
+                raise ValueError(
+                    "hybrid covariance requires method='serial' (the "
+                    "blocked reformulation tracks only ensemble-rank "
+                    "updates)"
+                )

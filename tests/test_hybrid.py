@@ -1,0 +1,123 @@
+"""Hybrid ensemble-static background covariance (serial EnSRF path).
+
+hybrid_alpha = 1 reproduces the pure ensemble filter exactly;
+hybrid_alpha = 0 is classic Optimal Interpolation with a Gaspari-Cohn
+covariance model, checked against the closed-form scalar OI solution.
+An extension — the reference has no static/hybrid covariance at all
+(efa_xray/assimilation/ensrf.py works purely from ensemble moments).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import make_demo_obs, make_demo_state
+from efa_xray_tpu.assimilation import ensrf_core as core
+from efa_xray_tpu.assimilation.ensrf import EnSRF
+from efa_xray_tpu.config import FilterConfig
+from efa_xray_tpu.observation.localization import gaspari_cohn_np, haversine
+
+
+def _toy(nstate=50, nmems=12, nobs=4, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-60, 60, nstate)
+    lon = rng.uniform(0, 360, nstate)
+    prior = rng.normal(280, 3, (nstate, nmems))
+    rows = rng.integers(0, nstate, nobs)
+    ye = prior[rows]
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + rng.normal(0, 1, nobs), dtype),
+        errors=jnp.ones(nobs, dtype),
+        lats=jnp.asarray(lat[rows], dtype),
+        lons=jnp.asarray(lon[rows], dtype),
+        radii=jnp.full(nobs, 3000.0, dtype),
+        assim=jnp.ones(nobs, dtype=bool),
+    )
+    bm = jnp.asarray(prior.mean(1), dtype)
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True), dtype)
+    tm = jnp.asarray(ye.mean(1), dtype)
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True), dtype)
+    return (bm, bp, tm, tp, jnp.asarray(lat, dtype), jnp.asarray(lon, dtype),
+            obs, rows)
+
+
+def test_alpha_one_is_pure_ensemble():
+    bm, bp, tm, tp, blat, blon, obs, _ = _toy()
+    ref = core.ensrf_serial(bm, bp, tm, tp, blat, blon, obs, localize=True)
+    hyb = core.ensrf_serial(
+        bm, bp, tm, tp, blat, blon, obs, localize=True,
+        hybrid_alpha=1.0, body_sigma=jnp.full_like(bm, 2.0),
+        tail_sigma=jnp.full_like(tm, 2.0), static_length=1000.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(hyb[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(hyb[1]))
+
+
+def test_alpha_zero_is_optimal_interpolation():
+    """One ob, alpha = 0: posterior mean must match the scalar OI solution
+    row by row: xa = xb + sig(row) sig(ob) GC(d, L) / (sig(ob)^2 + R) * innov."""
+    bm, bp, tm, tp, blat, blon, obs, rows = _toy(nobs=1, seed=3)
+    sigma, length, r = 2.5, 1200.0, 1.0
+    out = core.ensrf_serial(
+        bm, bp, tm, tp, blat, blon, obs, localize=True,
+        hybrid_alpha=0.0, body_sigma=jnp.full_like(bm, sigma),
+        tail_sigma=jnp.full_like(tm, sigma), static_length=length,
+    )
+    innov = float(obs.values[0] - tm[0])
+    d = np.asarray(haversine((np.asarray(blat), np.asarray(blon)),
+                             (float(obs.lats[0]), float(obs.lons[0]))))
+    gain = sigma * sigma * gaspari_cohn_np(d, length) / (sigma**2 + r)
+    expect = np.asarray(bm) + gain * innov
+    np.testing.assert_allclose(np.asarray(out[0]), expect, rtol=1e-9,
+                               atol=1e-9)
+    # beyond the GC support the state is untouched
+    far = d > 2 * length
+    if far.any():
+        np.testing.assert_array_equal(np.asarray(out[0])[far],
+                                      np.asarray(bm)[far])
+
+
+def test_hybrid_blend_monotone_at_ob_point():
+    """At the observed point with an identity pick, the analysis pull is
+    finite for every alpha and the hybrid result lies between prior and
+    ob.  Needs unbiased=True: the reference's default ddof mismatch
+    (ddof-1 covariance over a ddof-0 variance in the gain denominator)
+    lets K exceed 1 by up to M/(M-1), so the bound is only exact when the
+    ddofs match."""
+    bm, bp, tm, tp, blat, blon, obs, rows = _toy(nobs=1, seed=5)
+    for a in (0.0, 0.3, 0.7, 1.0):
+        out = core.ensrf_serial(
+            bm, bp, tm, tp, blat, blon, obs, localize=True, unbiased=True,
+            hybrid_alpha=a, body_sigma=jnp.full_like(bm, 2.0),
+            tail_sigma=jnp.full_like(tm, 2.0), static_length=1500.0,
+        )
+        assert np.isfinite(np.asarray(out[0])).all()
+        prior_v = float(bm[rows[0]])
+        post_v = float(out[0][rows[0]])
+        lo, hi = sorted([prior_v, float(obs.values[0])])
+        assert lo - 1e-9 <= post_v <= hi + 1e-9
+
+
+def test_hybrid_via_ensrf_api():
+    state = make_demo_state(nmems=14, seed=2)
+    obs = make_demo_obs(state, nobs=6, seed=3, radius=1500.0)
+    cfg = FilterConfig(localization="GC", dtype="float64", method="serial",
+                       hybrid_alpha=0.5, static_b_sigma=1.5,
+                       static_b_length=800.0)
+    post, batch = EnSRF(state, list(obs), config=cfg, verbose=False).update()
+    assert np.isfinite(np.asarray(post.data)).all()
+    ok = np.asarray(batch.assimilated, bool)
+    d_prior = np.abs(batch.values - batch.prior_mean)[ok]
+    d_post = np.abs(batch.values - batch.post_mean)[ok]
+    assert d_post.mean() < d_prior.mean()
+
+
+def test_hybrid_config_validation():
+    with pytest.raises(ValueError):
+        FilterConfig(hybrid_alpha=0.5)  # missing sigma/length
+    with pytest.raises(ValueError):
+        FilterConfig(hybrid_alpha=0.5, static_b_sigma=1.0,
+                     static_b_length=500.0, method="blocked")
+    with pytest.raises(ValueError):
+        FilterConfig(hybrid_alpha=1.5)
