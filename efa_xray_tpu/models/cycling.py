@@ -64,11 +64,26 @@ class CyclingHarness:
     adaptive_inflation: bool = False
     adaptive_sd: float = 0.6
     adaptive_min: float = 1.0
+    # Desroziers (2005) adaptive observation error: after each analysis the
+    # consistency estimate R_est = E[d_a d_b] (analysis x background obs-space
+    # departures) is blended into the working R with weight ``adaptive_r_rho``
+    # per cycle.  Corrects a mis-specified ``ob_error`` online — an extension;
+    # the reference takes each ob's error at face value
+    # (efa_xray/assimilation/ensrf.py:62).
+    adaptive_r: bool = False
+    adaptive_r_rho: float = 0.2
+    adaptive_r_floor: float = 1e-6
 
     def inflation_field(self) -> Optional[np.ndarray]:
         """Current adaptive variance-inflation field (None before first use)."""
         lam = getattr(self, "_lam", None)
         return None if lam is None else np.asarray(lam)
+
+    def estimated_r(self) -> Optional[float]:
+        """Current working obs-error variance under ``adaptive_r`` (None
+        before the first analysis)."""
+        r = getattr(self, "_r_work", None)
+        return None if r is None else float(r)
 
     def analysis_step(self, ensemble, values, ob_lats, ob_lons):
         """One EnSRF analysis on a flat ensemble ``[nmems, nvars]``."""
@@ -93,9 +108,14 @@ class CyclingHarness:
         tm = jnp.mean(ye, axis=1)
         tp = ye - tm[:, None]
         nobs = ye.shape[0]
+        r_work = (
+            getattr(self, "_r_work", self.ob_error)
+            if self.adaptive_r
+            else self.ob_error
+        )
         obs = core.ObsArrays(
             values=jnp.asarray(values, dtype=dtype),
-            errors=jnp.full(nobs, self.ob_error, dtype=dtype),
+            errors=jnp.full(nobs, r_work, dtype=dtype),
             lats=jnp.asarray(ob_lats, dtype=dtype),
             lons=jnp.asarray(ob_lons, dtype=dtype),
             radii=jnp.full(nobs, self.localize_radius, dtype=dtype),
@@ -174,6 +194,23 @@ class CyclingHarness:
                 obs.assim,
                 lambda_min=self.adaptive_min,
             )
+        if self.adaptive_r:
+            # Desroziers: E[d_a d_b] estimates R when B and R are correctly
+            # specified; blend it in with a per-cycle relaxation so one
+            # noisy batch cannot destabilize the filter.
+            d_b = np.asarray(values, np.float64) - np.asarray(
+                diags.prior_mean, np.float64
+            )
+            d_a = np.asarray(values, np.float64) - np.asarray(
+                diags.post_mean, np.float64
+            )
+            r_est = float(np.mean(d_a * d_b))
+            if np.isfinite(r_est) and r_est > 0:
+                self._r_work = max(
+                    (1.0 - self.adaptive_r_rho) * float(r_work)
+                    + self.adaptive_r_rho * r_est,
+                    self.adaptive_r_floor,
+                )
         return (bm2[:, None] + bp2).T, diags
 
     def run(
@@ -183,9 +220,16 @@ class CyclingHarness:
         ncycles: int,
         obs_every: Optional[np.ndarray] = None,
         seed: int = 0,
+        obs_noise_var: Optional[float] = None,
     ) -> List[CycleStats]:
         """Cycle against a known truth trajectory: forecast both, observe
-        the truth with noise, assimilate, record statistics."""
+        the truth with noise, assimilate, record statistics.
+
+        ``obs_noise_var`` sets the TRUE variance of the synthetic obs noise
+        (default: ``ob_error``).  Passing a different value deliberately
+        mis-specifies the filter's assigned R — the regime ``adaptive_r``
+        is designed to correct.
+        """
         rng = np.random.default_rng(seed)
         if obs_every is None and self.obs_operator_rows is None:
             raise ValueError(
@@ -208,7 +252,11 @@ class CyclingHarness:
                 jnp.sqrt(jnp.mean((jnp.mean(ensemble, axis=0) - truth) ** 2))
             )
             yobs = np.asarray(truth)[rows] + rng.normal(
-                0, np.sqrt(self.ob_error), len(rows)
+                0,
+                np.sqrt(
+                    self.ob_error if obs_noise_var is None else obs_noise_var
+                ),
+                len(rows),
             )
             self.obs_operator_rows = rows
             ensemble, diags = self.analysis_step(

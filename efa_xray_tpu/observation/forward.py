@@ -63,10 +63,7 @@ class ObsTaps:
         return self.rows.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("npt", "metric"))
-def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
-    """For each (lat, lon) in the batch return the ``npt`` nearest flat grid
-    indices and their true great-circle distances (km)."""
+def _topk_scores(grid_lat, grid_lon, lats, lons, metric: str):
     if metric == "haversine":
         score = -_loc.haversine(
             (grid_lat[None, :], grid_lon[None, :]), (lats[:, None], lons[:, None])
@@ -79,10 +76,40 @@ def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
         )
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    return score
+
+
+@functools.partial(jax.jit, static_argnames=("npt", "metric"))
+def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
+    """For each (lat, lon) in the batch return the ``npt`` nearest flat grid
+    indices."""
+    score = _topk_scores(grid_lat, grid_lon, lats, lons, metric)
     _, idx = jax.lax.top_k(score, npt)
     # Selected-point distances are recomputed in float64 on host by the
     # callers that need them; returning them here would be a dead transfer.
     return idx
+
+
+@functools.partial(jax.jit, static_argnames=("npt", "metric", "chunk"))
+def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
+                        metric: str, chunk: int):
+    """Chunked nearest-point search as ONE device dispatch.
+
+    ``lats``/``lons`` must be padded to a multiple of ``chunk``; a
+    ``lax.map`` over chunk rows bounds the live ``[chunk, ngrid]`` score
+    matrix exactly like the host-side chunk loop, but the whole batch
+    costs one argument upload + one dispatch through the (high-latency)
+    remote-device tunnel instead of one per chunk.
+    """
+
+    def one(ll):
+        la, lo = ll
+        score = _topk_scores(grid_lat, grid_lon, la, lo, metric)
+        _, idx = jax.lax.top_k(score, npt)
+        return idx
+
+    idx = jax.lax.map(one, (lats.reshape(-1, chunk), lons.reshape(-1, chunk)))
+    return idx.reshape(lats.shape[0], npt)
 
 
 def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
@@ -193,26 +220,26 @@ def build_taps(
     glat, glon = structure.grid_latlon_device(fdtype)
 
     # Device-side nearest-point search, chunked so the [chunk, ngrid]
-    # distance matrix stays within a bounded footprint.  Dispatch all
-    # chunks asynchronously and pull the (tiny) index results with ONE
-    # host transfer — a per-chunk np.asarray would pay a full device
-    # round-trip per chunk (measured ~40 ms each through the tunnel).
+    # distance matrix stays within a bounded footprint.  The whole batch
+    # is padded to a chunk multiple and searched in ONE dispatch
+    # (lax.map over chunk rows) with one upload and one tiny index pull:
+    # per-chunk dispatches each pay the remote-tunnel latency (~20 ms),
+    # which dominated the measured build_taps cost at 2k obs.
     itemsize = jnp.dtype(fdtype).itemsize
     chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * itemsize, 1)))
-    parts = [
-        _topk_points(
-            glat, glon,
-            jnp.asarray(lats[s:min(nobs, s + chunk)], dtype=fdtype),
-            jnp.asarray(lons[s:min(nobs, s + chunk)], dtype=fdtype),
-            npt, metric,
-        )
-        for s in range(0, nobs, chunk)
-    ]
-    if not parts:  # empty observation batch
+    if nobs == 0:  # empty observation batch
         sp_idx = np.empty((0, npt), dtype=np.int64)
     else:
+        npad = (-nobs) % chunk
+        lat_p = np.concatenate([lats, np.full(npad, lats[0])])
+        lon_p = np.concatenate([lons, np.full(npad, lons[0])])
         sp_idx = np.asarray(
-            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0),
+            _topk_points_mapped(
+                glat, glon,
+                jnp.asarray(lat_p, dtype=fdtype),
+                jnp.asarray(lon_p, dtype=fdtype),
+                npt, metric, chunk,
+            )[:nobs],
             dtype=np.int64,
         )
 

@@ -199,3 +199,42 @@ def test_adaptive_inflation_cycles_beat_fixed_inflation():
     assert spread_adapt > spread_none
     lam = h.inflation_field()
     assert lam is not None and lam.max() > 1.05 and lam.min() >= 1.0 - 1e-12
+
+
+def test_adaptive_r_recovers_misspecified_ob_error():
+    """Desroziers-feedback adaptive R: start the filter with a 16x
+    UNDER-specified obs-error variance (0.25 assigned vs 4.0 true); the
+    working R must climb toward the true value and the late-cycle analysis
+    must beat the fixed mis-specified run.  Extension — the reference takes
+    each ob's error at face value (efa_xray/assimilation/ensrf.py:62)."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems, ncycles, seed = 40, 20, 60, 4
+    lats, lons = l96.fake_latlon(nvars)
+    true_var, assigned = 4.0, 0.25
+
+    def run(**kw):
+        truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=seed)
+        h = CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats, state_lons=lons, ob_error=assigned,
+            localize_radius=4000.0, inflation=1.05,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            **kw,
+        )
+        stats = h.run(ens, truth, ncycles=ncycles, seed=seed + 7,
+                      obs_noise_var=true_var)
+        rmse = np.mean([s.analysis_rmse for s in stats[-20:]])
+        return rmse, h
+
+    rmse_fixed, _ = run()
+    rmse_adapt, h = run(adaptive_r=True)
+
+    r_learned = h.estimated_r()
+    assert r_learned is not None
+    # learned R moves most of the way from 0.25 to 4.0
+    assert r_learned > 1.0, r_learned
+    assert rmse_adapt < rmse_fixed, (rmse_adapt, rmse_fixed)
