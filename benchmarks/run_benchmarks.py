@@ -409,7 +409,8 @@ def bench_config5():
 
 def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
                  k_obs=64, chunk=1024, iters=3, dtype=jnp.float32,
-                 body_vert=None, vertical=False):
+                 body_vert=None, vertical=False, topk_method="exact",
+                 ns_iters=30):
     """Chained timing of the all-at-once LETKF analysis."""
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -426,7 +427,8 @@ def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
         return letkf_core.letkf_update(
             bm, bp, tm, tp, glat, glon, obs, ngrid=ngrid,
             patch_size=patch_size, k_obs=k_obs, chunk=chunk,
-            vertical=vertical, body_vert=bvert,
+            vertical=vertical, body_vert=bvert, topk_method=topk_method,
+            ns_iters=ns_iters,
         )[:4]
 
     digest = jax.jit(lambda bm, bp: jnp.sum(bm) + jnp.sum(bp[:, 0]))
@@ -478,7 +480,7 @@ def bench_config6(patch_size=8, k_obs=64, nobs=2000):
     }
 
 
-def bench_config7(patch_size=8, k_obs=64):
+def bench_config7(patch_size=8, k_obs=64, topk_method="exact"):
     """LETKF at the pod-slice scale: 10k obs x 4.2M pts x 80 mems."""
     rng = np.random.default_rng(4)
     ngrid, nmems, nobs = 4_194_304, 80, 10_000
@@ -491,7 +493,8 @@ def bench_config7(patch_size=8, k_obs=64):
         state_lat[rows], state_lon[rows], np.full(nobs, 2000.0), jnp.float32,
     )
     dt = _timed_letkf(prior, state_lat, state_lon, obs, ngrid,
-                      patch_size=patch_size, k_obs=k_obs, iters=2)
+                      patch_size=patch_size, k_obs=k_obs, iters=2,
+                      topk_method=topk_method)
     return {
         "config": "7-letkf-pod-slice",
         "nstate": ngrid,
@@ -499,6 +502,7 @@ def bench_config7(patch_size=8, k_obs=64):
         "nobs": nobs,
         "patch_size": patch_size,
         "k_obs": k_obs,
+        "topk": topk_method,
         "seconds": dt,
         "obs_points_per_sec": nobs * ngrid / dt,
     }
@@ -591,6 +595,9 @@ def main():
     ap.add_argument("--kernel", default=None,
                     choices=[None, "v3", "v4", "v4g", "xla"],
                     help="override kernel selection for configs 2/3")
+    ap.add_argument("--letkf-topk", default="exact",
+                    choices=["exact", "approx"],
+                    help="LETKF obs-selection top-k method for config 7")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     results = []
@@ -600,6 +607,8 @@ def main():
             kw = dict(vertical=args.vertical, kernel=args.kernel)
         elif c == 4:
             kw = dict(sharded=args.sharded)
+        elif c == 7:
+            kw = dict(topk_method=args.letkf_topk)
         r = BENCHES[c](**kw)
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)
