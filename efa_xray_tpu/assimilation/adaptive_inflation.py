@@ -286,3 +286,28 @@ def rtps(prior_spread, post_perts, alpha):
         safe, 1.0 + alpha * (sb - sa) / jnp.where(safe, sa, 1.0), 1.0
     )
     return post_perts * factor[:, None].astype(post_perts.dtype)
+
+
+@jax.jit
+def rtpp(prior_perts, post_perts, alpha):
+    """Relaxation-to-prior-perturbations posterior inflation (Zhang,
+    Snyder & Sun 2004, MWR 132:1238) — the member-wise sibling of
+    :func:`rtps`, and like it an extension beyond the reference (whose
+    AdaptiveInflation stops at the prior multiply,
+    ``efa_xray/assimilation/adaptive_inflation.py:59-74``).
+
+    Each posterior perturbation is blended member-wise with its prior
+    counterpart,
+
+        X_a' = (1 - alpha) * X_a + alpha * X_b
+
+    ``alpha = 0`` is a no-op, ``alpha = 1`` restores the prior
+    perturbations (and hence spread *and* correlation structure) exactly.
+    Unlike RTPS this needs the full prior perturbation matrix to survive
+    the update — callers on buffer-donating paths must pass a copy.
+    Purely row- and member-local, so it works on sharded arrays unchanged.
+    """
+    return (
+        (1.0 - alpha) * post_perts
+        + alpha * prior_perts.astype(post_perts.dtype)
+    )

@@ -237,6 +237,9 @@ class EnKF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
 
             prior_spread = row_spread(body_perts)
+        # RTPP needs the prior perturbations after the update; the EnKF
+        # path does not donate them, so a reference suffices.
+        prior_perts_saved = body_perts if cfg.rtpp_alpha > 0.0 else None
 
         eps = draw_ob_perturbations(
             jax.random.PRNGKey(self.seed),
@@ -284,6 +287,10 @@ class EnKF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import rtps
 
             bp = rtps(prior_spread, bp, cfg.rtps_alpha)
+        if prior_perts_saved is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+            bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
         self.post, _ = self.format_posterior_state(bm, bp)

@@ -101,6 +101,15 @@ class EnSRF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
 
             prior_spread = row_spread(body_perts)
+        prior_perts_saved = None
+        if cfg.rtpp_alpha > 0.0:
+            # RTPP blends member-wise with the prior perturbations, so they
+            # must survive the update; the mesh and fused-Pallas paths
+            # donate the prior buffers, so keep an explicit copy there.
+            donating = self.mesh is not None or self._use_pallas()
+            prior_perts_saved = (
+                jnp.array(body_perts, copy=True) if donating else body_perts
+            )
 
         if self.mesh is not None:
             from efa_xray_tpu.parallel import sharded
@@ -290,6 +299,10 @@ class EnSRF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import rtps
 
             bp = rtps(prior_spread, bp, cfg.rtps_alpha)
+        if prior_perts_saved is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+            bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
 

@@ -91,6 +91,9 @@ class LETKF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
 
             prior_spread = row_spread(body_perts)
+        # RTPP needs the prior perturbations after the update; the LETKF
+        # path does not donate them, so a reference suffices.
+        prior_perts_saved = body_perts if cfg.rtpp_alpha > 0.0 else None
 
         if self.mesh is not None:
             from efa_xray_tpu.parallel.sharded import letkf_update_sharded
@@ -139,6 +142,10 @@ class LETKF(Assimilation):
             from efa_xray_tpu.assimilation.adaptive_inflation import rtps
 
             bp = rtps(prior_spread, bp, cfg.rtps_alpha)
+        if prior_perts_saved is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+            bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
 

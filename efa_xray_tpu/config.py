@@ -109,6 +109,16 @@ class FilterConfig:
     # the background spread by this fraction.  0 = off (reference parity);
     # 1 = restore prior spread exactly.  Applies to both solvers.
     rtps_alpha: float = 0.0
+    # Relaxation-to-prior-perturbations posterior inflation (Zhang, Snyder
+    # & Sun 2004): posterior perturbations blend member-wise with the prior
+    # ones, X_a' = (1-a) X_a + a X_b.  0 = off (reference parity); 1 =
+    # restore prior perturbations exactly.  Mutually exclusive with
+    # rtps_alpha (operationally one relaxation scheme is chosen, and
+    # composing them has no established semantics).  Note: RTPP keeps a
+    # copy of the prior perturbation matrix alive through the update, so
+    # on the buffer-donating paths peak HBM gains one [Nstate, Nmems]
+    # buffer.  Applies to all solvers.
+    rtpp_alpha: float = 0.0
     # When ``inflation`` is an AdaptiveInflation instance, Bayesian-update
     # its mean field from this batch's innovations after the analysis
     # (Anderson 2009) so the next cycle's prior inflation has learned from
@@ -136,6 +146,13 @@ class FilterConfig:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
         if not 0.0 <= self.rtps_alpha <= 1.0:
             raise ValueError("rtps_alpha must be in [0, 1]")
+        if not 0.0 <= self.rtpp_alpha <= 1.0:
+            raise ValueError("rtpp_alpha must be in [0, 1]")
+        if self.rtps_alpha > 0.0 and self.rtpp_alpha > 0.0:
+            raise ValueError(
+                "rtps_alpha and rtpp_alpha are mutually exclusive — pick "
+                "one relaxation scheme"
+            )
         if not 0.0 <= self.hybrid_alpha <= 1.0:
             raise ValueError("hybrid_alpha must be in [0, 1]")
         if self.hybrid_alpha < 1.0:

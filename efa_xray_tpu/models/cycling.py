@@ -73,6 +73,17 @@ class CyclingHarness:
     adaptive_r: bool = False
     adaptive_r_rho: float = 0.2
     adaptive_r_floor: float = 1e-6
+    # Incremental analysis update (Bloom et al. 1996, MWR 124:1256): with
+    # ``iau_steps = N > 0``, ``run()`` treats ``forecast`` as ONE substep
+    # and integrates N substeps per cycle; the per-member analysis
+    # increment from each cycle is NOT inserted directly but applied as a
+    # constant ``increment / N`` forcing after each substep of the NEXT
+    # cycle's forecast window, suppressing the insertion shock that
+    # excites spurious fast modes.  For a linear (e.g. identity) model the
+    # fully-applied increment reproduces direct insertion exactly.
+    # 0 (default) = classic direct insertion — reference behavior
+    # (the reference has no cycling driver at all; SURVEY.md §1.5).
+    iau_steps: int = 0
 
     def inflation_field(self) -> Optional[np.ndarray]:
         """Current adaptive variance-inflation field (None before first use)."""
@@ -175,6 +186,10 @@ class CyclingHarness:
             )
 
             bp2 = rtps(row_spread(bp), bp2, self.config.rtps_alpha)
+        if self.config.rtpp_alpha > 0.0:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+            bp2 = rtpp(bp, bp2, self.config.rtpp_alpha)
         if self.adaptive_inflation:
             from efa_xray_tpu.assimilation.adaptive_inflation import (
                 update_inflation_rows,
@@ -246,8 +261,19 @@ class CyclingHarness:
         )
         stats: List[CycleStats] = []
         for c in range(ncycles):
-            truth = self.forecast(truth)
-            ensemble = self.forecast(ensemble)
+            if self.iau_steps > 0:
+                # IAU: distribute the previous cycle's analysis increment
+                # evenly over this window's substeps (truth is never forced).
+                inc = getattr(self, "_iau_increment", None)
+                frac = None if inc is None else inc / self.iau_steps
+                for _ in range(self.iau_steps):
+                    truth = self.forecast(truth)
+                    ensemble = self.forecast(ensemble)
+                    if frac is not None:
+                        ensemble = ensemble + frac
+            else:
+                truth = self.forecast(truth)
+                ensemble = self.forecast(ensemble)
             bg_rmse = float(
                 jnp.sqrt(jnp.mean((jnp.mean(ensemble, axis=0) - truth) ** 2))
             )
@@ -259,13 +285,22 @@ class CyclingHarness:
                 len(rows),
             )
             self.obs_operator_rows = rows
-            ensemble, diags = self.analysis_step(
+            analysis, diags = self.analysis_step(
                 ensemble, yobs, self.state_lats[rows], self.state_lons[rows]
             )
+            if self.iau_steps > 0:
+                # Per-member increments; the carried state stays on the
+                # background trajectory and absorbs them gradually next
+                # window.  Stats report the analysis TARGET at this time.
+                self._iau_increment = jnp.asarray(analysis) - jnp.asarray(
+                    ensemble, dtype=jnp.asarray(analysis).dtype
+                )
+            else:
+                ensemble = analysis
             an_rmse = float(
-                jnp.sqrt(jnp.mean((jnp.mean(ensemble, axis=0) - truth) ** 2))
+                jnp.sqrt(jnp.mean((jnp.mean(analysis, axis=0) - truth) ** 2))
             )
-            spread = float(jnp.mean(jnp.std(ensemble, axis=0)))
+            spread = float(jnp.mean(jnp.std(analysis, axis=0)))
             pm = np.asarray(diags.prior_mean)
             om = np.asarray(diags.post_mean)
             stats.append(

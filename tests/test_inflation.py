@@ -243,6 +243,84 @@ def test_rtps_endpoints():
     np.testing.assert_array_equal(np.asarray(rtps(sb, pa0, 0.8))[3], 0.0)
 
 
+def test_rtpp_endpoints():
+    import jax.numpy as jnp
+
+    from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+    rng = np.random.default_rng(0)
+    pb = jnp.asarray(rng.normal(0, 2, (50, 10)))
+    pb = pb - pb.mean(axis=1, keepdims=True)
+    pa = pb * 0.4
+    # alpha=1 restores the prior perturbations exactly; alpha=0 is a no-op
+    np.testing.assert_allclose(
+        np.asarray(rtpp(pb, pa, 1.0)), np.asarray(pb), atol=1e-12
+    )
+    np.testing.assert_array_equal(np.asarray(rtpp(pb, pa, 0.0)), np.asarray(pa))
+    # intermediate alpha blends member-wise
+    got = np.asarray(rtpp(pb, pa, 0.25))
+    np.testing.assert_allclose(
+        got, 0.75 * np.asarray(pa) + 0.25 * np.asarray(pb), atol=1e-12
+    )
+
+
+def test_rtps_rtpp_mutually_exclusive():
+    from efa_xray_tpu.config import FilterConfig
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        FilterConfig(rtps_alpha=0.5, rtpp_alpha=0.5)
+    with pytest.raises(ValueError, match="rtpp_alpha"):
+        FilterConfig(rtpp_alpha=1.5)
+
+
+@pytest.mark.parametrize("solver", ["ensrf", "letkf", "enkf"])
+def test_rtpp_through_the_drivers(solver, demo_state):
+    from conftest import make_demo_obs
+    from efa_xray_tpu.assimilation.enkf import EnKF
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.assimilation.letkf import LETKF
+    from efa_xray_tpu.config import FilterConfig
+
+    obs = make_demo_obs(demo_state, nobs=6, radius=2000.0)
+    cls = {"ensrf": EnSRF, "letkf": LETKF, "enkf": EnKF}[solver]
+    cfg0 = FilterConfig(localization="GC", dtype="float64")
+    cfg1 = FilterConfig(localization="GC", dtype="float64", rtpp_alpha=1.0)
+    post0, _ = cls(demo_state, list(obs), config=cfg0).update()
+    post1, _ = cls(demo_state, list(obs), config=cfg1).update()
+    # with alpha=1 the posterior perturbations ARE the prior perturbations
+    np.testing.assert_allclose(
+        np.asarray(post1.ensemble_perts().to_vect()),
+        np.asarray(demo_state.ensemble_perts().to_vect()),
+        atol=1e-9,
+    )
+    # and the analysis mean is untouched by RTPP
+    np.testing.assert_allclose(
+        np.asarray(post1.ensemble_mean()), np.asarray(post0.ensemble_mean()),
+        atol=1e-10,
+    )
+
+
+def test_rtpp_sharded_matches_single_device(demo_state):
+    """RTPP over the donating mesh path (prior perts copied before the
+    donation) must equal the single-device result."""
+    from conftest import make_demo_obs
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.parallel import make_mesh
+
+    obs = make_demo_obs(demo_state, nobs=6, radius=2000.0)
+    cfg = FilterConfig(localization="GC", dtype="float64", rtpp_alpha=0.6)
+    post_single, _ = EnSRF(demo_state, list(obs), config=cfg).update()
+    post_mesh, _ = EnSRF(
+        demo_state, list(obs), config=cfg, mesh=make_mesh()
+    ).update()
+    np.testing.assert_allclose(
+        np.asarray(post_mesh.to_vect()),
+        np.asarray(post_single.to_vect()),
+        atol=1e-10,
+    )
+
+
 @pytest.mark.parametrize("solver", ["ensrf", "letkf"])
 def test_rtps_through_the_drivers(solver, demo_state):
     from conftest import make_demo_obs
