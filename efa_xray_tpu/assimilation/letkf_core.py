@@ -128,30 +128,51 @@ def _invsqrt_newton_schulz(a, iters: int):
     z = jnp.broadcast_to(eye, a.shape)
 
     # ``iters`` is the CAP; the loop exits as soon as the whole batch has
-    # converged (max |ZY - I| below ~100 eps, i.e. the iteration's fixed
-    # point at working precision).  For well-conditioned LETKF systems
-    # (lambda_min >= M-1 by construction) convergence lands around 10-15
-    # iterations — measured 4.7 -> 3.2 s on the 10k-obs pod slice vs the
-    # fixed count, with the result unchanged to working precision.
+    # converged.  Converged means EITHER max |ZY - I| fell below ~100 eps
+    # (the iteration's fixed point at nominal working precision) OR the
+    # error entered the quadratic regime (err < 0.1 — in it, one exact
+    # iteration SQUARES the error) yet failed to halve — i.e. it stalled
+    # at the matmul-precision floor.  The stall test is what actually
+    # fires on TPU: f32 einsums run as bf16 passes on the MXU, so the
+    # floor sits near ~1e-2 and the eps-based tolerance alone never
+    # triggers (measured: the loop ran its full cap, 5.29 s on the
+    # 10k-obs pod slice; a 12-iteration cap gives 3.43 s — iterating at
+    # the floor buys nothing).  For well-conditioned LETKF systems
+    # (lambda_min >= M-1 by construction) convergence lands around 8-12
+    # iterations.  The stall test stays disabled above err = 0.1 because
+    # small eigenvalues mu grow only ~2.25x per early iteration, so err
+    # legitimately creeps near 1 through the linear phase.
     tol = jnp.asarray(100.0, dtype) * jnp.finfo(dtype).eps
+    quad = jnp.asarray(0.1, dtype)
 
     def cond(state):
-        i, _, _, err = state
-        return jnp.logical_and(i < iters, err > tol)
+        i, _, _, err, prev = state
+        stalled = jnp.logical_and(err < quad, err > 0.5 * prev)
+        return jnp.logical_and(
+            i < iters, jnp.logical_and(err > tol, jnp.logical_not(stalled))
+        )
 
     def body(state):
-        i, y, z, _ = state
+        i, y, z, err, _ = state
         zy = jnp.einsum(
             "...ij,...jk->...ik", z, y, preferred_element_type=dtype
         )
-        err = jnp.max(jnp.abs(zy - eye))
+        new_err = jnp.max(jnp.abs(zy - eye))
         t = 1.5 * eye - 0.5 * zy
         y = jnp.einsum("...ij,...jk->...ik", y, t, preferred_element_type=dtype)
         z = jnp.einsum("...ij,...jk->...ik", t, z, preferred_element_type=dtype)
-        return i + 1, y, z, err
+        return i + 1, y, z, new_err, err
 
-    _, y, z, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), y, z, jnp.asarray(jnp.inf, dtype))
+    _, y, z, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0),
+            y,
+            z,
+            jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype),
+        ),
     )
     inv_sqrt = z / jnp.sqrt(c)[..., None, None]
     inv = jnp.einsum(
