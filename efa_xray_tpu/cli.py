@@ -132,6 +132,8 @@ def cmd_assimilate(args):
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
         spatial_sort=args.sort_spatial,
+        rtps_alpha=args.rtps,
+        rtpp_alpha=args.rtpp,
         verbose=args.verbose,
     )
     mesh = None
@@ -220,6 +222,12 @@ def main(argv=None):
                       help="thin obs to a minimum pairwise separation (km)")
     p_as.add_argument("--superob-deg", type=float, default=None,
                       help="average obs per lat/lon cell of this size (deg)")
+    p_as.add_argument("--rtps", type=float, default=0.0,
+                      help="RTPS posterior relaxation alpha (Whitaker & "
+                           "Hamill 2012)")
+    p_as.add_argument("--rtpp", type=float, default=0.0,
+                      help="RTPP posterior relaxation alpha (Zhang et al. "
+                           "2004); exclusive with --rtps")
     p_as.add_argument("--fast-geometry", action="store_true")
     p_as.add_argument("--dtype", default="float32",
                       choices=["float32", "float64"])

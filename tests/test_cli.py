@@ -75,6 +75,33 @@ def test_cli_assimilate_round_trip(tmp_path, solver, capsys):
     assert (np.abs(vals[ok] - om[ok]) <= np.abs(vals[ok] - pm[ok]) + 1e-9).mean() > 0.5
 
 
+def test_cli_rtpp_restores_prior_spread(tmp_path, capsys):
+    state = make_demo_state(ny=6, nx=8, nmems=16, seed=8)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "obs.csv"
+    _write_obs_csv(str(obs_csv), state)
+    out_nc = tmp_path / "post.nc"
+
+    rc = cli.main([
+        "assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(out_nc), "--radius", "2000", "--dtype", "float64",
+        "--rtpp", "1.0",
+    ])
+    assert rc == 0
+    post = EnsembleState.from_netcdf(str(out_nc))
+    # alpha=1 RTPP: posterior perturbations == prior perturbations
+    np.testing.assert_allclose(
+        np.asarray(post.ensemble_perts().to_vect()),
+        np.asarray(state.ensemble_perts().to_vect()),
+        atol=1e-9,
+    )
+    # but the mean moved (obs were assimilated)
+    assert not np.allclose(
+        np.asarray(post.ensemble_mean()), np.asarray(state.ensemble_mean())
+    )
+
+
 def test_cli_info(tmp_path, capsys):
     state = make_demo_state(ny=5, nx=7, nmems=10)
     prior_nc = tmp_path / "prior.nc"
