@@ -84,6 +84,17 @@ class CyclingHarness:
     # 0 (default) = classic direct insertion — reference behavior
     # (the reference has no cycling driver at all; SURVEY.md §1.5).
     iau_steps: int = 0
+    # Fixed-lag ensemble Kalman smoother (Evensen & van Leeuwen 2000): with
+    # ``smoother_lag = L > 0`` the analyses of the previous L cycles ride
+    # along as extra state rows in each update, so current observations
+    # re-analyze them through CROSS-TIME ensemble covariances — the same
+    # augmented-row mechanism the reference uses for obs-space priors
+    # (efa_xray/assimilation/assimilation.py:146-150), extended backward in
+    # time (EFA itself is within-trajectory smoothing; this smooths across
+    # cycle boundaries).  A state ages out of the window after receiving L
+    # future-obs updates; ``smoothed_rmse()`` reports its final accuracy.
+    # Requires identity-pick ``obs_operator_rows``.  0 = off (filter only).
+    smoother_lag: int = 0
 
     def inflation_field(self) -> Optional[np.ndarray]:
         """Current adaptive variance-inflation field (None before first use)."""
@@ -96,19 +107,73 @@ class CyclingHarness:
         r = getattr(self, "_r_work", None)
         return None if r is None else float(r)
 
-    def analysis_step(self, ensemble, values, ob_lats, ob_lons):
-        """One EnSRF analysis on a flat ensemble ``[nmems, nvars]``."""
-        dtype = jnp.dtype(self.config.dtype)
-        ens = jnp.asarray(ensemble, dtype=dtype)
+    def smoothed_rmse(self) -> List[tuple]:
+        """``(cycle, rmse)`` of each state that aged out of the smoother
+        window, i.e. after receiving all ``smoother_lag`` future-obs
+        updates (empty before the window first fills)."""
+        return list(getattr(self, "_smoothed_rmse", []))
+
+    def _apply_prior_inflation(self, ens):
+        """Static + adaptive prior inflation on a flat ``[M, nvars]``
+        ensemble; returns ``(ensemble, lambda_field_or_None)``."""
+        lam = None
         if self.inflation is not None:
             mean = jnp.mean(ens, axis=0)
             ens = mean + self.inflation * (ens - mean)
         if self.adaptive_inflation:
             lam = getattr(self, "_lam", None)
             if lam is None:
-                lam = jnp.ones(ens.shape[1], dtype=dtype)
+                lam = jnp.ones(ens.shape[1], dtype=ens.dtype)
             mean = jnp.mean(ens, axis=0)
             ens = mean + jnp.sqrt(lam)[None, :] * (ens - mean)
+        return ens, lam
+
+    def analysis_step(self, ensemble, values, ob_lats, ob_lons):
+        """One analysis on a flat ensemble ``[nmems, nvars]``.
+
+        With ``smoother_lag > 0`` and a non-empty lag window, the lagged
+        ensembles are appended as extra state rows and re-analyzed by the
+        same observations through cross-time covariances (fixed-lag EnKS);
+        the returned ensemble is the current-time analysis only.
+        """
+        dtype = jnp.dtype(self.config.dtype)
+        ens = jnp.asarray(ensemble, dtype=dtype)
+        ens, lam = self._apply_prior_inflation(ens)
+        lagged = (
+            list(getattr(self, "_lag_buffer", []))
+            if self.smoother_lag > 0
+            else []
+        )
+        if lagged:
+            if self.obs_operator is not None:
+                raise ValueError(
+                    "smoother_lag requires identity-pick obs_operator_rows "
+                    "(a custom obs_operator sees only the current-time "
+                    "ensemble)"
+                )
+            nv = int(ens.shape[1])
+            ens_full = jnp.concatenate(
+                [ens] + [jnp.asarray(l, dtype=dtype) for l in lagged], axis=1
+            )
+            lats = np.tile(np.asarray(self.state_lats), 1 + len(lagged))
+            lons = np.tile(np.asarray(self.state_lons), 1 + len(lagged))
+        else:
+            ens_full, lats, lons = ens, self.state_lats, self.state_lons
+        out, diags = self._analysis_core(
+            ens_full, lam, values, ob_lats, ob_lons, lats, lons
+        )
+        if lagged:
+            self._lag_buffer = [
+                out[:, (i + 1) * nv : (i + 2) * nv] for i in range(len(lagged))
+            ]
+            out = out[:, :nv]
+        return out, diags
+
+    def _analysis_core(
+        self, ens, lam, values, ob_lats, ob_lons, state_lats, state_lons
+    ):
+        """One solver pass on an (possibly lag-augmented) flat ensemble."""
+        dtype = jnp.dtype(self.config.dtype)
         sv = ens.T  # [nvars, nmems]
         bm = jnp.mean(sv, axis=1)
         bp = sv - bm[:, None]
@@ -137,8 +202,8 @@ class CyclingHarness:
 
             bm2, bp2, tm2, tp2, diags = letkf_core.letkf_update(
                 bm, bp, tm, tp,
-                jnp.asarray(self.state_lats, dtype=dtype),
-                jnp.asarray(self.state_lons, dtype=dtype),
+                jnp.asarray(state_lats, dtype=dtype),
+                jnp.asarray(state_lons, dtype=dtype),
                 obs,
                 ngrid=int(bm.shape[0]),
                 patch_size=self.config.letkf_patch_size,
@@ -162,8 +227,8 @@ class CyclingHarness:
             eps = draw_ob_perturbations(key, obs.errors, sv.shape[1])
             bm2, bp2, tm2, tp2, diags = enkf_serial(
                 bm, bp, tm, tp,
-                jnp.asarray(self.state_lats, dtype=dtype),
-                jnp.asarray(self.state_lons, dtype=dtype),
+                jnp.asarray(state_lats, dtype=dtype),
+                jnp.asarray(state_lons, dtype=dtype),
                 obs,
                 eps,
                 localize=self.config.localize,
@@ -172,8 +237,8 @@ class CyclingHarness:
         else:
             bm2, bp2, tm2, tp2, diags = core.ensrf_blocked(
                 bm, bp, tm, tp,
-                jnp.asarray(self.state_lats, dtype=dtype),
-                jnp.asarray(self.state_lons, dtype=dtype),
+                jnp.asarray(state_lats, dtype=dtype),
+                jnp.asarray(state_lons, dtype=dtype),
                 obs,
                 localize=self.config.localize,
                 block_size=min(self.config.block_size, max(nobs, 1)),
@@ -297,6 +362,35 @@ class CyclingHarness:
                 )
             else:
                 ensemble = analysis
+            if self.smoother_lag > 0:
+                # Push this cycle's analysis into the lag window (the
+                # analysis_step above already re-smoothed the existing
+                # entries with this cycle's obs); a state leaving the
+                # window is final — score it against its own-time truth.
+                buf = [jnp.asarray(analysis)] + list(
+                    getattr(self, "_lag_buffer", [])
+                )
+                hist = [np.asarray(truth).copy()] + list(
+                    getattr(self, "_truth_history", [])
+                )
+                if len(buf) > self.smoother_lag:
+                    done, truth_done = buf.pop(), hist.pop()
+                    rmse = float(
+                        np.sqrt(
+                            np.mean(
+                                (
+                                    np.mean(np.asarray(done), axis=0)
+                                    - truth_done
+                                )
+                                ** 2
+                            )
+                        )
+                    )
+                    self._smoothed_rmse = getattr(
+                        self, "_smoothed_rmse", []
+                    ) + [(c - self.smoother_lag, rmse)]
+                self._lag_buffer = buf
+                self._truth_history = hist
             an_rmse = float(
                 jnp.sqrt(jnp.mean((jnp.mean(analysis, axis=0) - truth) ** 2))
             )

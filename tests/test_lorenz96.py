@@ -313,3 +313,37 @@ def test_iau_cycles_remain_stable_on_l96():
     # far below the free-run / climatological spread (~3.6 for L96 F=8).
     assert tail < 2.2, f"IAU analysis RMSE {tail}"
     assert np.isfinite(tail)
+
+
+def test_fixed_lag_smoother_beats_filter_analysis():
+    """Fixed-lag EnKS (smoother_lag > 0): a state re-analyzed by L cycles
+    of FUTURE observations must beat the filter analysis it started as
+    (the textbook smoother gain; Evensen & van Leeuwen 2000)."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=9)
+    lats, lons = l96.fake_latlon(nvars)
+    harness = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=1.0,
+        localize_radius=4000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        inflation=1.05,
+        smoother_lag=2,
+    )
+    stats = harness.run(ens, truth, ncycles=40)
+    smoothed = harness.smoothed_rmse()
+    assert len(smoothed) == 40 - 2
+    # skip the spin-up cycles; compare smoothed vs filter RMSE per cycle
+    pairs = [(c, r) for (c, r) in smoothed if c >= 10]
+    filt = {s.cycle: s.analysis_rmse for s in stats}
+    sm_mean = np.mean([r for _, r in pairs])
+    filt_mean = np.mean([filt[c] for c, _ in pairs])
+    assert sm_mean < filt_mean, (
+        f"smoother {sm_mean:.3f} should beat filter {filt_mean:.3f}"
+    )
