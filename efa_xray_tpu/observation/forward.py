@@ -100,13 +100,48 @@ def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
     matrix exactly like the host-side chunk loop, but the whole batch
     costs one argument upload + one dispatch through the (high-latency)
     remote-device tunnel instead of one per chunk.
-    """
 
-    def one(ll):
-        la, lo = ll
-        score = _topk_scores(grid_lat, grid_lon, la, lo, metric)
-        _, idx = jax.lax.top_k(score, npt)
-        return idx
+    For the default ``haversine`` metric the scoring is two-stage:
+    chordal dot products (one ``[chunk, 3] x [3, ngrid]`` MXU matmul —
+    chord length is exactly monotone in great-circle distance, so the
+    ranking is identical) over-select ``~4*npt`` candidates, and the
+    exact haversine rescored on just those picks the final ``npt``.
+    This replaces the ~10-transcendental-op-per-pair haversine over the
+    full ``[chunk, ngrid]`` slab with a matmul; the over-selection
+    absorbs f32 dot resolution (cos flattens near zero distance —
+    ~2 km of tie range on Earth radius, far inside the candidate set at
+    any realistic grid spacing).  The candidate rescore — and the final
+    IDW weights, recomputed in f64 on host by ``build_taps`` — use true
+    great-circle distances, so results match the single-stage search.
+    """
+    ngrid = grid_lat.shape[0]
+
+    if metric == "haversine" and ngrid > 4 * npt + 12:
+        gxyz = _loc.latlon_to_unit(grid_lat, grid_lon)  # [ngrid, 3]
+        m = 4 * npt + 12
+
+        def one(ll):
+            la, lo = ll
+            oxyz = _loc.latlon_to_unit(la, lo)  # [chunk, 3]
+            dots = jnp.einsum(
+                "oc,gc->og", oxyz, gxyz,
+                preferred_element_type=oxyz.dtype,
+            )
+            _, cand = jax.lax.top_k(dots, m)  # [chunk, m]
+            d = _loc.haversine(
+                (grid_lat[cand], grid_lon[cand]),
+                (la[:, None], lo[:, None]),
+            )
+            _, sub = jax.lax.top_k(-d, npt)
+            return jnp.take_along_axis(cand, sub, axis=1)
+
+    else:
+
+        def one(ll):
+            la, lo = ll
+            score = _topk_scores(grid_lat, grid_lon, la, lo, metric)
+            _, idx = jax.lax.top_k(score, npt)
+            return idx
 
     idx = jax.lax.map(one, (lats.reshape(-1, chunk), lons.reshape(-1, chunk)))
     return idx.reshape(lats.shape[0], npt)
