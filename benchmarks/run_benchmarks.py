@@ -345,7 +345,7 @@ def bench_config4(sharded=False):
     }
 
 
-def bench_config5():
+def bench_config5(taps_topk="exact"):
     """API end-to-end at config-2 scale: EnSRF(state, obs).update() through
     the full public path — build_taps (host), obs priors, formatting, tail
     scan, kernel — vs the kernel-only time of config 2."""
@@ -381,7 +381,8 @@ def bench_config5():
         descriptions=[None] * nobs,
     )
     cfg = FilterConfig(localization="GC", dtype="float32",
-                       fast_geometry=True, pallas_tile=8192)
+                       fast_geometry=True, pallas_tile=8192,
+                       taps_topk=taps_topk)
 
     def one_update():
         filt = EnSRF(state, batch, config=cfg, verbose=False)
@@ -398,6 +399,7 @@ def bench_config5():
     t_taps, t_api = one_update()
     return {
         "config": "5-api-end-to-end",
+        "taps_topk": taps_topk,
         "nstate": state.nstate(),
         "nmems": nmems,
         "nobs": nobs,
@@ -598,6 +600,9 @@ def main():
     ap.add_argument("--letkf-topk", default="exact",
                     choices=["exact", "approx"],
                     help="LETKF obs-selection top-k method for config 7")
+    ap.add_argument("--taps-topk", default="exact",
+                    choices=["exact", "approx"],
+                    help="build_taps candidate-selection method for config 5")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     results = []
@@ -609,6 +614,8 @@ def main():
             kw = dict(sharded=args.sharded)
         elif c == 7:
             kw = dict(topk_method=args.letkf_topk)
+        elif c == 5:
+            kw = dict(taps_topk=args.taps_topk)
         r = BENCHES[c](**kw)
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)

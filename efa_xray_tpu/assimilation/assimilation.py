@@ -178,6 +178,7 @@ class Assimilation:
                 exact_match_km=cfg.exact_match_km,
                 metric=cfg.nearest_metric,
                 time_weighting=cfg.time_weighting,
+                topk_method=cfg.taps_topk,
             )
         return self._taps
 

@@ -36,6 +36,13 @@ class FilterConfig:
     npt: int = 4
     exact_match_km: float = 1.0
     nearest_metric: str = "haversine"  # or "reference_proxy"
+    # Nearest-point candidate selection in build_taps: "exact"
+    # (lax.top_k) or "approx" (lax.approx_max_k at recall 0.99 over a
+    # ~4*npt candidate set that is then exactly rescored — see
+    # observation/forward.py:_topk_points_mapped).  The full-width top-k
+    # dominates the forward-operator build cost on TPU; approx is the
+    # opt-out from the formal exactness guarantee.
+    taps_topk: str = "exact"
     time_weighting: str = "linear"  # or "reference" (reproduces swapped weights)
     # Device dtype for the update ("float32" on TPU; "float64" for parity
     # studies on CPU with jax_enable_x64).
@@ -142,6 +149,8 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
         if self.letkf_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
+        if self.taps_topk not in ("exact", "approx"):
+            raise ValueError(f"Unknown taps_topk {self.taps_topk!r}")
         if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
         if not 0.0 <= self.rtps_alpha <= 1.0:

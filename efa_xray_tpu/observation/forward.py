@@ -90,9 +90,12 @@ def _topk_points(grid_lat, grid_lon, lats, lons, npt: int, metric: str):
     return idx
 
 
-@functools.partial(jax.jit, static_argnames=("npt", "metric", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("npt", "metric", "chunk", "topk_method")
+)
 def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
-                        metric: str, chunk: int):
+                        metric: str, chunk: int,
+                        topk_method: str = "exact"):
     """Chunked nearest-point search as ONE device dispatch.
 
     ``lats``/``lons`` must be padded to a multiple of ``chunk``; a
@@ -113,6 +116,16 @@ def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
     any realistic grid spacing).  The candidate rescore — and the final
     IDW weights, recomputed in f64 on host by ``build_taps`` — use true
     great-circle distances, so results match the single-stage search.
+
+    ``topk_method="approx"`` swaps the full-width candidate ``top_k``
+    (which dominates the search cost — the scoring matmul is cheap) for
+    ``lax.approx_max_k`` at recall 0.99.  The ``~4*npt``-fold candidate
+    over-selection plus exact rescore means a true ``npt``-nearest point
+    is lost only if the approximate reduction drops it from the top-28
+    entirely — misses concentrate at the candidate-set BOUNDARY, not at
+    the maxima the final answer needs — but the result is no longer
+    formally guaranteed identical, hence opt-in
+    (``FilterConfig.taps_topk``).
     """
     ngrid = grid_lat.shape[0]
 
@@ -127,7 +140,10 @@ def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
                 "oc,gc->og", oxyz, gxyz,
                 preferred_element_type=oxyz.dtype,
             )
-            _, cand = jax.lax.top_k(dots, m)  # [chunk, m]
+            if topk_method == "approx":
+                _, cand = jax.lax.approx_max_k(dots, m, recall_target=0.99)
+            else:
+                _, cand = jax.lax.top_k(dots, m)  # [chunk, m]
             d = _loc.haversine(
                 (grid_lat[cand], grid_lon[cand]),
                 (la[:, None], lo[:, None]),
@@ -236,6 +252,7 @@ def build_taps(
     metric: str = "haversine",
     time_weighting: str = "linear",
     obs_chunk_bytes: int = 1 << 28,
+    topk_method: str = "exact",
 ) -> ObsTaps:
     """Construct gather taps for a batch of point observations.
 
@@ -273,7 +290,7 @@ def build_taps(
                 glat, glon,
                 jnp.asarray(lat_p, dtype=fdtype),
                 jnp.asarray(lon_p, dtype=fdtype),
-                npt, metric, chunk,
+                npt, metric, chunk, topk_method,
             )[:nobs],
             dtype=np.int64,
         )

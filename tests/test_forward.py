@@ -217,3 +217,26 @@ def test_custom_operator_with_nonstate_obtype_and_out_of_range_time():
     assert batch.prior_mean[0] == pytest.approx(true_ye.mean(), abs=1e-9)
     # and it actually moved the state
     assert np.abs(np.asarray(post.data) - np.asarray(state.data)).max() > 0
+
+
+def test_taps_topk_approx_matches_exact():
+    """Opt-in approx candidate selection (FilterConfig.taps_topk): the
+    4*npt over-selection + exact rescore must reproduce the exact search
+    on a moderate grid (the true nearest points sit far inside the
+    candidate set)."""
+    state = make_demo_state(ny=24, nx=36, ntimes=2)
+    s = state.structure
+    rng = np.random.default_rng(0)
+    n = 64
+    lats = rng.uniform(s.lat.min() + 0.5, s.lat.max() - 0.5, n)
+    lons = rng.uniform(s.lon.min() + 0.5, s.lon.max() - 0.5, n)
+    times = np.repeat(s.times64()[:1], n)
+    exact = _taps_for(state, lats, lons, times)
+    approx = _taps_for(state, lats, lons, times, topk_method="approx")
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(exact.rows), axis=1),
+        np.sort(np.asarray(approx.rows), axis=1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact.weights), np.asarray(approx.weights), atol=1e-12
+    )
