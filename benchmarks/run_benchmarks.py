@@ -410,7 +410,7 @@ def bench_config5(taps_topk="exact"):
 
 
 def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
-                 k_obs=64, chunk=1024, iters=3, dtype=jnp.float32,
+                 k_obs=64, chunk=512, iters=3, dtype=jnp.float32,
                  body_vert=None, vertical=False, topk_method="exact",
                  ns_iters=30):
     """Chained timing of the all-at-once LETKF analysis."""

@@ -212,7 +212,7 @@ def solve_patch_weights(
     localize: bool = True,
     sqrt_method: str = "newton_schulz",
     ns_iters: int = 30,
-    chunk: int = 1024,
+    chunk: int = 512,
     patch_verts=None,  # [P] vertical coordinates (vertical mode)
     obs_verts=None,  # [No]
     obs_vert_radii=None,  # [No] vertical GC halfwidths (inf = off)
@@ -499,7 +499,7 @@ def letkf_update(
     localize: bool = True,
     sqrt_method: str = "newton_schulz",
     ns_iters: int = 30,
-    chunk: int = 1024,
+    chunk: int = 512,
     vertical: bool = False,
     body_vert=None,  # [Ns]; each (var,time) group must sit at ONE level
     topk_method: str = "exact",

@@ -93,7 +93,11 @@ class FilterConfig:
     # linear phase ~log2(cond) is past; 30 covers cond ~ 1e4 in f32).
     letkf_ns_iters: int = 30
     # Patches solved per lax.map step (bounds the [chunk, k, M] gather).
-    letkf_chunk: int = 1024
+    # Swept on the 10k-obs pod slice (v5e, approx top-k): 4096 -> 4.21 s,
+    # 1024 -> 2.23 s, 512 -> 1.50 s, 256 -> 1.49 s — smaller chunks keep
+    # the per-step gather + solve working set near VMEM and overlap
+    # better; 512 is the knee.
+    letkf_chunk: int = 512
     # Nearest-k obs selection primitive: "exact" (lax.top_k) or "approx"
     # (lax.approx_max_k, the TPU-optimized partial reduction, recall >=
     # 0.95 per patch — a missed far-edge ob carries a near-zero GC weight

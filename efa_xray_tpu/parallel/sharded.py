@@ -486,7 +486,7 @@ def letkf_update_sharded(
     localize: bool = True,
     sqrt_method: str = "newton_schulz",
     ns_iters: int = 30,
-    chunk: int = 1024,
+    chunk: int = 512,
     axis_name: str = STATE_AXIS,
     vertical: bool = False,
     body_vert=None,  # [Ns] per-row vertical coordinate (vertical mode)
