@@ -347,3 +347,33 @@ def test_fixed_lag_smoother_beats_filter_analysis():
     assert sm_mean < filt_mean, (
         f"smoother {sm_mean:.3f} should beat filter {filt_mean:.3f}"
     )
+
+
+def test_smoother_with_iau_combination():
+    """smoother_lag and iau_steps compose: the lag window holds analysis
+    TARGETS while the carried state absorbs increments gradually."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=12)
+    lats, lons = l96.fake_latlon(nvars)
+    harness = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=1),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=1.0,
+        localize_radius=4000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        inflation=1.05,
+        iau_steps=4,
+        smoother_lag=2,
+    )
+    stats = harness.run(ens, truth, ncycles=20)
+    assert np.isfinite([s.analysis_rmse for s in stats]).all()
+    sm = harness.smoothed_rmse()
+    assert len(sm) == 18
+    assert np.isfinite([r for _, r in sm]).all()
+    # smoothing still tracks (well below L96 climatological ~3.6)
+    assert np.mean([r for c, r in sm if c >= 8]) < 2.5
