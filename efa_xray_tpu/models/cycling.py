@@ -84,6 +84,16 @@ class CyclingHarness:
     # 0 (default) = classic direct insertion — reference behavior
     # (the reference has no cycling driver at all; SURVEY.md §1.5).
     iau_steps: int = 0
+    # Online observation bias correction: estimate the per-row mean
+    # innovation with an exponential running mean and subtract it from the
+    # incoming observations before assimilation (the simplest form of the
+    # bias correction every operational system runs for satellite
+    # radiances, e.g. Dee 2005 variational BC's constant-predictor limit).
+    # Assumes an unbiased background on average, so persistent innovation
+    # bias is attributed to the obs.  The reference assimilates biased obs
+    # at face value (efa_xray/assimilation/ensrf.py:86).
+    adaptive_bias: bool = False
+    adaptive_bias_rho: float = 0.1
     # Fixed-lag ensemble Kalman smoother (Evensen & van Leeuwen 2000): with
     # ``smoother_lag = L > 0`` the analyses of the previous L cycles ride
     # along as extra state rows in each update, so current observations
@@ -106,6 +116,12 @@ class CyclingHarness:
         before the first analysis)."""
         r = getattr(self, "_r_work", None)
         return None if r is None else float(r)
+
+    def estimated_bias(self) -> Optional[np.ndarray]:
+        """Current per-observation-row bias estimate under
+        ``adaptive_bias`` (None before the first analysis)."""
+        b = getattr(self, "_bias_work", None)
+        return None if b is None else np.asarray(b)
 
     def smoothed_rmse(self) -> List[tuple]:
         """``(cycle, rmse)`` of each state that aged out of the smoother
@@ -301,6 +317,7 @@ class CyclingHarness:
         obs_every: Optional[np.ndarray] = None,
         seed: int = 0,
         obs_noise_var: Optional[float] = None,
+        obs_bias: float = 0.0,
     ) -> List[CycleStats]:
         """Cycle against a known truth trajectory: forecast both, observe
         the truth with noise, assimilate, record statistics.
@@ -308,7 +325,9 @@ class CyclingHarness:
         ``obs_noise_var`` sets the TRUE variance of the synthetic obs noise
         (default: ``ob_error``).  Passing a different value deliberately
         mis-specifies the filter's assigned R — the regime ``adaptive_r``
-        is designed to correct.
+        is designed to correct.  ``obs_bias`` adds a constant systematic
+        error to every synthetic observation — the regime
+        ``adaptive_bias`` is designed to correct.
         """
         rng = np.random.default_rng(seed)
         if obs_every is None and self.obs_operator_rows is None:
@@ -342,7 +361,7 @@ class CyclingHarness:
             bg_rmse = float(
                 jnp.sqrt(jnp.mean((jnp.mean(ensemble, axis=0) - truth) ** 2))
             )
-            yobs = np.asarray(truth)[rows] + rng.normal(
+            yobs = obs_bias + np.asarray(truth)[rows] + rng.normal(
                 0,
                 np.sqrt(
                     self.ob_error if obs_noise_var is None else obs_noise_var
@@ -350,9 +369,23 @@ class CyclingHarness:
                 len(rows),
             )
             self.obs_operator_rows = rows
+            y_in = yobs
+            if self.adaptive_bias:
+                bias = getattr(self, "_bias_work", np.zeros(len(rows)))
+                y_in = yobs - bias
             analysis, diags = self.analysis_step(
-                ensemble, yobs, self.state_lats[rows], self.state_lons[rows]
+                ensemble, y_in, self.state_lats[rows], self.state_lons[rows]
             )
+            if self.adaptive_bias:
+                # Running-mean innovation against the RAW obs: persistent
+                # nonzero mean = obs bias (background assumed unbiased).
+                innov = np.asarray(yobs, np.float64) - np.asarray(
+                    diags.prior_mean, np.float64
+                )
+                self._bias_work = (
+                    (1.0 - self.adaptive_bias_rho) * bias
+                    + self.adaptive_bias_rho * innov
+                )
             if self.iau_steps > 0:
                 # Per-member increments; the carried state stays on the
                 # background trajectory and absorbs them gradually next

@@ -377,3 +377,39 @@ def test_smoother_with_iau_combination():
     assert np.isfinite([r for _, r in sm]).all()
     # smoothing still tracks (well below L96 climatological ~3.6)
     assert np.mean([r for c, r in sm if c >= 8]) < 2.5
+
+
+def test_adaptive_bias_recovers_biased_obs():
+    """Online bias correction: cycling against obs with a constant +2
+    systematic error must learn the bias and approach unbiased-obs
+    accuracy; without correction the analysis is dragged off the truth."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems, ncycles, seed = 40, 20, 50, 4
+    lats, lons = l96.fake_latlon(nvars)
+
+    def run(**kw):
+        truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=seed)
+        h = CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats, state_lons=lons, ob_error=1.0,
+            localize_radius=4000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            inflation=1.05,
+            **kw,
+        )
+        stats = h.run(ens, truth, ncycles=ncycles, seed=seed + 7,
+                      obs_bias=2.0)
+        return np.mean([s.analysis_rmse for s in stats[-15:]]), h
+
+    rmse_off, _ = run()
+    rmse_on, h = run(adaptive_bias=True)
+    assert rmse_on < rmse_off, (rmse_on, rmse_off)
+    assert rmse_on < 1.3, f"bias-corrected RMSE {rmse_on}"
+    b = h.estimated_bias()
+    assert b is not None
+    # learned bias close to the injected +2 on average
+    assert 1.3 < float(np.mean(b)) < 2.7, float(np.mean(b))
