@@ -309,6 +309,58 @@ class CyclingHarness:
                 )
         return (bm2[:, None] + bp2).T, diags
 
+    # Transient per-run state, reset by a fresh ``run()`` and persisted by
+    # ``save_checkpoint``/``load_checkpoint``.
+    _TRANSIENT = (
+        "_lam", "_r_work", "_bias_work", "_enkf_cycle", "_iau_increment",
+        "_lag_buffer", "_truth_history", "_smoothed_rmse", "_cycle_offset",
+        "_final_ensemble", "_final_truth",
+    )
+
+    def save_checkpoint(self, path) -> None:
+        """Persist the complete cycling state after a ``run()`` segment —
+        ensemble, truth, RNG state, adaptive fields (inflation, R, bias),
+        IAU increment and the smoother window — so cycling resumes
+        EXACTLY: ``run(None, None, ncycles, resume=True)`` after
+        ``load_checkpoint`` reproduces an uninterrupted run bit-for-bit
+        (tested).  The harness configuration itself is not stored;
+        reconstruct the harness with the same arguments, then load.
+        Extends the reference's checkpointing (state + inflation netCDF
+        round-trips, SURVEY.md §5.4) to the whole cycling loop."""
+        import pickle
+
+        state = {"rng_state": self._rng.bit_generator.state}
+        for k in self._TRANSIENT:
+            if hasattr(self, k):
+                state[k] = getattr(self, k)
+        state["_final_ensemble"] = np.asarray(self._final_ensemble)
+        state["_final_truth"] = np.asarray(self._final_truth)
+        if "_lag_buffer" in state:
+            state["_lag_buffer"] = [np.asarray(x) for x in state["_lag_buffer"]]
+        if "_iau_increment" in state:
+            state["_iau_increment"] = np.asarray(state["_iau_increment"])
+        if "_lam" in state and state["_lam"] is not None:
+            state["_lam"] = np.asarray(state["_lam"])
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path) -> None:
+        """Restore the state written by :meth:`save_checkpoint` into this
+        (identically configured) harness; continue with
+        ``run(None, None, ncycles, resume=True)``."""
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        rng = np.random.default_rng()
+        rng.bit_generator.state = state.pop("rng_state")
+        self._rng = rng
+        for k in self._TRANSIENT:
+            if k in state:
+                setattr(self, k, state[k])
+            elif hasattr(self, k):
+                delattr(self, k)
+
     def run(
         self,
         ensemble,
@@ -318,6 +370,7 @@ class CyclingHarness:
         seed: int = 0,
         obs_noise_var: Optional[float] = None,
         obs_bias: float = 0.0,
+        resume: bool = False,
     ) -> List[CycleStats]:
         """Cycle against a known truth trajectory: forecast both, observe
         the truth with noise, assimilate, record statistics.
@@ -328,8 +381,32 @@ class CyclingHarness:
         is designed to correct.  ``obs_bias`` adds a constant systematic
         error to every synthetic observation — the regime
         ``adaptive_bias`` is designed to correct.
+
+        ``resume=True`` continues a previous segment (either still in
+        memory or restored via :meth:`load_checkpoint`): RNG, cycle
+        numbering, adaptive fields and the smoother window carry over,
+        and ``ensemble``/``truth`` may be ``None`` to pick up the saved
+        ones.  A fresh run (``resume=False``) resets all of that.
         """
-        rng = np.random.default_rng(seed)
+        if resume:
+            if not hasattr(self, "_rng"):
+                raise ValueError(
+                    "resume=True needs a previous run() segment or "
+                    "load_checkpoint()"
+                )
+            rng = self._rng
+            if ensemble is None:
+                ensemble = self._final_ensemble
+            if truth is None:
+                truth = self._final_truth
+            offset = getattr(self, "_cycle_offset", 0)
+        else:
+            rng = np.random.default_rng(seed)
+            offset = 0
+            for k in self._TRANSIENT:
+                if hasattr(self, k):
+                    delattr(self, k)
+        self._rng = rng
         if obs_every is None and self.obs_operator_rows is None:
             raise ValueError(
                 "run() synthesizes observations by sampling the truth at "
@@ -344,7 +421,7 @@ class CyclingHarness:
             else np.asarray(self.obs_operator_rows)
         )
         stats: List[CycleStats] = []
-        for c in range(ncycles):
+        for c in range(offset, offset + ncycles):
             if self.iau_steps > 0:
                 # IAU: distribute the previous cycle's analysis increment
                 # evenly over this window's substeps (truth is never forced).
@@ -442,4 +519,5 @@ class CyclingHarness:
             )
         self._final_ensemble = ensemble
         self._final_truth = truth
+        self._cycle_offset = offset + ncycles
         return stats

@@ -413,3 +413,96 @@ def test_adaptive_bias_recovers_biased_obs():
     assert b is not None
     # learned bias close to the injected +2 on average
     assert 1.3 < float(np.mean(b)) < 2.7, float(np.mean(b))
+
+
+def test_checkpoint_resume_matches_uninterrupted_run(tmp_path):
+    """save_checkpoint / load_checkpoint + run(resume=True) reproduces an
+    uninterrupted run exactly — RNG, adaptive R, bias, and the smoother
+    window all carry over."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=15)
+    lats, lons = l96.fake_latlon(nvars)
+
+    def make():
+        return CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats,
+            state_lons=lons,
+            ob_error=1.0,
+            localize_radius=4000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            inflation=1.05,
+            smoother_lag=2,
+            adaptive_r=True,
+            adaptive_bias=True,
+        )
+
+    hf = make()
+    full = hf.run(np.asarray(ens).copy(), truth.copy(), ncycles=16,
+                  seed=5, obs_bias=1.0)
+
+    h = make()
+    first = h.run(np.asarray(ens).copy(), truth.copy(), ncycles=8, seed=5,
+                  obs_bias=1.0)
+    ckpt = tmp_path / "cycling.ckpt"
+    h.save_checkpoint(str(ckpt))
+
+    h2 = make()
+    h2.load_checkpoint(str(ckpt))
+    second = h2.run(None, None, ncycles=8, obs_bias=1.0, resume=True)
+
+    assert [s.cycle for s in first + second] == [s.cycle for s in full]
+    np.testing.assert_allclose(
+        [s.analysis_rmse for s in first + second],
+        [s.analysis_rmse for s in full], rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        [s.obs_post_rmse for s in first + second],
+        [s.obs_post_rmse for s in full], rtol=0, atol=1e-12,
+    )
+    # smoother window carried over exactly: the resumed harness's full
+    # smoothed-RMSE history (restored segment + continuation) equals the
+    # uninterrupted harness's
+    assert [c for c, _ in h2.smoothed_rmse()] == [
+        c for c, _ in hf.smoothed_rmse()
+    ]
+    np.testing.assert_allclose(
+        [r for _, r in h2.smoothed_rmse()],
+        [r for _, r in hf.smoothed_rmse()], rtol=0, atol=1e-12,
+    )
+    # adaptive fields too
+    np.testing.assert_allclose(h2.estimated_r(), hf.estimated_r(),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(h2.estimated_bias(), hf.estimated_bias(),
+                               rtol=0, atol=1e-12)
+
+
+def test_run_without_resume_resets_state():
+    """A fresh run() must not inherit smoother/adaptive state from a
+    previous segment on the same harness."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=16)
+    lats, lons = l96.fake_latlon(nvars)
+    h = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats, state_lons=lons, ob_error=1.0,
+        localize_radius=4000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        inflation=1.05, smoother_lag=2,
+    )
+    a = h.run(np.asarray(ens).copy(), truth.copy(), ncycles=6, seed=3)
+    b = h.run(np.asarray(ens).copy(), truth.copy(), ncycles=6, seed=3)
+    np.testing.assert_allclose(
+        [s.analysis_rmse for s in a], [s.analysis_rmse for s in b],
+        rtol=0, atol=0,
+    )
+    assert [s.cycle for s in b] == list(range(6))
