@@ -332,30 +332,34 @@ def update(
     verbose: bool = False,
     mesh=None,
     config: Optional[FilterConfig] = None,
+    solver: str = "ensrf",
 ) -> Tuple[EnsembleState, ObservationBatch]:
-    """One-call EnSRF update (working replacement for the reference's dead
+    """One-call update (working replacement for the reference's dead
     multiprocessing driver, ``assimilation.py:176-230``).
 
     ``mesh``: optional ``jax.sharding.Mesh``; when given, the state body is
     sharded across devices (the modern form of the reference's intended
     state-chunk fan-out).  ``nproc`` is accepted for signature parity and
-    ignored.
+    ignored.  ``solver``: ``"ensrf"`` (reference algorithm, default),
+    ``"letkf"`` or ``"enkf"`` — same contract, see the solver classes.
     """
+    from efa_xray_tpu.assimilation.enkf import EnKF
     from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.assimilation.letkf import LETKF
 
+    try:
+        cls = {"ensrf": EnSRF, "letkf": LETKF, "enkf": EnKF}[solver]
+    except KeyError:
+        raise ValueError(f"unknown solver {solver!r}") from None
     if config is None:
         config = FilterConfig(
             localization="GC" if loc not in (None, False) else None,
             verbose=verbose,
         )
-    filt = EnSRF(
-        prior_state,
-        obs,
-        nproc=nproc,
-        inflation=inflate,
-        verbose=verbose,
-        loc=loc,
-        config=config,
-        mesh=mesh,
+    kwargs = dict(
+        inflation=inflate, verbose=verbose, loc=loc, config=config, mesh=mesh
     )
+    if cls is EnSRF:
+        kwargs["nproc"] = nproc  # signature parity with the reference
+    filt = cls(prior_state, obs, **kwargs)
     return filt.update()

@@ -418,3 +418,23 @@ def test_tail_scan_blocked_equals_tail_scan_any_panel():
                 np.testing.assert_allclose(
                     x[np.isfinite(x)], y[np.isfinite(y)], atol=1e-11
                 )
+
+
+def test_module_update_solver_dispatch(demo_state):
+    """update(solver=...) drives all three solvers through one call."""
+    import pytest as _pytest
+
+    from conftest import make_demo_obs
+    from efa_xray_tpu.assimilation.assimilation import update
+
+    obs = make_demo_obs(demo_state, nobs=5, radius=2000.0)
+    for solver in ("ensrf", "letkf", "enkf"):
+        post, batch = update(
+            demo_state, list(obs), inflate=1.05, loc="GC", solver=solver
+        )
+        assert batch.assimilated.sum() == 5
+        assert not np.allclose(
+            np.asarray(post.to_vect()), np.asarray(demo_state.to_vect())
+        )
+    with _pytest.raises(ValueError, match="unknown solver"):
+        update(demo_state, list(obs), solver="4dvar")
