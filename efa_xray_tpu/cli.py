@@ -134,6 +134,10 @@ def cmd_assimilate(args):
         spatial_sort=args.sort_spatial,
         rtps_alpha=args.rtps,
         rtpp_alpha=args.rtpp,
+        taps_topk=args.taps_topk,
+        letkf_topk=args.letkf_topk,
+        letkf_k_obs=args.letkf_k_obs,
+        letkf_patch_size=args.letkf_patch_size,
         verbose=args.verbose,
     )
     mesh = None
@@ -229,6 +233,19 @@ def main(argv=None):
                       help="RTPP posterior relaxation alpha (Zhang et al. "
                            "2004); exclusive with --rtps")
     p_as.add_argument("--fast-geometry", action="store_true")
+    p_as.add_argument("--taps-topk", default="exact",
+                      choices=["exact", "approx"],
+                      help="forward-operator nearest-point candidate "
+                           "selection (approx = lax.approx_max_k over an "
+                           "exactly-rescored candidate set)")
+    p_as.add_argument("--letkf-topk", default="exact",
+                      choices=["exact", "approx"],
+                      help="LETKF nearest-k obs selection primitive")
+    p_as.add_argument("--letkf-k-obs", type=int, default=64,
+                      help="max observations per LETKF local solve")
+    p_as.add_argument("--letkf-patch-size", type=int, default=1,
+                      help="grid points sharing one LETKF solve (1 = "
+                           "textbook per-point weights)")
     p_as.add_argument("--dtype", default="float32",
                       choices=["float32", "float64"])
     p_as.add_argument("--mesh", action="store_true",
