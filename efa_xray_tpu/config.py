@@ -41,7 +41,9 @@ class FilterConfig:
     # ~4*npt candidate set that is then exactly rescored — see
     # observation/forward.py:_topk_points_mapped).  The full-width top-k
     # dominates the forward-operator build cost on TPU; approx is the
-    # opt-out from the formal exactness guarantee.
+    # opt-out from the formal exactness guarantee.  Only applies to the
+    # default "haversine" nearest_metric (the "reference_proxy" metric
+    # reproduces the reference's scoring verbatim and stays exact).
     taps_topk: str = "exact"
     time_weighting: str = "linear"  # or "reference" (reproduces swapped weights)
     # Device dtype for the update ("float32" on TPU; "float64" for parity
