@@ -167,8 +167,11 @@ class Assimilation:
     # -- observation priors ------------------------------------------------
     def build_taps(self) -> _fwd.ObsTaps:
         if self._taps is None:
+            # Module-level LRU behind this: a cycling workload re-observing
+            # the same network each cycle (fresh filter object, same
+            # structure + obs coordinates) skips the rebuild entirely.
             cfg = self.config
-            self._taps = _fwd.build_taps(
+            self._taps = _fwd.build_taps_cached(
                 self.prior.structure,
                 self.obs.lats,
                 self.obs.lons,
@@ -303,6 +306,35 @@ class Assimilation:
             post.astype(self.prior.data.dtype), self.prior.structure
         )
         return post_state, self.obs
+
+    def maybe_update_adaptive_inflation(self) -> None:
+        """Learn the adaptive-inflation mean field from this batch's
+        innovations (Anderson 2009) so the next cycle's prior inflation
+        has adapted to the data — the step the reference's
+        AdaptiveInflation never implemented (SURVEY.md §2/A8).
+
+        Shared by ALL solvers (EnSRF, LETKF, EnKF) so a cycling workflow
+        gets the ``FilterConfig.adaptive_inflation_update`` contract
+        regardless of filter choice.  Call after ``record_diagnostics``
+        (it consumes the per-ob prior mean/variance recorded there).
+        """
+        if not self.config.adaptive_inflation_update:
+            return
+        from efa_xray_tpu.assimilation.adaptive_inflation import (
+            AdaptiveInflation,
+        )
+
+        if isinstance(self.inflation, AdaptiveInflation):
+            b = self.obs
+            self.inflation.update_inflation(
+                b.lats,
+                b.lons,
+                b.localize_radius,
+                b.values - b.prior_mean,
+                b.prior_var,
+                b.errors,
+                assimilated=b.assimilated,
+            )
 
     # -- diagnostics write-back -------------------------------------------
     def record_diagnostics(self, diags) -> None:

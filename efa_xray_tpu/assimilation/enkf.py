@@ -293,5 +293,6 @@ class EnKF(Assimilation):
             bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
+        self.maybe_update_adaptive_inflation()
         self.post, _ = self.format_posterior_state(bm, bp)
         return self.post, self.obs

@@ -305,26 +305,6 @@ class EnSRF(Assimilation):
             bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
-
-        # First-class adaptive inflation: learn the inflation field from
-        # this batch's innovations so the next cycle's prior is better
-        # dispersed (the step the reference's AdaptiveInflation lacked).
-        if cfg.adaptive_inflation_update:
-            from efa_xray_tpu.assimilation.adaptive_inflation import (
-                AdaptiveInflation,
-            )
-
-            if isinstance(self.inflation, AdaptiveInflation):
-                b = self.obs
-                self.inflation.update_inflation(
-                    b.lats,
-                    b.lons,
-                    b.localize_radius,
-                    b.values - b.prior_mean,
-                    b.prior_var,
-                    b.errors,
-                    assimilated=b.assimilated,
-                )
-
+        self.maybe_update_adaptive_inflation()
         self.post, _ = self.format_posterior_state(bm, bp)
         return self.post, self.obs

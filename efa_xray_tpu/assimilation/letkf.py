@@ -116,6 +116,7 @@ class LETKF(Assimilation):
                 chunk=cfg.letkf_chunk,
                 vertical=vertical,
                 body_vert=body_vert,
+                unbiased=cfg.unbiased_variance,
             )
         else:
             bm, bp, tm, tp, diags = letkf_core.letkf_update(
@@ -136,6 +137,7 @@ class LETKF(Assimilation):
                 topk_method=cfg.letkf_topk,
                 vertical=vertical,
                 body_vert=body_vert,
+                unbiased=cfg.unbiased_variance,
             )
 
         if prior_spread is not None:
@@ -148,23 +150,6 @@ class LETKF(Assimilation):
             bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
 
         self.record_diagnostics(diags)
-
-        if cfg.adaptive_inflation_update:
-            from efa_xray_tpu.assimilation.adaptive_inflation import (
-                AdaptiveInflation,
-            )
-
-            if isinstance(self.inflation, AdaptiveInflation):
-                b = self.obs
-                self.inflation.update_inflation(
-                    b.lats,
-                    b.lons,
-                    b.localize_radius,
-                    b.values - b.prior_mean,
-                    b.prior_var,
-                    b.errors,
-                    assimilated=b.assimilated,
-                )
-
+        self.maybe_update_adaptive_inflation()
         self.post, _ = self.format_posterior_state(bm, bp)
         return self.post, self.obs

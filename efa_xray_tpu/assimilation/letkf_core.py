@@ -481,7 +481,7 @@ def _analyze_body_chunked(
     jax.jit,
     static_argnames=(
         "ngrid", "patch_size", "k_obs", "localize", "sqrt_method",
-        "ns_iters", "chunk", "vertical", "topk_method",
+        "ns_iters", "chunk", "vertical", "topk_method", "unbiased",
     ),
 )
 def letkf_update(
@@ -503,6 +503,7 @@ def letkf_update(
     vertical: bool = False,
     body_vert=None,  # [Ns]; each (var,time) group must sit at ONE level
     topk_method: str = "exact",
+    unbiased: bool = False,
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -520,8 +521,17 @@ def letkf_update(
         return body_mean, body_perts, tail_mean, tail_perts, _empty_diags(dtype)
 
     innov = (obs.values.astype(dtype) - tail_mean).astype(dtype)
+    # Clamp R away from zero: the solver-class path already rejects
+    # non-positive error variances (utils/validation.py:51-55), but direct
+    # core callers could otherwise feed rinv = inf into C and the
+    # inverse-sqrt solve.  The serial EnSRF tolerates R = 0 (kdenom stays
+    # finite); the floor keeps the solvers on one finite-output contract
+    # for degenerate obs errors while leaving any validated input intact.
+    r_floor = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     rinv = jnp.where(
-        obs.assim, 1.0 / obs.errors.astype(dtype), jnp.zeros((), dtype)
+        obs.assim,
+        1.0 / jnp.maximum(obs.errors.astype(dtype), r_floor),
+        jnp.zeros((), dtype),
     )
     obs_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
     radii = obs.radii.astype(dtype)
@@ -605,8 +615,14 @@ def letkf_update(
         preferred_element_type=dtype,
     )
 
-    prior_var = jnp.sum(tail_perts**2, axis=1) / (nens - 1)
-    post_var = jnp.sum(tp**2, axis=1) / (nens - 1)
+    # Diagnostic variances follow the SAME ddof convention as the EnSRF
+    # (``ensrf_core._ye_var`` honoring cfg.unbiased_variance, default
+    # ddof=0) so AdaptiveInflation / Desroziers statistics are comparable
+    # across solvers.  The ensemble-space solve itself is inherently
+    # ddof=1 (ETKF math) and is unaffected.
+    var_denom = (nens - 1) if unbiased else nens
+    prior_var = jnp.sum(tail_perts**2, axis=1) / var_denom
+    post_var = jnp.sum(tp**2, axis=1) / var_denom
     diags = ObsDiagnostics(
         prior_mean=tail_mean,
         prior_var=prior_var,

@@ -58,8 +58,10 @@ def read_obs_csv(path: str):
     times = timeutil.to_epoch_seconds(
         np.asarray([np.datetime64(r["time"]) for r in rows])
     )
+    # A blank cell means "not specified" -> the documented default of 1
+    # (only an explicit 0/false excludes the row from assimilation).
     assim = np.asarray(
-        [r.get("assimilate", "1") not in ("0", "false", "False", "")
+        [(r.get("assimilate") or "1") not in ("0", "false", "False")
          for r in rows], dtype=bool,
     )
     return ObservationBatch(
@@ -155,7 +157,8 @@ def cmd_assimilate(args):
         from efa_xray_tpu.assimilation.enkf import EnKF
 
         filt = EnKF(state, batch, inflation=args.inflation,
-                    verbose=args.verbose, config=cfg, seed=args.seed)
+                    verbose=args.verbose, config=cfg, seed=args.seed,
+                    mesh=mesh)
     else:
         from efa_xray_tpu.assimilation.ensrf import EnSRF
 

@@ -323,6 +323,83 @@ def build_taps(
     )
 
 
+# ---------------------------------------------------------------------------
+# Module-level taps cache: a cycling workload with a stationary observation
+# network pays the forward-operator build (~4x the analysis cost on the
+# measured v5e configs — benchmarks/results_v5e_r2.json config 5) only once.
+# Keyed on the state STRUCTURE (content-hashed, identity-independent) plus a
+# digest of the obs coordinates/times and the build parameters; obs VALUES
+# and errors never enter the taps, so re-observing the same network with new
+# data each cycle is a hit.  Entries hold device buffers (rows + weights,
+# ~64 B/ob), bounded by an LRU per structure; the per-structure tables drop
+# automatically when the structure itself is garbage-collected.
+# ---------------------------------------------------------------------------
+
+import collections as _collections
+import hashlib as _hashlib
+import weakref as _weakref
+
+_TAPS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+TAPS_CACHE_MAX_PER_STRUCTURE = 8
+# Diagnostic counter of ACTUAL tap constructions (cache misses); tests and
+# benchmarks read it to prove cycle 2+ skips the rebuild.
+taps_build_count = 0
+
+
+def _obs_digest(lats, lons, times_s, var_idx, params: tuple) -> str:
+    h = _hashlib.sha1()
+    for a in (lats, lons, times_s, var_idx):
+        arr = np.ascontiguousarray(np.asarray(a))
+        h.update(arr.tobytes())
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+    h.update(repr(params).encode())
+    return h.hexdigest()
+
+
+def build_taps_cached(
+    structure: StateStructure,
+    lats,
+    lons,
+    times_s,
+    var_idx,
+    npt: int = 4,
+    exact_match_km: float = EXACT_MATCH_KM,
+    metric: str = "haversine",
+    time_weighting: str = "linear",
+    topk_method: str = "exact",
+) -> ObsTaps:
+    """LRU-cached :func:`build_taps` for stationary observation networks.
+
+    Same contract as :func:`build_taps`; reuses the device tap buffers when
+    the same (structure, obs coordinates, parameters) recur — e.g. every
+    cycle of a cycling DA run against a fixed surface network (amortizes
+    the per-ob interpolate path the taps replace,
+    ``efa_xray/state/ensemble.py:170-239``)."""
+    global taps_build_count
+    # x64 mode changes the weight dtype build_taps emits; key on it.
+    params = (npt, float(exact_match_km), metric, time_weighting,
+              topk_method, bool(jax.config.jax_enable_x64))
+    key = _obs_digest(lats, lons, times_s, var_idx, params)
+    per = _TAPS_CACHE.get(structure)
+    if per is not None and key in per:
+        per.move_to_end(key)
+        return per[key]
+    taps = build_taps(
+        structure, lats, lons, times_s, var_idx,
+        npt=npt, exact_match_km=exact_match_km, metric=metric,
+        time_weighting=time_weighting, topk_method=topk_method,
+    )
+    taps_build_count += 1
+    if per is None:
+        per = _collections.OrderedDict()
+        _TAPS_CACHE[structure] = per
+    per[key] = taps
+    while len(per) > TAPS_CACHE_MAX_PER_STRUCTURE:
+        per.popitem(last=False)
+    return taps
+
+
 @jax.jit
 def apply_taps(state_vect, rows, weights):
     """Evaluate all observation priors at once: ``[nobs, nmems]``.

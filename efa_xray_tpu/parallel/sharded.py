@@ -397,6 +397,7 @@ def _letkf_sharded_impl(
     chunk: int,
     vertical: bool = False,
     body_vert=None,  # [VT, Gpad] (sharded like bm) or None
+    unbiased: bool = False,
 ):
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -445,6 +446,7 @@ def _letkf_sharded_impl(
             chunk=min(chunk, max(1, -(-g_local // patch_size))),
             vertical=vertical,
             body_vert=bvert_l.reshape(vt * g_local) if vertical else None,
+            unbiased=unbiased,
         )
         return (
             bm2.reshape(vt, g_local),
@@ -466,7 +468,7 @@ def _letkf_sharded_impl(
 
 _LETKF_STATIC = (
     "mesh", "g_local", "axis_name", "patch_size", "k_obs", "localize",
-    "sqrt_method", "ns_iters", "chunk", "vertical",
+    "sqrt_method", "ns_iters", "chunk", "vertical", "unbiased",
 )
 _letkf_sharded_jit = jax.jit(_letkf_sharded_impl, static_argnames=_LETKF_STATIC)
 
@@ -490,6 +492,7 @@ def letkf_update_sharded(
     axis_name: str = STATE_AXIS,
     vertical: bool = False,
     body_vert=None,  # [Ns] per-row vertical coordinate (vertical mode)
+    unbiased: bool = False,
 ):
     """Sharded LETKF: the GRID axis (not the flat row axis) shards across
     the mesh, since rows of a column share their patch's weights.  Patches
@@ -552,6 +555,7 @@ def letkf_update_sharded(
         chunk=chunk,
         vertical=vertical,
         body_vert=bvert,
+        unbiased=unbiased,
     )
     bm = bm[:, :ngrid].reshape(ns)
     bp = bp[:, :ngrid].reshape(ns, nens)

@@ -224,13 +224,20 @@ class StateStructure:
         )
 
     def __hash__(self):
-        return hash(
-            (
-                self.var_names,
-                self.nmems,
-                self.grid_is_2d,
-                self.times_s.tobytes(),
-                self.lat.tobytes(),
-                self.lon.tobytes(),
+        # Memoized: hashing the raw coordinate bytes of a large grid costs
+        # tens of ms, and hash() is on the hot path of the module-level
+        # forward-operator taps cache (observation/forward.py).
+        h = self.__dict__.get("_hash_cache")
+        if h is None:
+            h = hash(
+                (
+                    self.var_names,
+                    self.nmems,
+                    self.grid_is_2d,
+                    self.times_s.tobytes(),
+                    self.lat.tobytes(),
+                    self.lon.tobytes(),
+                )
             )
-        )
+            object.__setattr__(self, "_hash_cache", h)
+        return h

@@ -240,3 +240,92 @@ def test_taps_topk_approx_matches_exact():
     np.testing.assert_allclose(
         np.asarray(exact.weights), np.asarray(approx.weights), atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# Module-level taps cache (stationary-network amortization across cycles)
+# ---------------------------------------------------------------------------
+
+
+def _cached_taps_for(state, lats, lons, times, var_idx=None, **kw):
+    s = state.structure
+    n = len(lats)
+    vi = np.zeros(n, dtype=np.int32) if var_idx is None else np.asarray(var_idx)
+    return fwd.build_taps_cached(
+        s,
+        np.asarray(lats, dtype=np.float64),
+        np.asarray(lons, dtype=np.float64),
+        timeutil.to_epoch_seconds(times),
+        vi,
+        **kw,
+    )
+
+
+def test_taps_cache_hits_on_repeat_and_misses_on_change():
+    state = make_demo_state(ny=6, nx=7, ntimes=2)
+    s = state.structure
+    lats = [s.lat[1, 1], s.lat[3, 4]]
+    lons = [s.lon[1, 1], s.lon[3, 4]]
+    times = [s.times64()[0], s.times64()[1]]
+
+    n0 = fwd.taps_build_count
+    t1 = _cached_taps_for(state, lats, lons, times)
+    assert fwd.taps_build_count == n0 + 1
+    t2 = _cached_taps_for(state, lats, lons, times)
+    assert fwd.taps_build_count == n0 + 1  # hit: no rebuild
+    assert t2 is t1
+    # Parity with the uncached builder
+    ref = _taps_for(state, lats, lons, times)
+    np.testing.assert_array_equal(np.asarray(t1.rows), np.asarray(ref.rows))
+    np.testing.assert_allclose(
+        np.asarray(t1.weights), np.asarray(ref.weights), rtol=0, atol=0
+    )
+
+    # Moved network -> miss
+    _cached_taps_for(state, [s.lat[2, 2], s.lat[4, 5]],
+                     [s.lon[2, 2], s.lon[4, 5]], times)
+    assert fwd.taps_build_count == n0 + 2
+    # Different build parameters -> miss
+    _cached_taps_for(state, lats, lons, times, npt=2)
+    assert fwd.taps_build_count == n0 + 3
+    # Different structure -> miss (content-keyed, not identity-keyed)
+    other = make_demo_state(ny=5, nx=5, ntimes=2)
+    os_ = other.structure
+    _cached_taps_for(other, [os_.lat[1, 1]], [os_.lon[1, 1]],
+                     [os_.times64()[0]])
+    assert fwd.taps_build_count == n0 + 4
+
+
+def test_taps_cache_amortizes_across_filter_objects():
+    """Cycle 2+ of a cycling workload (fresh EnSRF object, same structure,
+    same obs coordinates, NEW obs values) skips the forward-operator
+    rebuild entirely."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.observation.observation import ObservationBatch
+
+    state = make_demo_state(ny=6, nx=6, ntimes=2, nmems=8)
+    s = state.structure
+
+    def batch(shift):
+        n = 3
+        return ObservationBatch(
+            values=np.asarray([280.0 + shift, 281.0, 279.5]),
+            errors=np.ones(n),
+            lats=np.asarray([s.lat[1, 1], s.lat[2, 3], s.lat[4, 4]]),
+            lons=np.asarray([s.lon[1, 1], s.lon[2, 3], s.lon[4, 4]]),
+            times_s=timeutil.to_epoch_seconds(
+                np.asarray([s.times64()[0]] * n)
+            ),
+            obtypes=[s.var_names[0]] * n,
+            localize_radius=np.full(n, 1500.0),
+            assimilate_flags=np.ones(n, dtype=bool),
+            verts=np.full(n, np.nan),
+            descriptions=[None] * n,
+        )
+
+    n0 = fwd.taps_build_count
+    post1, _ = EnSRF(state, batch(0.0), verbose=False, loc="GC").update()
+    assert fwd.taps_build_count == n0 + 1
+    # next cycle: same network, new values, new filter object -> cache hit
+    post2, _ = EnSRF(post1, batch(1.0), verbose=False, loc="GC").update()
+    assert fwd.taps_build_count == n0 + 1

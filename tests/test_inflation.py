@@ -214,6 +214,26 @@ def test_ensrf_update_learns_adaptive_inflation_in_the_loop():
     np.testing.assert_allclose(frozen.mean[v], 1.0)
 
 
+def test_every_solver_learns_adaptive_inflation_in_the_loop():
+    """The FilterConfig.adaptive_inflation_update contract names no solver
+    restriction, so EnKF and LETKF must Bayesian-update the inflation field
+    after their analyses exactly like the EnSRF does (the learning step is
+    hoisted into Assimilation.maybe_update_adaptive_inflation)."""
+    from efa_xray_tpu.assimilation.enkf import EnKF
+    from efa_xray_tpu.assimilation.letkf import LETKF
+
+    state = make_demo_state(nmems=12, seed=9)
+    obs = make_demo_obs(state, nobs=6, radius=500.0)
+    for ob in obs:
+        ob.value += 6.0  # innovations >> expected -> inflation must grow
+    v = state.vars()[0]
+
+    for cls in (EnKF, LETKF):
+        adapt = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+        cls(state, obs, inflation=adapt, verbose=False, loc="GC").update()
+        assert adapt.mean[v].max() > 1.02, cls.__name__
+
+
 # ---------------------------------------------------------------------------
 # RTPS posterior inflation (extension: Whitaker & Hamill 2012)
 # ---------------------------------------------------------------------------
