@@ -58,16 +58,42 @@ class EnSRF(Assimilation):
 
     def _use_pallas(self) -> bool:
         """Auto-select the fused Pallas kernel: TPU backend + blocked method
-        + float32 (the kernel is written for the MXU's f32 path)."""
+        + float32 (the kernel is written for the MXU's f32 path).  Hybrid
+        covariance routes through the blocked XLA body (the fused kernels
+        do not implement the static column)."""
         import jax
 
         cfg = self.config
+        if cfg.hybrid_alpha < 1.0:
+            return False
         if cfg.use_pallas is not None:
             return bool(cfg.use_pallas)
         return (
             jax.default_backend() == "tpu"
             and cfg.method == "blocked"
             and jnp.dtype(cfg.dtype) == jnp.float32
+        )
+
+    def _hybrid_kwargs(self, body_mean, dtype):
+        """Static-B inputs for ``hybrid_alpha < 1``: per-row sigma and its
+        interpolation to ob locations with the same forward-operator taps
+        as the state (generalizes the reference's pure-ensemble gain,
+        ``efa_xray/assimilation/ensrf.py:95,119``)."""
+        cfg = self.config
+        if cfg.hybrid_alpha >= 1.0:
+            return {}
+        from efa_xray_tpu.observation import forward as _fwd
+
+        bsig = jnp.broadcast_to(
+            jnp.asarray(cfg.static_b_sigma, dtype), body_mean.shape
+        )
+        taps = self.build_taps()
+        tsig = _fwd.apply_taps_obj(bsig[:, None], taps)[:, 0]
+        return dict(
+            hybrid_alpha=float(cfg.hybrid_alpha),
+            body_sigma=bsig,
+            tail_sigma=tsig,
+            static_length=float(cfg.static_b_length),
         )
 
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
@@ -111,6 +137,7 @@ class EnSRF(Assimilation):
                 jnp.array(body_perts, copy=True) if donating else body_perts
             )
 
+        hybrid_kwargs = self._hybrid_kwargs(body_mean, dtype)
         if self.mesh is not None:
             from efa_xray_tpu.parallel import sharded
 
@@ -139,25 +166,9 @@ class EnSRF(Assimilation):
                 # EnSRF owns the formatted prior: let the posterior shards
                 # reuse its HBM.
                 donate=True,
+                **hybrid_kwargs,
             )
         elif cfg.method == "serial":
-            hybrid_kwargs = {}
-            if cfg.hybrid_alpha < 1.0:
-                # Static-B std per row, and interpolated to ob locations
-                # with the same forward-operator taps as the state.
-                from efa_xray_tpu.observation import forward as _fwd
-
-                bsig = jnp.broadcast_to(
-                    jnp.asarray(cfg.static_b_sigma, dtype), body_mean.shape
-                )
-                taps = self.build_taps()
-                tsig = _fwd.apply_taps_obj(bsig[:, None], taps)[:, 0]
-                hybrid_kwargs = dict(
-                    hybrid_alpha=float(cfg.hybrid_alpha),
-                    body_sigma=bsig,
-                    tail_sigma=tsig,
-                    static_length=float(cfg.static_b_length),
-                )
             bm, bp, tm, tp, diags = core.ensrf_serial(
                 body_mean,
                 body_perts,
@@ -293,6 +304,7 @@ class EnSRF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+                **hybrid_kwargs,
             )
 
         if prior_spread is not None:

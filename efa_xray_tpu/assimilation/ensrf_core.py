@@ -117,14 +117,26 @@ class ObsDiagnostics(NamedTuple):
 
 
 class TailSolution(NamedTuple):
-    """Phase-1 output: everything the state body needs, per observation."""
+    """Phase-1 output: everything the state body needs, per observation.
+
+    In hybrid mode (``hybrid_alpha < 1``) the ensemble coefficients carry
+    the ``alpha`` blend factor and two extra per-ob scalars describe the
+    FIXED static-covariance column ``s_j = (1-a) sigma_row sigma_ob gc_j /
+    kdenom_j``: the state body applies ``mean += sigma_row * (Gc @
+    static_gain)`` and ``X -= [g_j (w_j o d_j) + sigma_row static_sqrt_j
+    gc_j] Y`` (see :func:`apply_obs_block`)."""
 
     ye: jnp.ndarray  # [No, M] the pre-update obs-space perturbation rows
-    gain_coef: jnp.ndarray  # [No] a_j = innov / (kdenom (M-1)); 0 when skipped
-    sqrt_coef: jnp.ndarray  # [No] g_j = beta  / (kdenom (M-1)); 0 when skipped
+    gain_coef: jnp.ndarray  # [No] a_j = [a] innov / (kdenom (M-1)); 0 when skipped
+    sqrt_coef: jnp.ndarray  # [No] g_j = [a] beta  / (kdenom (M-1)); 0 when skipped
     tail_mean: jnp.ndarray  # [No] posterior tail mean
     tail_perts: jnp.ndarray  # [No, M] posterior tail perts
     diags: ObsDiagnostics
+    # hybrid static-column scalars (None in pure-ensemble mode):
+    # static_gain_j = (1-a) sigma_ob_j innov_j / kdenom_j
+    # static_sqrt_j = (1-a) sigma_ob_j beta_j  / kdenom_j
+    static_gain: Optional[jnp.ndarray] = None  # [No]; 0 when skipped
+    static_sqrt: Optional[jnp.ndarray] = None  # [No]; 0 when skipped
 
 
 def _ye_var(ye, unbiased: bool):
@@ -346,15 +358,24 @@ def ensrf_serial(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
+                     "hybrid_alpha"),
 )
 def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
               unbiased: bool = False, fast_geometry: bool = False,
-              vertical: bool = False) -> TailSolution:
+              vertical: bool = False,
+              hybrid_alpha: float = 1.0,
+              tail_sigma=None,  # [No] static-B std at ob locations
+              static_length=None) -> TailSolution:
     """Run the serial filter on the observation-space tail only.
 
     Produces the exact ``ye`` sequence and scalar coefficients the full
     serial algorithm would use, plus all per-ob diagnostics.
+
+    ``hybrid_alpha < 1`` runs the hybrid ensemble-static blend of
+    :func:`ensrf_serial` on the tail rows and additionally emits the
+    per-ob static-column scalars the body sweep needs (see
+    :class:`TailSolution`).
     """
     nens = tail_perts.shape[1]
     dtype = tail_perts.dtype
@@ -365,6 +386,17 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         tail_xyz = None
     obs = obs.with_default_verts()
     tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
+    hybrid = hybrid_alpha < 1.0
+    if hybrid:
+        if tail_sigma is None or static_length is None:
+            raise ValueError(
+                "hybrid_alpha < 1 needs tail_sigma and static_length"
+            )
+        alpha = jnp.asarray(hybrid_alpha, dtype)
+        tsig = jnp.broadcast_to(
+            jnp.asarray(tail_sigma, dtype), tail_mean.shape
+        )
+        slen = jnp.asarray(static_length, dtype)
     if nobs == 0:
         z = jnp.zeros((0,), dtype=dtype)
         return TailSolution(
@@ -374,6 +406,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
             tail_mean=tail_mean,
             tail_perts=tail_perts,
             diags=_empty_diags(dtype),
+            static_gain=z if hybrid else None,
+            static_sqrt=z if hybrid else None,
         )
 
     def step(carry, xs):
@@ -385,6 +419,9 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         varye = _ye_var(ye, unbiased)
 
         innov = y - mye
+        if hybrid:
+            sig_ob = tsig[i]
+            varye = alpha * varye + (1.0 - alpha) * sig_ob * sig_ob
         kdenom = varye + r_err
         scale = 1.0 / (kdenom * (nens - 1))
         beta = 1.0 / (1.0 + jnp.sqrt(r_err / kdenom))
@@ -404,17 +441,35 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
             kcov_t = kcov_t * w_t
 
         kmat_t = kcov_t * scale
+        if hybrid:
+            # Same gain construction as ensrf_serial's hybrid branch:
+            # blend the (localized, scaled) ensemble numerator with the
+            # fixed static column at the obs rows.
+            gct = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, slen,
+                               True, dtype)
+            stat_t = tsig * sig_ob * gct
+            kmat_t = alpha * kmat_t + (1.0 - alpha) * stat_t / kdenom
         tm2 = jnp.where(do_assim, tm + kmat_t * innov, tm)
         tp2 = jnp.where(do_assim, tp - (beta * kmat_t)[:, None] * ye[None, :], tp)
 
-        gain_coef = jnp.where(do_assim, innov * scale, 0.0)
-        sqrt_coef = jnp.where(do_assim, beta * scale, 0.0)
+        if hybrid:
+            gain_coef = jnp.where(do_assim, alpha * innov * scale, 0.0)
+            sqrt_coef = jnp.where(do_assim, alpha * beta * scale, 0.0)
+            s_base = (1.0 - alpha) * sig_ob / kdenom
+            static_gain = jnp.where(do_assim, s_base * innov, 0.0)
+            static_sqrt = jnp.where(do_assim, s_base * beta, 0.0)
+        else:
+            gain_coef = jnp.where(do_assim, innov * scale, 0.0)
+            sqrt_coef = jnp.where(do_assim, beta * scale, 0.0)
+            static_gain = static_sqrt = jnp.zeros((), dtype)
 
         post_row = jax.lax.dynamic_index_in_dim(tp2, i, axis=0, keepdims=False)
         out = (
             ye,
             gain_coef,
             sqrt_coef,
+            static_gain,
+            static_sqrt,
             mye,
             varye,
             jnp.where(do_assim, tm2[i], jnp.nan),
@@ -435,7 +490,7 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         obs.vert_radii.astype(dtype),
     )
     with jax.named_scope("ensrf/tail_scan"):
-        (tm, tp), (ye, gain, sqrt_c, pm, pv, om, ov, asm) = jax.lax.scan(
+        (tm, tp), (ye, gain, sqrt_c, sg, ss, pm, pv, om, ov, asm) = jax.lax.scan(
             step, (tail_mean, tail_perts), xs
         )
     return TailSolution(
@@ -445,18 +500,23 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         tail_mean=tm,
         tail_perts=tp,
         diags=ObsDiagnostics(pm, pv, om, ov, asm),
+        static_gain=sg if hybrid else None,
+        static_sqrt=ss if hybrid else None,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
-                     "panel"),
+                     "panel", "hybrid_alpha"),
 )
 def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       localize: bool = True, unbiased: bool = False,
                       fast_geometry: bool = False, vertical: bool = False,
-                      panel: int = 512) -> TailSolution:
+                      panel: int = 512,
+                      hybrid_alpha: float = 1.0,
+                      tail_sigma=None,
+                      static_length=None) -> TailSolution:
     """Hierarchical (panel-blocked) phase 1 — same outputs as
     :func:`tail_scan`, exact up to fp reassociation.
 
@@ -479,10 +539,13 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     nens = tail_perts.shape[1]
     dtype = tail_perts.dtype
     nobs = obs.values.shape[0]
+    hybrid = hybrid_alpha < 1.0
+    hkw = dict(hybrid_alpha=hybrid_alpha, static_length=static_length) \
+        if hybrid else {}
     if nobs == 0 or nobs <= panel:
         return tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
-                         vertical=vertical)
+                         vertical=vertical, tail_sigma=tail_sigma, **hkw)
 
     obs = obs.with_default_verts()
     npanels = -(-nobs // panel)
@@ -504,6 +567,12 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     verts = padded(obs.verts)
     vrads = padded(obs.vert_radii, jnp.inf)
     ntot = nobs + pad
+    if hybrid:
+        tsig_all = jnp.pad(
+            jnp.broadcast_to(jnp.asarray(tail_sigma, dtype),
+                             tail_mean.shape), (0, pad)
+        )
+        slen = jnp.asarray(static_length, dtype)
 
     if localize and fast_geometry:
         all_xyz = latlon_to_unit(lats, lons).astype(dtype)
@@ -533,6 +602,7 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),
             pob, localize=localize, unbiased=unbiased,
             fast_geometry=fast_geometry, vertical=vertical,
+            tail_sigma=sl(tsig_all, base) if hybrid else None, **hkw,
         )
         # 2. blocked application to all rows OUTSIDE the panel.
         outside = ((row_idx < base) | (row_idx >= base + panel)).astype(dtype)
@@ -555,20 +625,40 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                 pob.vert_radii[None, :],
             ).astype(dtype)
         w = w * outside[:, None]
+        static_mean = static_tilde = None
+        if hybrid:
+            # Static columns toward all OUT-of-panel obs rows (in-panel
+            # rows were already updated exactly in step 1, hence the same
+            # `outside` mask).  Static geometry is exact haversine — part
+            # of the covariance model's definition.
+            gc = gaspari_cohn(
+                haversine((lats[:, None], lons[:, None]),
+                          (pob.lats[None, :], pob.lons[None, :])),
+                slen,
+            ).astype(dtype) * outside[:, None]
+            static_mean = tsig_all * (gc @ sol.static_gain)
+            static_tilde = tsig_all[:, None] * gc * sol.static_sqrt[None, :]
         tm2, tp2 = apply_obs_block(
-            tm, tp, sol.ye, sol.gain_coef, sol.sqrt_coef, w
+            tm, tp, sol.ye, sol.gain_coef, sol.sqrt_coef, w,
+            static_mean=static_mean, static_tilde=static_tilde,
         )
         # panel rows were updated exactly in step 1; write them back.
         tm2 = jax.lax.dynamic_update_slice_in_dim(tm2, sol.tail_mean, base,
                                                   axis=0)
         tp2 = jax.lax.dynamic_update_slice_in_dim(tp2, sol.tail_perts, base,
                                                   axis=0)
-        return (tm2, tp2), (sol.ye, sol.gain_coef, sol.sqrt_coef, sol.diags)
+        outs = (sol.ye, sol.gain_coef, sol.sqrt_coef, sol.diags)
+        if hybrid:
+            outs = outs + (sol.static_gain, sol.static_sqrt)
+        return (tm2, tp2), outs
 
     with jax.named_scope("ensrf/tail_scan_blocked"):
-        (tm, tp), (ye, gain, sqrtc, diags) = jax.lax.scan(
-            step, (tm, tp), jnp.arange(npanels)
-        )
+        (tm, tp), outs = jax.lax.scan(step, (tm, tp), jnp.arange(npanels))
+    if hybrid:
+        ye, gain, sqrtc, diags, sgain, ssqrt = outs
+    else:
+        ye, gain, sqrtc, diags = outs
+        sgain = ssqrt = None
 
     flat = lambda x: x.reshape((npanels * panel,) + x.shape[2:])[:nobs]
     return TailSolution(
@@ -578,6 +668,8 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
         tail_mean=tm[:nobs],
         tail_perts=tp[:nobs],
         diags=ObsDiagnostics(*(flat(d) for d in diags)),
+        static_gain=flat(sgain) if hybrid else None,
+        static_sqrt=flat(ssqrt) if hybrid else None,
     )
 
 
@@ -586,66 +678,96 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
 # ---------------------------------------------------------------------------
 
 
-def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef, panel: int = 8):
+def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef, panel: int = 8,
+                      static_tilde=None):
     """Solve the within-block triangular recurrence (panel-blocked).
 
     d0:   [rows, B]  = X_0 @ Y^T
     gram: [B, B]     = Y @ Y^T
     w:    [rows, B]  per-row localization weights (or None)
-    Returns U = [w_j ∘ d_j] columns, shape [rows, B].
+    static_tilde: [rows, B] hybrid static-column term beta_j s_j (or None)
+    Returns ``(U, V)``: U = [w_j ∘ d_j] columns and the full perturbation
+    gain columns V = [g_j U_j + static_tilde_j], both [rows, B].  (In pure
+    ensemble mode V = U * g; it is returned so hybrid and pure share one
+    code path and the perts update is always ``X - V @ Y``.)
 
     Forward substitution is panel-blocked: corrections against already-
     solved columns are dense [rows, done] x [done, P] matmuls (one per
     panel) instead of one [rows, B] matvec per step — this cuts re-reads
-    of U from B to B/P passes and keeps the FLOPs on the MXU.
+    of V from B to B/P passes and keeps the FLOPs on the MXU.  The
+    correction for step j subtracts V's columns against the Gram matrix:
+    d_j = (X_0 Y^T)_j - sum_{i<j} V_i G_ij, which reduces to the pure
+    recurrence of the module docstring when static_tilde is None.
     """
     bsz = d0.shape[1]
-    gG = gram * sqrt_coef[:, None]  # [B, B], row i scaled by g_i
 
     # Accumulate solved columns incrementally (one concatenate per panel +
     # one per in-panel step on a <= panel-wide slab).  A naive
     # re-stack-all-columns-per-step formulation traces O(B^2) stack ops,
     # which blows up compile time at the default block_size=128 whenever
     # this XLA fallback runs instead of the Pallas kernel.
-    u_done = None  # [rows, base] columns solved in previous panels
+    u_done = None  # [rows, base] U columns solved in previous panels
+    v_done = None  # [rows, base] V columns (drive the corrections)
     for base in range(0, bsz, panel):
         width = min(panel, bsz - base)
         d_panel = jax.lax.slice_in_dim(d0, base, base + width, axis=1)
         if base > 0:
-            d_panel = d_panel - u_done @ gG[:base, base : base + width]
-        panel_cols = []
+            d_panel = d_panel - v_done @ gram[:base, base : base + width]
+        u_cols, v_cols = [], []
         for t in range(width):
             d_j = d_panel[:, t]
             if t > 0:
-                u_p = jnp.stack(panel_cols, axis=1)  # [rows, t], t < panel
-                d_j = d_j - u_p @ gG[base : base + t, base + t]
-            panel_cols.append(d_j if w is None else w[:, base + t] * d_j)
-        slab = jnp.stack(panel_cols, axis=1)  # [rows, width]
-        u_done = slab if u_done is None else jnp.concatenate([u_done, slab], axis=1)
-    return u_done
+                v_p = jnp.stack(v_cols, axis=1)  # [rows, t], t < panel
+                d_j = d_j - v_p @ gram[base : base + t, base + t]
+            u_j = d_j if w is None else w[:, base + t] * d_j
+            v_j = u_j * sqrt_coef[base + t]
+            if static_tilde is not None:
+                v_j = v_j + static_tilde[:, base + t]
+            u_cols.append(u_j)
+            v_cols.append(v_j)
+        u_slab = jnp.stack(u_cols, axis=1)  # [rows, width]
+        v_slab = jnp.stack(v_cols, axis=1)
+        u_done = u_slab if u_done is None else jnp.concatenate(
+            [u_done, u_slab], axis=1)
+        v_done = v_slab if v_done is None else jnp.concatenate(
+            [v_done, v_slab], axis=1)
+    return u_done, v_done
 
 
 @jax.jit
-def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef, w_block):
+def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef,
+                    w_block, static_mean=None, static_tilde=None):
     """Apply one block of B pre-solved observations to the state body.
 
     ``ye_block [B, M]``, coefficients ``[B]``, ``w_block [rows, B]`` (or
     None for no localization).  Two MXU matmuls + a B-step recurrence.
+
+    Hybrid static-covariance extension (generalizes the reference's pure
+    ensemble gain, ``efa_xray/assimilation/ensrf.py:95,119``): the static
+    column of ob j is fixed over the block, so its whole contribution
+    enters as two precomputed terms — ``static_mean [rows]`` (the summed
+    mean pull ``sigma_row * (Gc @ static_gain)``) added once, and
+    ``static_tilde [rows, B]`` (``sigma_row static_sqrt_j gc_j`` columns)
+    riding the same recurrence/matmul as the ensemble part.
     """
     y = ye_block.astype(body_perts.dtype)
     d0 = jnp.dot(body_perts, y.T, preferred_element_type=body_perts.dtype)
     gram = jnp.dot(y, y.T, preferred_element_type=body_perts.dtype)
-    u = _block_recurrence(d0, gram, w_block, gain_coef, sqrt_coef)
+    u, v = _block_recurrence(d0, gram, w_block, gain_coef, sqrt_coef,
+                             static_tilde=static_tilde)
     body_mean = body_mean + u @ gain_coef
+    if static_mean is not None:
+        body_mean = body_mean + static_mean
     body_perts = body_perts - jnp.dot(
-        u * sqrt_coef[None, :], y, preferred_element_type=body_perts.dtype
+        v, y, preferred_element_type=body_perts.dtype
     )
     return body_mean, body_perts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("localize", "block_size", "fast_geometry", "vertical"),
+    static_argnames=("localize", "block_size", "fast_geometry", "vertical",
+                     "hybrid"),
 )
 def ensrf_blocked_body(
     body_mean,
@@ -659,14 +781,28 @@ def ensrf_blocked_body(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    hybrid: bool = False,
+    body_sigma=None,  # [Ns] static-B std per row (hybrid mode)
+    static_length=None,  # scalar km: GC halfwidth of the static correlation
 ):
     """Phase 2: sweep the pre-solved observation sequence over the state
     body in blocks.  Exact (up to fp reassociation) match of the serial
-    algorithm."""
+    algorithm.
+
+    ``hybrid=True`` additionally applies each ob's FIXED static-covariance
+    column (``tail.static_gain``/``static_sqrt`` scalars times the per-row
+    ``sigma_row gc_j`` profile at ``static_length``) through the same
+    block recurrence — the hybrid generalization of the serial path."""
     nobs = tail.ye.shape[0]
     dtype = body_perts.dtype
     if nobs == 0:
         return body_mean, body_perts
+    if hybrid and (body_sigma is None or static_length is None
+                   or tail.static_gain is None):
+        raise ValueError(
+            "hybrid blocked body needs body_sigma, static_length and a "
+            "hybrid-mode TailSolution (static_gain/static_sqrt)"
+        )
     nblocks = -(-nobs // block_size)
     pad = nblocks * block_size - nobs
 
@@ -688,6 +824,20 @@ def ensrf_blocked_body(
     rad_b = radii.reshape(nblocks, block_size)
     vert_b = ob_vert.reshape(nblocks, block_size)
     vrad_b = ob_vrad.reshape(nblocks, block_size)
+    if hybrid:
+        # Padded obs carry zero static coefficients, so their (arbitrary)
+        # gc columns contribute nothing.
+        sgain_b = jnp.pad(tail.static_gain, (0, pad)).reshape(
+            nblocks, block_size).astype(dtype)
+        ssqrt_b = jnp.pad(tail.static_sqrt, (0, pad)).reshape(
+            nblocks, block_size).astype(dtype)
+        bsig = jnp.broadcast_to(
+            jnp.asarray(body_sigma, dtype), body_mean.shape
+        )
+        slen = jnp.asarray(static_length, dtype)
+    else:
+        z = jnp.zeros((nblocks, block_size), dtype)
+        sgain_b = ssqrt_b = z
 
     if localize and fast_geometry:
         body_xyz = latlon_to_unit(body_lat, body_lon).astype(dtype)
@@ -696,7 +846,7 @@ def ensrf_blocked_body(
 
     def step(carry, xs):
         bm, bp = carry
-        yb, gb, sb, latb, lonb, radb, vertb, vradb = xs
+        yb, gb, sb, latb, lonb, radb, vertb, vradb, sgb, ssb = xs
         if localize and fast_geometry:
             ob_xyz = latlon_to_unit(latb, lonb).astype(dtype)
             w = chordal_gc_weights(
@@ -714,14 +864,29 @@ def ensrf_blocked_body(
                 jnp.abs(body_vert.astype(dtype)[:, None] - vertb[None, :]),
                 vradb[None, :],
             ).astype(dtype)
-        bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w)
+        static_mean = static_tilde = None
+        if hybrid:
+            # Static correlation profile of the block's obs (GC at the
+            # static length, exact haversine — the static model's geometry
+            # is part of its definition, independent of fast_geometry).
+            gc = gaspari_cohn(
+                haversine((body_lat[:, None], body_lon[:, None]),
+                          (latb[None, :], lonb[None, :])),
+                slen,
+            ).astype(dtype)
+            static_mean = bsig * (gc @ sgb)
+            static_tilde = bsig[:, None] * gc * ssb[None, :]
+        bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w,
+                                 static_mean=static_mean,
+                                 static_tilde=static_tilde)
         return (bm, bp), None
 
     with jax.named_scope("ensrf/block_update"):
         (bm, bp), _ = jax.lax.scan(
             step,
             (body_mean, body_perts),
-            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b, vrad_b),
+            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b, vrad_b,
+             sgain_b, ssqrt_b),
         )
     return bm, bp
 
@@ -741,22 +906,30 @@ def ensrf_blocked(
     body_vert=None,
     vertical: bool = False,
     tail_panel: Optional[int] = None,
+    hybrid_alpha: float = 1.0,
+    body_sigma=None,
+    tail_sigma=None,
+    static_length=None,
 ):
     """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
 
-    Drop-in equivalent of :func:`ensrf_serial` (same returns).
+    Drop-in equivalent of :func:`ensrf_serial` (same returns, including
+    the hybrid ensemble-static blend for ``hybrid_alpha < 1``).
     ``tail_panel``: panel size for the hierarchical phase-1 solve (None =
     plain per-ob scan; a panel only pays off beyond a few thousand obs).
     """
+    hybrid = hybrid_alpha < 1.0
+    hkw = dict(hybrid_alpha=hybrid_alpha, tail_sigma=tail_sigma,
+               static_length=static_length) if hybrid else {}
     if tail_panel:
         tail = tail_scan_blocked(tail_mean, tail_perts, obs,
                                  localize=localize, unbiased=unbiased,
                                  fast_geometry=fast_geometry,
-                                 vertical=vertical, panel=tail_panel)
+                                 vertical=vertical, panel=tail_panel, **hkw)
     else:
         tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
-                         vertical=vertical)
+                         vertical=vertical, **hkw)
     bm, bp = ensrf_blocked_body(
         body_mean,
         body_perts,
@@ -769,5 +942,8 @@ def ensrf_blocked(
         fast_geometry=fast_geometry,
         body_vert=body_vert,
         vertical=vertical,
+        hybrid=hybrid,
+        body_sigma=body_sigma if hybrid else None,
+        static_length=static_length if hybrid else None,
     )
     return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags

@@ -106,12 +106,15 @@ class FilterConfig:
     # by construction, so the analysis impact is far below the nearest-k
     # truncation already accepted).
     letkf_topk: str = "exact"
-    # --- Hybrid ensemble-static background covariance (serial method
-    # only; Hamill & Snyder 2000).  hybrid_alpha = 1 is the pure ensemble
-    # filter (reference parity); 0 is classic Optimal Interpolation with a
-    # Gaspari-Cohn covariance model.  The static part is
+    # --- Hybrid ensemble-static background covariance (Hamill & Snyder
+    # 2000).  hybrid_alpha = 1 is the pure ensemble filter (reference
+    # parity); 0 is classic Optimal Interpolation with a Gaspari-Cohn
+    # covariance model.  The static part is
     # sigma_s(x) sigma_s(y) GC(d, static_b_length), held fixed over the
-    # batch (standard hybrid-gain simplification).
+    # batch (standard hybrid-gain simplification).  Supported on the
+    # serial scan AND the blocked two-phase path (the static column rides
+    # the same block recurrence), with or without a mesh; only the fused
+    # Pallas kernels skip it (blocked hybrid uses the XLA body).
     hybrid_alpha: float = 1.0
     # Static background std: scalar, or per-state-row array of nstate.
     static_b_sigma: Union[float, object, None] = None
@@ -176,9 +179,10 @@ class FilterConfig:
                     "hybrid_alpha < 1 needs static_b_sigma and "
                     "static_b_length"
                 )
-            if self.method != "serial":
+            if self.use_pallas:
                 raise ValueError(
-                    "hybrid covariance requires method='serial' (the "
-                    "blocked reformulation tracks only ensemble-rank "
-                    "updates)"
+                    "hybrid covariance is not implemented in the fused "
+                    "Pallas kernels; leave use_pallas unset (hybrid runs "
+                    "through the serial scan or the blocked XLA body, "
+                    "both also available under a mesh)"
                 )

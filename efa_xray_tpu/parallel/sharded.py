@@ -32,12 +32,13 @@ from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.parallel.mesh import STATE_AXIS, pad_rows, pad_to_multiple
 
 
-def _shard_specs(axis: str):
+def _shard_specs(axis: str, extra_in=()):
     sharded = P(axis)
     sharded2 = P(axis, None)
     rep = P()
     obs_spec = core.ObsArrays(*([rep] * 8))
-    in_specs = (sharded, sharded2, rep, rep, sharded, sharded, sharded, obs_spec)
+    in_specs = (sharded, sharded2, rep, rep, sharded, sharded, sharded,
+                obs_spec) + tuple(extra_in)
     out_specs = (
         sharded,
         sharded2,
@@ -57,6 +58,8 @@ def _ensrf_sharded_impl(
     body_lon,
     body_vert,
     obs: core.ObsArrays,
+    body_sigma,  # [Ns] static-B std, sharded with the rows (hybrid mode)
+    tail_sigma,  # [No] static-B std at ob locations, replicated
     *,
     mesh: Mesh,
     localize: bool,
@@ -72,8 +75,14 @@ def _ensrf_sharded_impl(
     tail_panel: int,
     cull: bool,
     spatial_sort: bool,
+    hybrid_alpha: float,
+    static_length: float,
 ):
-    in_specs, out_specs = _shard_specs(axis_name)
+    # The hybrid static column is per-row x per-ob separable, so it shards
+    # exactly like the ensemble part: sigma_row rides the state axis, the
+    # ob-side scalars replicate with the tail — still zero collectives.
+    hybrid = hybrid_alpha < 1.0
+    in_specs, out_specs = _shard_specs(axis_name, extra_in=(P(axis_name), P()))
     # The fully-fused v4 kernel applies whenever per-row weights are the
     # right model — which a state shard always is (rows are an arbitrary
     # slice); vertical localization is an in-kernel per-row factor.  Its
@@ -85,17 +94,20 @@ def _ensrf_sharded_impl(
         and (fast_geometry or not localize)
     )
 
-    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob):
+    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, bsig, tsig):
+        hkw = dict(hybrid_alpha=hybrid_alpha, tail_sigma=tsig,
+                   static_length=static_length) if hybrid else {}
         if method == "serial":
             return core.ensrf_serial(
                 bm, bp, tm, tp, blat, blon, ob, localize=localize,
                 unbiased=unbiased, fast_geometry=fast_geometry,
                 body_vert=bvert, vertical=vertical,
+                body_sigma=bsig if hybrid else None, **hkw,
             )
         tail = core.tail_scan_blocked(
             tm, tp, ob, localize=localize, unbiased=unbiased,
             fast_geometry=fast_geometry, vertical=vertical,
-            panel=tail_panel,
+            panel=tail_panel, **hkw,
         )
         if fused:
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
@@ -124,6 +136,9 @@ def _ensrf_sharded_impl(
                 localize=localize, block_size=block_size,
                 fast_geometry=fast_geometry,
                 body_vert=bvert, vertical=vertical,
+                hybrid=hybrid,
+                body_sigma=bsig if hybrid else None,
+                static_length=static_length if hybrid else None,
             )
         return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
@@ -136,14 +151,14 @@ def _ensrf_sharded_impl(
     )
     return fn(
         body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
-        body_vert, obs,
+        body_vert, obs, body_sigma, tail_sigma,
     )
 
 
 _SHARDED_STATIC = (
     "mesh", "localize", "method", "block_size", "tile", "axis_name",
     "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
-    "tail_panel", "cull", "spatial_sort",
+    "tail_panel", "cull", "spatial_sort", "hybrid_alpha", "static_length",
 )
 
 _ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
@@ -181,11 +196,21 @@ def ensrf_update_sharded(
     tail_panel: int = 512,
     cull: bool = True,
     spatial_sort: bool = False,
+    hybrid_alpha: float = 1.0,
+    body_sigma=None,  # [Ns] static-B std per row (hybrid_alpha < 1)
+    tail_sigma=None,  # [No] static-B std at ob locations
+    static_length=None,  # km: GC halfwidth of the static covariance model
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
     updates are no-ops that never touch real rows), shards the body, runs
     the row-local kernel, and unpads.
+
+    ``hybrid_alpha < 1`` blends the static-B covariance on every device
+    shard (``body_sigma`` shards with the rows; the ob-side scalars
+    replicate) — the full hybrid gain stays row-local, zero collectives.
+    The fused Pallas kernels do not implement the static column, so hybrid
+    routes through the blocked XLA body.
 
     ``donate=True`` donates the state shards to the update (posterior
     reuses the prior's HBM).  The caller's ``body_mean``/``body_perts``
@@ -194,6 +219,14 @@ def ensrf_update_sharded(
     ns = body_mean.shape[0]
     ndev = mesh.shape[axis_name]
     ns_pad = pad_to_multiple(ns, ndev)
+    hybrid = hybrid_alpha < 1.0
+    if hybrid:
+        if body_sigma is None or tail_sigma is None or static_length is None:
+            raise ValueError(
+                "hybrid_alpha < 1 needs body_sigma, tail_sigma and "
+                "static_length"
+            )
+        use_pallas = False
 
     bm = pad_rows(body_mean, ns_pad)
     bp = pad_rows(body_perts, ns_pad)
@@ -202,6 +235,17 @@ def ensrf_update_sharded(
     if body_vert is None:
         body_vert = jnp.zeros_like(body_lat[:ns])
     bvert = pad_rows(body_vert, ns_pad)
+    if hybrid:
+        bsig = pad_rows(
+            jnp.broadcast_to(jnp.asarray(body_sigma, bm.dtype), (ns,)), ns_pad
+        )
+        tsig = jnp.broadcast_to(
+            jnp.asarray(tail_sigma, bm.dtype), tail_mean.shape
+        )
+    else:
+        # Fixed signature for the jit cache: zero-filled placeholders.
+        bsig = jnp.zeros_like(blat)
+        tsig = jnp.zeros_like(tail_mean)
 
     shard1 = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
@@ -211,8 +255,10 @@ def ensrf_update_sharded(
     blat = jax.device_put(blat, shard1)
     blon = jax.device_put(blon, shard1)
     bvert = jax.device_put(bvert, shard1)
+    bsig = jax.device_put(bsig, shard1)
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
+    tsig = jax.device_put(tsig, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
 
     run = _ensrf_sharded_jit_donating if donate else _ensrf_sharded_jit
@@ -225,6 +271,8 @@ def ensrf_update_sharded(
         blon,
         bvert,
         obs,
+        bsig,
+        tsig,
         mesh=mesh,
         localize=localize,
         method=method,
@@ -239,6 +287,10 @@ def ensrf_update_sharded(
         tail_panel=tail_panel,
         cull=cull,
         spatial_sort=spatial_sort,
+        hybrid_alpha=float(hybrid_alpha),
+        static_length=(
+            float(static_length) if static_length is not None else 0.0
+        ),
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

@@ -55,7 +55,9 @@ class EnsembleState:
 
     # --- constructors ------------------------------------------------------
     @classmethod
-    def from_vardict(cls, vardict: Dict, coorddict: Dict, dtype=None) -> "EnsembleState":
+    def from_vardict(cls, vardict: Dict, coorddict: Dict, dtype=None,
+                     attrs: Optional[Dict] = None,
+                     var_attrs: Optional[Dict] = None) -> "EnsembleState":
         """Build from xarray-style variable/coordinate dicts.
 
         ``vardict``: ``{name: array}`` or ``{name: (dims, array)}`` with
@@ -66,6 +68,13 @@ class EnsembleState:
         xarray).  Mirrors the reference constructor
         (``efa_xray/state/ensemble.py:25-36``) without the ``__class__``
         rebranding hack.
+
+        Metadata faithfulness (the reference state is an xarray.Dataset,
+        so attrs and extra coords come free there): ``attrs`` (global) and
+        ``var_attrs`` (``{var: {key: val}}``) are carried on the state and
+        preserved through updates and netCDF round-trips; any coorddict
+        entry beyond the canonical names is kept as an extra coordinate
+        variable — pass ``(dims, array)`` tuples to declare its dims.
         """
         def _unwrap(v):
             # xarray-style (dims, array) tuples: dims is a str ("location")
@@ -100,7 +109,34 @@ class EnsembleState:
         if not fields:
             raise ValueError("vardict contains no state variables")
         nmems = fields[0].shape[-1] if mems is None else len(mems)
-        structure = StateStructure.build(names, times, lat, lon, nmems)
+
+        extra_coords = {}
+        for cname, cval in coorddict.items():
+            if cname in _COORD_NAMES:
+                continue
+            if (
+                isinstance(cval, tuple)
+                and len(cval) == 2
+                and isinstance(cval[0], (str, tuple, list))
+            ):
+                cdims = (cval[0],) if isinstance(cval[0], str) else tuple(cval[0])
+                carr = np.asarray(cval[1])
+            else:
+                carr = np.asarray(cval)
+                cdims = tuple(f"{cname}_dim{i}" for i in range(carr.ndim))
+            extra_coords[cname] = (cdims, carr, {})
+
+        meta = None
+        if attrs or var_attrs or extra_coords:
+            from efa_xray_tpu.state.structure import StateMeta
+
+            meta = StateMeta(
+                attrs=dict(attrs or {}),
+                var_attrs={k: dict(v) for k, v in (var_attrs or {}).items()},
+                coords=extra_coords,
+            )
+        structure = StateStructure.build(names, times, lat, lon, nmems,
+                                         meta=meta)
         data = np.stack(fields, axis=0)
         if data.shape != structure.shape:
             raise ValueError(
@@ -146,6 +182,26 @@ class EnsembleState:
     def __getitem__(self, name: str):
         """Access one variable's dense block ``[time, y, x, mem]``."""
         return self.data[self.structure.var_index(name)]
+
+    # --- carried metadata (parity with xarray.Dataset attrs/coords) --------
+    @property
+    def attrs(self) -> Dict:
+        """Global attributes (empty dict when none were attached)."""
+        m = self.structure.meta
+        return {} if m is None else m.attrs
+
+    @property
+    def var_attrs(self) -> Dict:
+        """Per-variable attributes, ``{var: {key: val}}``."""
+        m = self.structure.meta
+        return {} if m is None else m.var_attrs
+
+    @property
+    def extra_coords(self) -> Dict:
+        """Extra (non-canonical) coordinate variables,
+        ``{name: (dims, array, attrs)}``."""
+        m = self.structure.meta
+        return {} if m is None else m.coords
 
     # --- (de)vectorization --------------------------------------------------
     def to_vect(self):

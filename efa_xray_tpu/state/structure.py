@@ -29,6 +29,39 @@ import numpy as np
 from efa_xray_tpu.utils import timeutil
 
 
+@dataclasses.dataclass
+class StateMeta:
+    """Carried metadata: global attrs, per-variable attrs, and extra
+    (non-canonical) coordinate variables.
+
+    The reference's state IS an ``xarray.Dataset``
+    (``efa_xray/state/ensemble.py:15``), so arbitrary attributes and extra
+    coordinates ride along for free there; here they live on the
+    structure, flow untouched through every update (``from_vect`` reuses
+    the prior's structure), and round-trip through
+    :mod:`efa_xray_tpu.utils.ncio` and the xarray shim.  Never consumed by
+    any computation.
+    """
+
+    # Global dataset attributes, e.g. {"title": ..., "history": ...}.
+    attrs: dict = dataclasses.field(default_factory=dict)
+    # Per-state-variable attributes, e.g. {"T2M": {"units": "K"}}.
+    var_attrs: dict = dataclasses.field(default_factory=dict)
+    # Extra coordinate variables: {name: (dims tuple, ndarray, attrs dict)}.
+    coords: dict = dataclasses.field(default_factory=dict)
+
+    def copy(self) -> "StateMeta":
+        return StateMeta(
+            attrs=dict(self.attrs),
+            var_attrs={k: dict(v) for k, v in self.var_attrs.items()},
+            coords={k: (tuple(d), np.asarray(a), dict(at))
+                    for k, (d, a, at) in self.coords.items()},
+        )
+
+    def __bool__(self) -> bool:
+        return bool(self.attrs or self.var_attrs or self.coords)
+
+
 @dataclasses.dataclass(frozen=True)
 class StateStructure:
     """Immutable geometry + labels for an ensemble state."""
@@ -43,6 +76,10 @@ class StateStructure:
     # for level-stacked variables like T_500/T_850); enables vertical
     # localization.  None when the state has no vertical structure.
     var_verts: tuple = None
+    # Carried metadata (attrs / var attrs / extra coords); deliberately
+    # EXCLUDED from __eq__/__hash__ — it never enters computation, so it
+    # must not fragment jit caches keyed on the structure.
+    meta: "StateMeta" = None
 
     def __post_init__(self):
         object.__setattr__(self, "var_names", tuple(self.var_names))
@@ -69,6 +106,7 @@ class StateStructure:
         lon,
         nmems: int,
         var_verts=None,
+        meta: "StateMeta" = None,
     ) -> "StateStructure":
         lat_arr = np.asarray(lat, dtype=np.float64)
         return cls(
@@ -79,6 +117,7 @@ class StateStructure:
             grid_is_2d=lat_arr.ndim == 2,
             nmems=int(nmems),
             var_verts=None if var_verts is None else tuple(float(v) for v in var_verts),
+            meta=meta,
         )
 
     # --- size accessors (reference: efa_xray/state/ensemble.py:40-56) ---

@@ -35,6 +35,10 @@ class NcDataset:
     dims: Dict[str, int]
     variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]]
     attrs: Dict[str, object] = dataclasses.field(default_factory=dict)
+    # Per-variable attributes: {var_name: {attr: value}}.
+    var_attrs: Dict[str, Dict[str, object]] = dataclasses.field(
+        default_factory=dict
+    )
 
     def __getitem__(self, name: str) -> np.ndarray:
         return self.variables[name][1]
@@ -74,6 +78,8 @@ def write_dataset(filename: str, ds: NcDataset) -> None:
             else:
                 v = f.create_dataset(name, data=arr)
             v.attrs["_dims"] = np.bytes_(",".join(dims))
+            for ak, av in ds.var_attrs.get(name, {}).items():
+                v.attrs[ak] = av
             if name in dims:
                 v.make_scale(name)
         # Attach dimension scales (netCDF4 convention).
@@ -88,12 +94,28 @@ def write_dataset(filename: str, ds: NcDataset) -> None:
             f.attrs[k] = val
 
 
+# HDF5/netCDF4 bookkeeping attrs that are not user metadata.
+_INTERNAL_VAR_ATTRS = frozenset(
+    {"_dims", "CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+     "_Netcdf4Dimid", "_Netcdf4Coordinates", "_FillValue"}
+)
+
+
+def _decode_attr(val):
+    if isinstance(val, bytes):
+        return val.decode()
+    if isinstance(val, np.ndarray) and val.dtype.kind == "S":
+        return np.asarray([x.decode() for x in val])
+    return val
+
+
 def read_dataset(filename: str) -> NcDataset:
     if not _HAS_H5PY:
         raise RuntimeError("h5py is required for netCDF I/O")
     dims: Dict[str, int] = {}
     variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
     attrs: Dict[str, object] = {}
+    var_attrs: Dict[str, Dict[str, object]] = {}
     with h5py.File(filename, "r") as f:
         for name in f:
             obj = f[name]
@@ -122,14 +144,28 @@ def read_dataset(filename: str) -> NcDataset:
                 vdims = tuple(vdims)
             arr = obj[()]
             units = obj.attrs.get("units", b"")
-            if isinstance(units, bytes) and units.startswith(b"seconds since 1970"):
+            is_epoch_time = (
+                isinstance(units, bytes)
+                and units.startswith(b"seconds since 1970")
+            )
+            if is_epoch_time:
                 arr = np.asarray(arr, dtype=np.int64).astype("datetime64[s]")
             variables[name] = (vdims, arr)
+            va = {}
+            for ak in obj.attrs:
+                if ak in _INTERNAL_VAR_ATTRS:
+                    continue
+                if is_epoch_time and ak in ("units", "calendar"):
+                    continue  # consumed by the datetime64 decoding above
+                va[ak] = _decode_attr(obj.attrs[ak])
+            if va:
+                var_attrs[name] = va
             for d, size in zip(vdims, np.shape(arr)):
                 dims.setdefault(d, size)
         for k in f.attrs:
-            attrs[k] = f.attrs[k]
-    return NcDataset(dims=dims, variables=variables, attrs=attrs)
+            attrs[k] = _decode_attr(f.attrs[k])
+    return NcDataset(dims=dims, variables=variables, attrs=attrs,
+                     var_attrs=var_attrs)
 
 
 # --- EnsembleState round-trip -------------------------------------------------
@@ -137,42 +173,90 @@ def read_dataset(filename: str) -> NcDataset:
 
 def write_state(filename: str, state) -> None:
     """Checkpoint an EnsembleState (reference ``save_to_disk``,
-    ``efa_xray/state/ensemble.py:269-273``)."""
+    ``efa_xray/state/ensemble.py:269-273``).
+
+    Metadata-faithful: global attrs, per-variable attrs and extra
+    coordinate variables carried on the state (``state.attrs`` /
+    ``state.var_attrs`` / ``state.extra_coords`` — free on the reference's
+    xarray.Dataset, ``efa_xray/state/ensemble.py:15``) are written and
+    recovered by :func:`read_state`.  1-D location-list grids are written
+    with a ``location`` dimension instead of a fake 2-D raster."""
     s = state.structure
     data = np.asarray(state.data)
-    dims = {"validtime": s.ntimes, "y": s.ny, "x": s.nx, "mem": s.nmems}
-    grid_dims = ("y", "x")
+    if s.grid_is_2d:
+        dims = {"validtime": s.ntimes, "y": s.ny, "x": s.nx, "mem": s.nmems}
+        grid_dims = ("y", "x")
+        var_dims = ("validtime", "y", "x", "mem")
+        lat, lon = np.asarray(s.lat), np.asarray(s.lon)
+        var_data = {name: data[vi] for vi, name in enumerate(s.var_names)}
+    else:
+        # 1-D location grid: structure stores it as [nloc, 1]; persist the
+        # honest 1-D form (the reference's 1-D branch is its broken path,
+        # efa_xray/state/ensemble.py:186-188 — SURVEY.md §2.1).
+        dims = {"validtime": s.ntimes, "location": s.ngrid, "mem": s.nmems}
+        grid_dims = ("location",)
+        var_dims = ("validtime", "location", "mem")
+        lat = np.asarray(s.lat).reshape(-1)
+        lon = np.asarray(s.lon).reshape(-1)
+        var_data = {
+            name: data[vi].reshape(s.ntimes, s.ngrid, s.nmems)
+            for vi, name in enumerate(s.var_names)
+        }
     variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {
         "validtime": (("validtime",), s.times64()),
-        "lat": (grid_dims, np.asarray(s.lat)),
-        "lon": (grid_dims, np.asarray(s.lon)),
+        "lat": (grid_dims, lat),
+        "lon": (grid_dims, lon),
         "mem": (("mem",), np.arange(s.nmems, dtype=np.int32)),
     }
-    for vi, name in enumerate(s.var_names):
-        variables[name] = (("validtime", "y", "x", "mem"), data[vi])
-    ds = NcDataset(
-        dims=dims,
-        variables=variables,
-        attrs={
-            "grid_is_2d": np.int8(s.grid_is_2d),
-            "var_order": ",".join(s.var_names),
-        },
+    for name, arr in var_data.items():
+        variables[name] = (var_dims, arr)
+
+    attrs = {
+        "grid_is_2d": np.int8(s.grid_is_2d),
+        "var_order": ",".join(s.var_names),
+    }
+    var_attrs: Dict[str, Dict[str, object]] = {}
+    meta = s.meta
+    extra_coord_names = []
+    if meta is not None:
+        attrs.update(meta.attrs)
+        var_attrs.update({k: dict(v) for k, v in meta.var_attrs.items()})
+        for cname, (cdims, carr, cattrs) in meta.coords.items():
+            carr = np.asarray(carr)
+            variables[cname] = (tuple(cdims), carr)
+            if cattrs:
+                var_attrs[cname] = dict(cattrs)
+            extra_coord_names.append(cname)
+            for d, size in zip(cdims, carr.shape):
+                dims.setdefault(d, size)
+    attrs["extra_coords"] = ",".join(extra_coord_names)
+    write_dataset(
+        filename,
+        NcDataset(dims=dims, variables=variables, attrs=attrs,
+                  var_attrs=var_attrs),
     )
-    write_dataset(filename, ds)
+
+
+# write_state bookkeeping attrs, not user metadata.
+_STATE_INTERNAL_ATTRS = ("grid_is_2d", "var_order", "extra_coords")
 
 
 def read_state(filename: str, dtype=None):
     from efa_xray_tpu.state.ensemble import EnsembleState
 
     ds = read_dataset(filename)
-    coord_names = {"validtime", "lat", "lon", "mem", "x", "y"}
+    coord_names = {"validtime", "lat", "lon", "mem", "x", "y", "location"}
     order = ds.attrs.get("var_order")
+    extra = ds.attrs.get("extra_coords")
+    extra_names = [v for v in str(extra).split(",") if v] \
+        if extra is not None else []
     if order is not None:
         if isinstance(order, bytes):
             order = order.decode()
         var_names = [v for v in str(order).split(",") if v]
     else:
-        var_names = [k for k in ds.variables if k not in coord_names]
+        var_names = [k for k in ds.variables
+                     if k not in coord_names and k not in extra_names]
     vardict = {k: ds[k] for k in var_names}
     lat = ds["lat"]
     grid_is_2d = bool(ds.attrs.get("grid_is_2d", lat.ndim == 2))
@@ -188,7 +272,22 @@ def read_state(filename: str, dtype=None):
         "lon": lon,
         "mem": ds["mem"],
     }
-    return EnsembleState.from_vardict(vardict, coorddict, dtype=dtype)
+    for cname in extra_names:
+        coorddict[cname] = (ds.var_dims(cname), ds[cname])
+    attrs = {k: v for k, v in ds.attrs.items()
+             if k not in _STATE_INTERNAL_ATTRS}
+    var_attrs = {k: v for k, v in ds.var_attrs.items() if k in var_names}
+    state = EnsembleState.from_vardict(vardict, coorddict, dtype=dtype,
+                                       attrs=attrs, var_attrs=var_attrs)
+    # Extra-coord attrs ride on the coord entries themselves.
+    if state.structure.meta is not None:
+        for cname in extra_names:
+            if cname in ds.var_attrs and cname in state.structure.meta.coords:
+                cdims, carr, _ = state.structure.meta.coords[cname]
+                state.structure.meta.coords[cname] = (
+                    cdims, carr, dict(ds.var_attrs[cname])
+                )
+    return state
 
 
 # --- ObservationBatch round-trip ----------------------------------------------

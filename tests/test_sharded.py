@@ -178,12 +178,36 @@ def test_sharded_obs_loop_issues_no_collectives():
         jnp.asarray(row_lon, dtype=bm.dtype),
         jnp.zeros_like(bm),
         oarr,
+        jnp.zeros_like(bm),  # body_sigma placeholder (hybrid off)
+        jnp.zeros_like(tm),  # tail_sigma placeholder
         mesh=mesh, localize=True, method="blocked", block_size=8,
         tile=64, axis_name=STATE_AXIS, unbiased=False,
         use_pallas=False, interpret=True, fast_geometry=False,
         vertical=False, tail_panel=8, cull=True, spatial_sort=True,
+        hybrid_alpha=1.0, static_length=0.0,
     )
     hlo = lowered.compile().as_text()
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo, f"collective {op!r} leaked into the obs loop"
+
+    # Hybrid static-B column: per-row x per-ob separable, so it must stay
+    # collective-free as well (sigma_row shards with the rows).
+    lowered_h = _ensrf_sharded_jit.lower(
+        bm, bp, tm, tp,
+        jnp.asarray(row_lat, dtype=bm.dtype),
+        jnp.asarray(row_lon, dtype=bm.dtype),
+        jnp.zeros_like(bm),
+        oarr,
+        jnp.ones_like(bm),
+        jnp.ones_like(tm),
+        mesh=mesh, localize=True, method="blocked", block_size=8,
+        tile=64, axis_name=STATE_AXIS, unbiased=False,
+        use_pallas=False, interpret=True, fast_geometry=False,
+        vertical=False, tail_panel=8, cull=True, spatial_sort=True,
+        hybrid_alpha=0.5, static_length=1000.0,
+    )
+    hlo_h = lowered_h.compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo_h, f"collective {op!r} leaked (hybrid)"
