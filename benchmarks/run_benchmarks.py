@@ -85,7 +85,8 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=(kernel != "xla"),
-                                      vertical=vertical, panel=512)
+                                      vertical=vertical, panel=512,
+                                      pallas_apply=(kernel != "xla"))
         if kernel == "v4g":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
 
@@ -398,7 +399,8 @@ def bench_config10(nstate=10_000_000, nmems=80, nobs=10_000, iters=2,
 
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
-                                      fast_geometry=True, panel=512)
+                                      fast_geometry=True, panel=512,
+                                      pallas_apply=(kernel == "v4"))
         if kernel == "v4":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
 

@@ -74,6 +74,19 @@ class EnSRF(Assimilation):
             and jnp.dtype(cfg.dtype) == jnp.float32
         )
 
+    def _tail_pallas(self, interpret: bool) -> bool:
+        """Pallas tail-apply selection: explicit config wins; auto is on
+        for real-TPU fused-kernel runs with chordal geometry (interpret
+        mode would trace the kernel per panel at Python speed)."""
+        cfg = self.config
+        if cfg.tail_pallas is not None:
+            return bool(cfg.tail_pallas)
+        return (
+            not interpret
+            and cfg.hybrid_alpha >= 1.0
+            and (cfg.fast_geometry or not cfg.localize)
+        )
+
     def _hybrid_kwargs(self, body_mean, dtype):
         """Static-B inputs for ``hybrid_alpha < 1``: per-row sigma and its
         interpolation to ob locations with the same forward-operator taps
@@ -190,7 +203,9 @@ class EnSRF(Assimilation):
                 ensrf_blocked_body_pallas_fused_donating,
                 ensrf_blocked_body_pallas_fused_grid_donating,
             )
+            import jax
 
+            interpret = jax.default_backend() != "tpu"
             tail = core.tail_scan_blocked(
                 tail_mean,
                 tail_perts,
@@ -200,10 +215,10 @@ class EnSRF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 vertical=vertical,
                 panel=cfg.tail_panel,
+                pallas_apply=self._tail_pallas(interpret),
+                interpret=interpret,
+                pallas_tile=cfg.pallas_tile,
             )
-            import jax
-
-            interpret = jax.default_backend() != "tpu"
             st = self.prior.structure
             vt = st.nvars * st.ntimes
             nrows = int(body_mean.shape[0])

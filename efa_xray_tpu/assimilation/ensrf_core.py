@@ -508,7 +508,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
 @functools.partial(
     jax.jit,
     static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
-                     "panel", "hybrid_alpha"),
+                     "panel", "hybrid_alpha", "pallas_apply", "interpret",
+                     "pallas_tile"),
 )
 def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       localize: bool = True, unbiased: bool = False,
@@ -516,7 +517,10 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       panel: int = 512,
                       hybrid_alpha: float = 1.0,
                       tail_sigma=None,
-                      static_length=None) -> TailSolution:
+                      static_length=None,
+                      pallas_apply: bool = False,
+                      interpret: bool = False,
+                      pallas_tile: int = 16384) -> TailSolution:
     """Hierarchical (panel-blocked) phase 1 — same outputs as
     :func:`tail_scan`, exact up to fp reassociation.
 
@@ -535,6 +539,18 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
 
     Sequential work drops from ``No`` full-tail passes to ``No`` tiny
     ``[B, M]`` steps + ``No/B`` MXU-blocked tail passes.
+
+    ``pallas_apply=True`` (TPU, chordal-geometry runs) routes step 2
+    through the fused v4 Pallas kernel instead of the XLA
+    ``apply_obs_block``: the per-ob recurrence runs on VMEM-resident
+    scratch in-kernel rather than as ~panel sequential HLO ops — the
+    dominant cost in the large-nobs regime (measured: config 8, 50k obs).
+    Key exactness fact making this possible: the in-panel rows that the
+    XLA path masked out (``outside``) are overwritten by the exact panel
+    solution right after the apply, so masking is unnecessary and ANY
+    row-local applier works.  Weights use the kernel's chordal polynomial
+    (== ``fast_geometry`` semantics; requires ``fast_geometry`` when
+    localized, no hybrid).
     """
     nens = tail_perts.shape[1]
     dtype = tail_perts.dtype
@@ -542,6 +558,11 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     hybrid = hybrid_alpha < 1.0
     hkw = dict(hybrid_alpha=hybrid_alpha, static_length=static_length) \
         if hybrid else {}
+    if pallas_apply and (hybrid or (localize and not fast_geometry)):
+        raise ValueError(
+            "pallas_apply tail requires chordal geometry (fast_geometry) "
+            "and no hybrid static column"
+        )
     if nobs == 0 or nobs <= panel:
         return tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
@@ -604,7 +625,30 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             fast_geometry=fast_geometry, vertical=vertical,
             tail_sigma=sl(tsig_all, base) if hybrid else None, **hkw,
         )
-        # 2. blocked application to all rows OUTSIDE the panel.
+        # 2. blocked application to all rows outside the panel.  The
+        # in-panel rows' apply results are irrelevant — they are
+        # overwritten with the exact step-1 solution below — so the
+        # applier may touch them freely (the XLA path still masks them to
+        # keep fp-identical parity with historical results; the Pallas
+        # path does not need to).
+        if pallas_apply:
+            from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
+
+            tm2, tp2 = _fused_impl(
+                tm, tp, lats, lons, sol, pob,
+                body_vert=verts if (localize and vertical) else None,
+                localize=localize,
+                block_size=min(128, panel),
+                tile=pallas_tile,
+                interpret=interpret,
+                vertical=(localize and vertical),
+            )
+            tm2 = jax.lax.dynamic_update_slice_in_dim(
+                tm2, sol.tail_mean, base, axis=0)
+            tp2 = jax.lax.dynamic_update_slice_in_dim(
+                tp2, sol.tail_perts, base, axis=0)
+            return (tm2, tp2), (sol.ye, sol.gain_coef, sol.sqrt_coef,
+                                sol.diags)
         outside = ((row_idx < base) | (row_idx >= base + panel)).astype(dtype)
         if localize and fast_geometry:
             pxyz = sl(all_xyz, base)

@@ -32,6 +32,13 @@ class FilterConfig:
     # scan dominates the update; panels keep the sequential part on tiny
     # [panel, M] slices.  Identical results up to fp reassociation.
     tail_panel: int = 512
+    # Route the tail solve's panel-apply through the fused v4 Pallas
+    # kernel (the per-ob recurrence runs on VMEM scratch instead of
+    # ~panel sequential HLO ops — the dominant term in the large-nobs
+    # regime).  True / False / None (auto: with the Pallas body on TPU
+    # when geometry is chordal).  Requires fast_geometry under
+    # localization; not available with hybrid covariance.
+    tail_pallas: Optional[bool] = None
     # Forward-operator knobs (reference: efa_xray/state/ensemble.py:170-239).
     npt: int = 4
     exact_match_km: float = 1.0
@@ -186,3 +193,13 @@ class FilterConfig:
                     "through the serial scan or the blocked XLA body, "
                     "both also available under a mesh)"
                 )
+            if self.tail_pallas:
+                raise ValueError(
+                    "tail_pallas requires the pure-ensemble gain (the "
+                    "fused kernel has no static column)"
+                )
+        if self.tail_pallas and self.localize and not self.fast_geometry:
+            raise ValueError(
+                "tail_pallas=True needs fast_geometry (the kernel's "
+                "localization geometry is chordal)"
+            )

@@ -104,10 +104,18 @@ class Observation:
             return _loc.gaspari_cohn_np(distances, halfwidth)
         raise ValueError(f"Unknown localization type {type!r}")
 
-    def map_localization(self, state, projection=None, type="GC", ax=None):
+    def map_localization(self, state, projection=None, type="GC", ax=None,
+                         coastlines="auto"):
         """Plot the localization footprint (reference:
         ``efa_xray/observation/observation.py:94-115``, which needed
-        Basemap; here plain matplotlib / any callable projection)."""
+        Basemap; here plain matplotlib / any callable projection).
+
+        ``coastlines``: draw coastline/country outlines when a geo toolkit
+        is importable — cartopy preferred, Basemap as fallback (the
+        reference's ``drawcoastlines``/``drawcountries``,
+        ``observation.py:109-111``).  ``"auto"`` (default) silently skips
+        when neither is installed; ``True`` raises if unavailable;
+        ``False`` disables."""
         import matplotlib.pyplot as plt
 
         localization = np.asarray(self.localize(state, type=type))
@@ -116,8 +124,44 @@ class Observation:
         else:
             gx, gy = np.asarray(state.structure.lon), np.asarray(state.structure.lat)
         if ax is None:
-            _, ax = plt.subplots(figsize=(10, 8))
+            if coastlines and projection is None:
+                try:  # lat/lon axes: a cartopy GeoAxes gives real outlines
+                    import cartopy.crs as ccrs
+
+                    _, ax = plt.subplots(
+                        figsize=(10, 8),
+                        subplot_kw={"projection": ccrs.PlateCarree()},
+                    )
+                except ImportError:
+                    _, ax = plt.subplots(figsize=(10, 8))
+            else:
+                _, ax = plt.subplots(figsize=(10, 8))
         pm = ax.pcolormesh(gx, gy, localization.reshape(gx.shape), vmin=0.0, vmax=1.0)
+        if coastlines:
+            drew = False
+            if hasattr(ax, "coastlines"):  # cartopy GeoAxes
+                try:
+                    import cartopy.feature as cfeature
+
+                    ax.coastlines()
+                    ax.add_feature(cfeature.BORDERS, linewidth=0.5)
+                    drew = True
+                except Exception:
+                    pass
+            if not drew and projection is not None and hasattr(
+                projection, "drawcoastlines"
+            ):  # a Basemap instance doubles as the projection callable
+                try:
+                    projection.drawcoastlines(ax=ax)
+                    projection.drawcountries(ax=ax)
+                    drew = True
+                except Exception:
+                    pass
+            if not drew and coastlines is True:
+                raise ImportError(
+                    "coastlines=True needs cartopy (or a Basemap "
+                    "projection); install one or pass coastlines='auto'"
+                )
         plt.colorbar(pm, ax=ax)
         ax.set_title(
             "Localization Weights for {:s} ({:5.3f},{:5.3f})".format(

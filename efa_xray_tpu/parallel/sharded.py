@@ -107,7 +107,16 @@ def _ensrf_sharded_impl(
         tail = core.tail_scan_blocked(
             tm, tp, ob, localize=localize, unbiased=unbiased,
             fast_geometry=fast_geometry, vertical=vertical,
-            panel=tail_panel, **hkw,
+            panel=tail_panel,
+            # Pallas tail-apply rides the same selection as the fused
+            # body: real-TPU chordal runs only (the tail replicates, so
+            # this stays collective-free).
+            pallas_apply=bool(
+                fused and not interpret and not hybrid
+            ),
+            interpret=interpret,
+            pallas_tile=tile,
+            **hkw,
         )
         if fused:
             from efa_xray_tpu.ops.ensrf_pallas_fused import (

@@ -25,6 +25,23 @@ from efa_xray_tpu.state.ensemble import EnsembleState
 from efa_xray_tpu.utils import timeutil
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after each test module.
+
+    The suite compiles several hundred distinct XLA programs in one
+    process; with all of them held live the CPU backend has been observed
+    to segfault inside ``backend_compile`` late in the run (reproducibly
+    at the same test, never when the module runs alone).  Bounding the
+    live-executable set per module avoids it, at the price of recompiling
+    the shared helpers a few times."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def make_demo_state(
     nvars=1,
     ntimes=3,

@@ -466,3 +466,59 @@ def test_sort_spatially_batch_roundtrip():
     b = {(float(v), float(la), float(lo), float(e))
          for v, la, lo, e in zip(out.values, out.lats, out.lons, out.errors)}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Pallas-accelerated tail solve (tail_scan_blocked(pallas_apply=True))
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("localize", [True, False])
+def test_tail_pallas_apply_matches_xla_tail(localize):
+    """Routing the panel-apply through the fused v4 kernel must reproduce
+    the XLA hierarchical tail (and hence the exact serial tail) up to the
+    chordal arccos-polynomial difference between the kernel and
+    chordal_gc_weights (~1e-7 on weights)."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=40, nmems=10)
+    ref = core.tail_scan_blocked(tm, tp, obs, localize=localize,
+                                 fast_geometry=True, panel=10)
+    got = core.tail_scan_blocked(tm, tp, obs, localize=localize,
+                                 fast_geometry=True, panel=10,
+                                 pallas_apply=True, interpret=True,
+                                 pallas_tile=64)
+    # f32 matmul reassociation between the kernel and XLA: ~1e-6
+    # relative on O(280) fields
+    np.testing.assert_allclose(np.asarray(got.tail_mean),
+                               np.asarray(ref.tail_mean), atol=5e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.tail_perts),
+                               np.asarray(ref.tail_perts), atol=5e-4, rtol=0)
+    # per-ob coefficient sequences feed the body sweep: must match too
+    # (downstream of the f32 tail-pert differences, hence the tolerance)
+    np.testing.assert_allclose(np.asarray(got.gain_coef),
+                               np.asarray(ref.gain_coef), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.sqrt_coef),
+                               np.asarray(ref.sqrt_coef), atol=1e-4, rtol=0)
+
+
+def test_tail_pallas_apply_with_skipped_obs():
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=30, nmems=10)
+    obs = obs._replace(assim=jnp.asarray(
+        np.random.default_rng(5).random(30) > 0.3))
+    ref = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=8)
+    got = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=8,
+                                 pallas_apply=True, interpret=True,
+                                 pallas_tile=64)
+    np.testing.assert_allclose(np.asarray(got.tail_perts),
+                               np.asarray(ref.tail_perts), atol=5e-4, rtol=0)
+    np.testing.assert_array_equal(np.asarray(got.diags.assimilated),
+                                  np.asarray(ref.diags.assimilated))
+
+
+def test_tail_pallas_guards():
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=20, nmems=8)
+    with pytest.raises(ValueError):
+        core.tail_scan_blocked(tm, tp, obs, localize=True,
+                               fast_geometry=False, panel=8,
+                               pallas_apply=True, interpret=True)
