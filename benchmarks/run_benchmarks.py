@@ -62,10 +62,18 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
                   body_vert=None, vertical=False, tile=8192, donate=False):
     """Chained timing of the blocked update; returns seconds/update.
 
-    ``kernel``: "v4" (fully-fused, state crosses HBM once), "v3" (per-block
-    grid-mode kernel), or "xla" — default v4 on TPU, xla elsewhere."""
+    ``kernel``: "v4" (fully-fused, state crosses HBM once), "v4g"
+    (v4-grid: per-grid-point weights streamed in — what production EnSRF
+    auto-selects for gridded multi-group states), "v3" (per-block
+    grid-mode kernel), or "xla" — default on TPU matches the production
+    selection (v4g when ``ngrid`` describes a multi-group state, else
+    v4), xla elsewhere."""
     if kernel is None:
-        kernel = "v4" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            nrows = np.asarray(prior).shape[0]
+            kernel = "v4g" if (ngrid and nrows != ngrid) else "v4"
+        else:
+            kernel = "xla"
     pj = jnp.asarray(prior, dtype=dtype)
     nobs = len(np.asarray(obs.values))
     rng = np.random.default_rng(0)
@@ -86,7 +94,8 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=(kernel != "xla"),
                                       vertical=vertical, panel=512,
-                                      pallas_apply=(kernel != "xla"))
+                                      pallas_apply=(kernel != "xla"
+                                                    and nobs >= 8192))
         if kernel == "v4g":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
 
@@ -400,7 +409,8 @@ def bench_config10(nstate=10_000_000, nmems=80, nobs=10_000, iters=2,
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=True, panel=512,
-                                      pallas_apply=(kernel == "v4"))
+                                      pallas_apply=(kernel == "v4"
+                                                    and nobs >= 8192))
         if kernel == "v4":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
 

@@ -110,9 +110,12 @@ def _ensrf_sharded_impl(
             panel=tail_panel,
             # Pallas tail-apply rides the same selection as the fused
             # body: real-TPU chordal runs only (the tail replicates, so
-            # this stays collective-free).
+            # this stays collective-free), and only for big batches —
+            # the kernel's fixed per-panel overhead beats the XLA apply
+            # past ~8k obs (measured; see EnSRF._tail_pallas).
             pallas_apply=bool(
                 fused and not interpret and not hybrid
+                and int(ob.values.shape[0]) >= 8192
             ),
             interpret=interpret,
             pallas_tile=tile,
