@@ -73,7 +73,7 @@ def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
     )
 
 
-def run_tpu(w, block_size=128, localize=True, iters=2, tile=16384):
+def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192):
     """Time the blocked update with the chained-iterations + scalar-sync
     protocol.  NOTE: on tunneled/experimental platforms
     ``jax.block_until_ready`` can return before execution finishes, so the

@@ -359,7 +359,7 @@ def bench_config4(sharded=False):
 
 
 def bench_config10(nstate=10_000_000, nmems=80, nobs=10_000, iters=2,
-                   kernel="v4", tile=16384, block_size=128):
+                   kernel="v4", tile=8192, block_size=128):
     """BASELINE config 4 at its TRUE size on one chip — no extrapolation:
     1e7 rows x 80 members x 10k obs with the donating v4 kernel (3.2 GB
     f32 state; the chained-donation protocol below holds at most TWO state

@@ -61,8 +61,12 @@ class FilterConfig:
     # Flat single-(var,time) states use the fully-fused v4 kernel (state
     # crosses HBM once); gridded multi-group states use the grid-mode v3.
     use_pallas: Optional[bool] = None
-    # Row-tile size for the Pallas kernel (rows resident in VMEM per step).
-    pallas_tile: int = 16384
+    # Row-tile size for the Pallas kernels (rows resident in VMEM per
+    # step).  None = auto per kernel: 8192 for the flat v4 kernel
+    # (smaller tiles tighten the cull bound's caps — measured 1.36x at
+    # the 1e7-row pod workload vs 16384) and whole-grid for the v4-grid
+    # kernel (fewer grid iterations win there — measured on config 3).
+    pallas_tile: Optional[int] = None
     # Fast chordal geometry for localization weights (unit-vector dot +
     # polynomial arccos; ~2e-8 rad error) instead of the exact haversine.
     # Off by default to keep bit-level reference parity.
@@ -186,17 +190,17 @@ class FilterConfig:
                     "hybrid_alpha < 1 needs static_b_sigma and "
                     "static_b_length"
                 )
-            if self.use_pallas:
+            if self.use_pallas and self.localize and not self.fast_geometry:
                 raise ValueError(
-                    "hybrid covariance is not implemented in the fused "
-                    "Pallas kernels; leave use_pallas unset (hybrid runs "
-                    "through the serial scan or the blocked XLA body, "
-                    "both also available under a mesh)"
+                    "hybrid + use_pallas needs fast_geometry: the fused "
+                    "kernel's static column reuses the in-kernel chordal "
+                    "angles (exact-haversine hybrid runs use the blocked "
+                    "XLA body — leave use_pallas unset)"
                 )
             if self.tail_pallas:
                 raise ValueError(
                     "tail_pallas requires the pure-ensemble gain (the "
-                    "fused kernel has no static column)"
+                    "Pallas tail apply has no static column)"
                 )
         if self.tail_pallas and self.localize and not self.fast_geometry:
             raise ValueError(

@@ -67,7 +67,7 @@ def _gc_poly(r):
 
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
-                       cull: bool):
+                       cull: bool, hybrid: bool = False):
     def kernel(
         bits_ref,  # scalar-prefetch [gtiles, nblocks] int32 (SMEM): bit q
         # set = panel q of this (row-tile, obs-block) pair may have a
@@ -75,13 +75,16 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
         # and skipped (exact).  Ignored when ``cull`` is statically off.
         xbm_in_ref,  # [1, TILE]
         xbp_in_ref,  # [TILE, M]
-        geom_ref,  # [4, TILE] rows: unit-vector x, y, z, vertical coord.
+        geom_ref,  # [5, TILE] rows: unit-vector x, y, z, vertical coord,
+        # static-B sigma (hybrid mode; zeros otherwise).
         # Packed with rows on the SUBLANE axis: a [TILE, 1] column operand
         # would be lane-padded 128x by Mosaic's (8, 128) tiling — at 4M
         # state rows that is 2 GB of HBM padding PER coordinate (measured
-        # OOM); [4, TILE] costs only the 4->8 sublane round-up.
+        # OOM); [5, TILE] costs only the 5->8 sublane round-up.
         y_ref,  # [1, B, M] this block's ye rows
-        ggt_ref,  # [1, B, B]
+        ggt_ref,  # [1, B, B]; pure: gram pre-scaled by g rows; hybrid: RAW
+        # gram (the corrections run against the stored V columns, which
+        # already carry g and the static term)
         gain_ref,  # [1, 1, B]
         sqrtc_ref,  # [1, 1, B]
         ox_ref,  # [1, 1, B] ob unit vectors
@@ -90,10 +93,15 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
         invrad_ref,  # [1, 1, B] 1/halfwidth (0 = no localization for the ob)
         overt_ref,  # [1, 1, B] ob vertical coordinate
         invvrad_ref,  # [1, 1, B] 1/vertical-halfwidth (0 = off for the ob)
+        sgain_ref,  # [1, 1, B] hybrid static mean scalar sg_j (0 = skip)
+        ssqrt_ref,  # [1, 1, B] hybrid static sqrt scalar ss_j
+        invslen_ref,  # [1, 1, B] 1/static_length km (hybrid)
         xbm_out_ref,  # [1, TILE] revisited across blocks
         xbp_out_ref,  # [TILE, M] revisited across blocks
-        u_ref,  # [B, TILE] scratch
+        u_ref,  # [B, TILE] scratch: pure = U columns; hybrid = V columns
         d0_ref,  # [B, TILE] scratch
+        mean_ref,  # [1, TILE] scratch: hybrid mean accumulator (U is not
+        # stored there, so the mean is accumulated as the columns solve)
     ):
         f32 = xbp_in_ref.dtype
         t = pl.program_id(0)
@@ -109,7 +117,9 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
         # w == 0 for every (ob, row) pair here, u would be identically zero
         # and the state update a no-op — skipping is exact, and with
         # spatially sorted rows + obs it removes most blocks (GC support
-        # 2*halfwidth covers ~10% of the sphere at 2000 km).
+        # 2*halfwidth covers ~10% of the sphere at 2000 km).  In hybrid
+        # mode the bound covers the static column too (cull_masks widens
+        # the support to max(radius, static_length)).
         @pl.when(bits != 0)
         def _():
             xbp = xbp_out_ref[:]  # current tile state (resident across blocks)
@@ -118,13 +128,18 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
             d0_ref[:] = jax.lax.dot_general(
                 y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
             )
+            if hybrid:
+                mean_ref[:] = jnp.zeros_like(mean_ref)
 
-            if localize:
+            need_geo = localize or hybrid
+            if need_geo:
                 bx = geom_ref[0:1, :]  # [1, T]
                 by = geom_ref[1:2, :]
                 bz = geom_ref[2:3, :]
                 if vertical:
                     bv = geom_ref[3:4, :]  # [1, T]
+                if hybrid:
+                    bsig = geom_ref[4:5, :]  # [1, T]
 
             npanels = -(-bsz // PANEL)
             for q in range(npanels):
@@ -142,9 +157,10 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         d_panel = d0_ref[base : base + width, :] - corr
                     else:
                         d_panel = d0_ref[0:width, :]
-                    if localize:
-                        # Panel's weights [width, TILE]: chordal GC from
-                        # unit vectors.
+                    if need_geo:
+                        # Panel's chordal angles [width, TILE] from unit
+                        # vectors (shared by the localization taper and
+                        # the hybrid static correlation).
                         ox = ox_ref[0, 0, base : base + width].reshape(-1, 1)
                         oy = oy_ref[0, 0, base : base + width].reshape(-1, 1)
                         oz = oz_ref[0, 0, base : base + width].reshape(-1, 1)
@@ -155,7 +171,9 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         ang = 2.0 * _arccos_poly(
                             jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
                         )
-                        r = (EARTH_RADIUS_KM * ang) * invrad_ref[
+                        dist = EARTH_RADIUS_KM * ang
+                    if localize:
+                        r = dist * invrad_ref[
                             0, 0, base : base + width
                         ].reshape(-1, 1)
                         w_panel = jnp.where(
@@ -175,6 +193,16 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                             w_panel = w_panel * jnp.where(
                                 ivr > 0, _gc_poly(rv), 1.0
                             )
+                    if hybrid:
+                        # Static columns s_j = sigma_row * gc(d, L_B)
+                        # scaled per ob by ss_j (perts) / sg_j (mean).
+                        gc_s = _gc_poly(
+                            dist
+                            * invslen_ref[0, 0, base : base + width].reshape(
+                                -1, 1
+                            )
+                        )
+                        s_panel = bsig * gc_s  # [width, TILE]
                     for t in range(width):
                         j = base + t
                         if t > 0:
@@ -189,6 +217,18 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                             d_j = d_panel[0:1, :]
                         if localize:
                             d_j = d_j * w_panel[t : t + 1, :]
+                        if hybrid:
+                            # d_j now holds u_j; accumulate its mean pull
+                            # and store the full V column.
+                            mean_ref[:] = (
+                                mean_ref[:]
+                                + gain_ref[0, 0, j] * d_j
+                                + sgain_ref[0, 0, j] * s_panel[t : t + 1, :]
+                            )
+                            d_j = (
+                                sqrtc_ref[0, 0, j] * d_j
+                                + ssqrt_ref[0, 0, j] * s_panel[t : t + 1, :]
+                            )
                         u_ref[j : j + 1, :] = d_j
 
                 if localize and cull:
@@ -211,15 +251,24 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                     _panel_body()
 
             u_t = u_ref[:]
-            mean_upd = jax.lax.dot_general(
-                gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [1, TILE]
-            xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
-            gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
-            xbp_out_ref[:] = xbp - jax.lax.dot_general(
-                gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
-            )
+            if hybrid:
+                xbm_out_ref[:] = xbm_out_ref[:] + mean_ref[:]
+                # u_ref holds V: X <- X - V @ Y directly.
+                xbp_out_ref[:] = xbp - jax.lax.dot_general(
+                    u_t, y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            else:
+                mean_upd = jax.lax.dot_general(
+                    gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [1, TILE]
+                xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
+                gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+                xbp_out_ref[:] = xbp - jax.lax.dot_general(
+                    gu, y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
 
     return kernel
 
@@ -314,6 +363,9 @@ def _fused_impl(
     spatial_sort: bool = False,
     row_order=None,
     inv_order=None,
+    hybrid: bool = False,
+    body_sigma=None,  # [N] static-B std per row (hybrid mode)
+    static_length=None,  # km: GC halfwidth of the static covariance model
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -338,10 +390,26 @@ def _fused_impl(
     exact choice; the inverse permutation is applied on the way out) so row
     tiles cover compact caps; culling then pays off whenever the OBS order
     is also spatially coherent (see
-    :func:`efa_xray_tpu.observation.localization.spatial_sort_order`)."""
+    :func:`efa_xray_tpu.observation.localization.spatial_sort_order`).
+
+    ``hybrid=True`` applies the hybrid static-B column in-kernel (the
+    blend the XLA body implements in
+    :func:`efa_xray_tpu.assimilation.ensrf_core.apply_obs_block`): the
+    static correlation reuses the chordal angles the localization taper
+    already computes, ``sigma_row`` streams as a fifth geometry row, and
+    the recurrence stores full V columns driven by the RAW Gram matrix.
+    Requires a hybrid-mode ``tail`` (static_gain/static_sqrt scalars);
+    static geometry is chordal here (vs exact haversine on the XLA body —
+    ~2e-8 rad, far below the GC taper's scale)."""
     nobs = tail.ye.shape[0]
     if nobs == 0:
         return body_mean, body_perts
+    if hybrid and (body_sigma is None or static_length is None
+                   or tail.static_gain is None):
+        raise ValueError(
+            "hybrid fused kernel needs body_sigma, static_length and a "
+            "hybrid-mode TailSolution (static_gain/static_sqrt)"
+        )
     dtype = body_perts.dtype
     nrows, nmems = body_perts.shape
     nblocks = max(1, -(-nobs // block_size))
@@ -364,9 +432,22 @@ def _fused_impl(
     # Per-block operands, shaped so each block is one leading index.
     y_b = ye.reshape(nblocks, bsz, nmems)
     gram = jnp.einsum("abm,acm->abc", y_b, y_b)  # [nblocks, B, B]
-    ggt_b = jnp.swapaxes(
-        gram * sqrtc.reshape(nblocks, bsz)[:, :, None], 1, 2
-    )  # ggt[blk, j, i] = (y_i . y_j) g_i
+    if hybrid:
+        # Hybrid corrections run against stored V columns, which already
+        # carry g_j and the static term: use the raw Gram matrix.
+        ggt_b = jnp.swapaxes(gram, 1, 2)
+        sgain_b = jnp.pad(tail.static_gain.astype(dtype), (0, pad)).reshape(
+            nblocks, 1, bsz)
+        ssqrt_b = jnp.pad(tail.static_sqrt.astype(dtype), (0, pad)).reshape(
+            nblocks, 1, bsz)
+        invslen_b = jnp.full(
+            (nblocks, 1, bsz), 1.0 / float(static_length), dtype=dtype)
+    else:
+        ggt_b = jnp.swapaxes(
+            gram * sqrtc.reshape(nblocks, bsz)[:, :, None], 1, 2
+        )  # ggt[blk, j, i] = (y_i . y_j) g_i
+        z3 = jnp.zeros((nblocks, 1, bsz), dtype=dtype)
+        sgain_b = ssqrt_b = invslen_b = z3
     gain_b = gain.reshape(nblocks, 1, bsz)
     sqrt_b = sqrtc.reshape(nblocks, 1, bsz)
     ox_b = ob_xyz[:, 0].reshape(nblocks, 1, bsz)
@@ -393,6 +474,12 @@ def _fused_impl(
         bvert = jnp.zeros_like(body_lat)
     else:
         bvert = body_vert
+    if hybrid:
+        bsig_row = jnp.broadcast_to(
+            jnp.asarray(body_sigma, dtype), (nrows,)
+        )
+    else:
+        bsig_row = jnp.zeros_like(body_lat)
     if spatial_sort:
         # Row order is free (every per-row quantity is row-local), so sort
         # rows into spherical Morton order: contiguous tiles become compact
@@ -416,13 +503,14 @@ def _fused_impl(
         body_perts = jnp.take(body_perts, order, axis=0)
         body_xyz = jnp.take(body_xyz, order, axis=0)
         bvert = jnp.take(bvert, order, axis=0)
+        bsig_row = jnp.take(bsig_row, order, axis=0)
     bm = body_mean.reshape(1, -1)  # [1, N]: rows on the lane axis (a
     # [N, 1] column would be lane-padded 128x by the (8, 128) tiling)
     bp = body_perts
     geom = jnp.stack(
         [body_xyz[:, 0], body_xyz[:, 1], body_xyz[:, 2],
-         bvert.astype(dtype)]
-    )  # [4, N]
+         bvert.astype(dtype), bsig_row.astype(dtype)]
+    )  # [5, N]
 
     npanels = -(-bsz // PANEL)
     # Panel alive-bits, one int32 per (row-tile, obs-block): scalar-prefetch
@@ -431,10 +519,17 @@ def _fused_impl(
     # wider (blocks that big defeat panel granularity anyway).
     cull = bool(cull and localize and npanels <= 32)
     if cull:
+        cull_radii = obs.radii.astype(dtype)
+        if hybrid:
+            # The static column's GC support ends at 2*static_length, so
+            # the exact-skip bound must cover max(radius, L_B).
+            cull_radii = jnp.maximum(
+                cull_radii, jnp.asarray(float(static_length), dtype)
+            )
         _, pmask = cull_masks(
             body_xyz,
             latlon_to_unit(obs.lats, obs.lons).astype(dtype),
-            obs.radii.astype(dtype),
+            cull_radii,
             obs.assim,
             tile,
             nblocks,
@@ -460,16 +555,19 @@ def _fused_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_kernel(bsz, localize, vertical, cull),
+        _make_fused_kernel(bsz, localize, vertical, cull, hybrid),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
             in_specs=[
                 row_vec((1, tile)),
                 tiled((tile, nmems)),
-                row_vec((4, tile)),
+                row_vec((5, tile)),
                 per_block3((1, bsz, nmems)),
                 per_block3((1, bsz, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
+                per_block3((1, 1, bsz)),
                 per_block3((1, 1, bsz)),
                 per_block3((1, 1, bsz)),
                 per_block3((1, 1, bsz)),
@@ -486,6 +584,7 @@ def _fused_impl(
             scratch_shapes=[
                 pltpu.VMEM((bsz, tile), dtype),
                 pltpu.VMEM((bsz, tile), dtype),
+                pltpu.VMEM((1, tile), dtype),
             ],
         ),
         out_shape=[
@@ -503,7 +602,7 @@ def _fused_impl(
         bits,
         bm, bp, geom,
         y_b, ggt_b, gain_b, sqrt_b, ox_b, oy_b, oz_b, invrad_b,
-        overt_b, invvrad_b,
+        overt_b, invvrad_b, sgain_b, ssqrt_b, invslen_b,
     )
 
     if spatial_sort:
@@ -742,7 +841,7 @@ def _fused_grid_impl(
 
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
-_STATIC_FLAT = _STATIC + ("cull", "spatial_sort")
+_STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(

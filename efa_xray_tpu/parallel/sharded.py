@@ -132,6 +132,9 @@ def _ensrf_sharded_impl(
                 localize=localize, block_size=block_size, tile=tile,
                 interpret=interpret, vertical=vertical,
                 cull=cull, spatial_sort=spatial_sort,
+                hybrid=hybrid,
+                body_sigma=bsig if hybrid else None,
+                static_length=static_length if hybrid else None,
             )
         elif use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -221,8 +224,8 @@ def ensrf_update_sharded(
     ``hybrid_alpha < 1`` blends the static-B covariance on every device
     shard (``body_sigma`` shards with the rows; the ob-side scalars
     replicate) — the full hybrid gain stays row-local, zero collectives.
-    The fused Pallas kernels do not implement the static column, so hybrid
-    routes through the blocked XLA body.
+    The flat v4 fused kernel carries the static column in-kernel (chordal
+    geometry); exact-haversine hybrid runs use the blocked XLA body.
 
     ``donate=True`` donates the state shards to the update (posterior
     reuses the prior's HBM).  The caller's ``body_mean``/``body_perts``
@@ -238,7 +241,10 @@ def ensrf_update_sharded(
                 "hybrid_alpha < 1 needs body_sigma, tail_sigma and "
                 "static_length"
             )
-        use_pallas = False
+        # The flat v4 kernel carries the static column (chordal geometry
+        # only); exact-haversine hybrid keeps the blocked XLA body.
+        if localize and not fast_geometry:
+            use_pallas = False
 
     bm = pad_rows(body_mean, ns_pad)
     bp = pad_rows(body_perts, ns_pad)

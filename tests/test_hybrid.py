@@ -224,3 +224,88 @@ def test_hybrid_via_ensrf_api_blocked_and_mesh():
     meshed = run("blocked", mesh=make_mesh())
     np.testing.assert_allclose(blocked, serial, atol=1e-9, rtol=0)
     np.testing.assert_allclose(meshed, serial, atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid static column IN the fused v4 Pallas kernel (interpret mode on CPU;
+# compiles with Mosaic on real TPUs) — completes the perf stack for hybrid.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.5])
+@pytest.mark.parametrize("localize", [True, False])
+def test_fused_kernel_hybrid_matches_xla_body(alpha, localize):
+    from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
+
+    rng = np.random.default_rng(0)
+    ns, M, no = 200, 10, 24
+    lat = rng.uniform(-60, 60, ns)
+    lon = rng.uniform(0, 360, ns)
+    prior = rng.normal(280, 3, (ns, M)).astype(np.float32)
+    rows = rng.integers(0, ns, no)
+    ye = prior[rows]
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + rng.normal(0, 1, no), jnp.float32),
+        errors=jnp.ones(no, jnp.float32),
+        lats=jnp.asarray(lat[rows], jnp.float32),
+        lons=jnp.asarray(lon[rows], jnp.float32),
+        radii=jnp.full(no, 3000.0, jnp.float32),
+        assim=jnp.asarray(rng.random(no) > 0.2),
+    )
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.asarray(ye.mean(1))
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True))
+    blat = jnp.asarray(lat, jnp.float32)
+    blon = jnp.asarray(lon, jnp.float32)
+    bsig = jnp.asarray(rng.uniform(1.0, 3.0, ns), jnp.float32)
+    tsig = bsig[rows]
+
+    tail = core.tail_scan_blocked(
+        tm, tp, obs, localize=localize, fast_geometry=True, panel=8,
+        hybrid_alpha=alpha, tail_sigma=tsig, static_length=1500.0)
+    bx, px = core.ensrf_blocked_body(
+        bm, bp, blat, blon, tail, obs, localize=localize, block_size=8,
+        fast_geometry=True, hybrid=True, body_sigma=bsig,
+        static_length=1500.0)
+    bk, pk = _fused_impl(
+        bm, bp, blat, blon, tail, obs, localize=localize, block_size=8,
+        tile=64, interpret=True, hybrid=True, body_sigma=bsig,
+        static_length=1500.0)
+    # chordal (kernel) vs exact-haversine (XLA) static geometry + f32
+    # reassociation
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(bx), atol=5e-4,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(px), atol=5e-4,
+                               rtol=0)
+
+
+def test_hybrid_via_api_pallas_matches_serial():
+    """FilterConfig(hybrid, use_pallas=True, fast_geometry=True) routes the
+    static column through the fused kernel and matches the serial hybrid
+    to f32/chordal tolerance."""
+    state = make_demo_state(nmems=12, seed=4, dtype="float32")
+    obs = make_demo_obs(state, nobs=5, seed=5, radius=1500.0)
+
+    def run(**kw):
+        cfg = FilterConfig(localization="GC", dtype="float32",
+                           fast_geometry=True, hybrid_alpha=0.5,
+                           static_b_sigma=1.5, static_b_length=800.0, **kw)
+        post, _ = EnSRF(state, list(obs), config=cfg, verbose=False).update()
+        return np.asarray(post.data)
+
+    serial = run(method="serial")
+    pallas = run(method="blocked", use_pallas=True, pallas_tile=64,
+                 block_size=8)
+    np.testing.assert_allclose(pallas, serial, atol=2e-3, rtol=0)
+
+
+def test_hybrid_pallas_config_guard():
+    with pytest.raises(ValueError):
+        # exact-haversine hybrid cannot use the fused kernel
+        FilterConfig(hybrid_alpha=0.5, static_b_sigma=1.0,
+                     static_b_length=500.0, use_pallas=True,
+                     fast_geometry=False)
+    # chordal hybrid + fused kernel is a supported combination
+    FilterConfig(hybrid_alpha=0.5, static_b_sigma=1.0,
+                 static_b_length=500.0, use_pallas=True, fast_geometry=True)
