@@ -26,16 +26,16 @@ from efa_xray_tpu.assimilation import ensrf_core as core
 
 
 def sweep_point(bm, bp, blat, blon, obs, tail_sol, tile, block_size,
-                iters=2):
+                iters=2, panel=8):
     from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl, cull_masks
     from efa_xray_tpu.observation.localization import latlon_to_unit
 
-    out = {"tile": tile, "block_size": block_size}
+    out = {"tile": tile, "block_size": block_size, "panel": panel}
     try:
         step = jax.jit(
             lambda a, b: _fused_impl(a, b, blat, blon, tail_sol, obs,
                                      localize=True, block_size=block_size,
-                                     tile=tile),
+                                     tile=tile, panel=panel),
             donate_argnums=(0, 1),
         )
         t, carry = _chain_time(
@@ -54,7 +54,7 @@ def sweep_point(bm, bp, blat, blon, obs, tail_sol, tile, block_size,
     nblocks = max(1, -(-nobs // block_size))
     _, pmask = cull_masks(
         latlon_to_unit(blat, blon), latlon_to_unit(obs.lats, obs.lons),
-        obs.radii, obs.assim, eff_tile, nblocks, block_size)
+        obs.radii, obs.assim, eff_tile, nblocks, block_size, panel=panel)
     out["alive_panel_fraction"] = float(jnp.mean(pmask))
     return out, bm, bp
 
@@ -67,6 +67,7 @@ def main():
     ap.add_argument("--tiles", type=int, nargs="*",
                     default=[4096, 8192, 16384])
     ap.add_argument("--blocks", type=int, nargs="*", default=[128])
+    ap.add_argument("--panels", type=int, nargs="*", default=[8])
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -79,11 +80,12 @@ def main():
     results = []
     for tile in args.tiles:
         for block in args.blocks:
-            r, bm, bp = sweep_point(bm, bp, blat, blon, obs, tail_sol,
-                                    tile, block)
-            r["backend"] = jax.default_backend()
-            print(json.dumps(r), flush=True)
-            results.append(r)
+            for panel in args.panels:
+                r, bm, bp = sweep_point(bm, bp, blat, blon, obs, tail_sol,
+                                        tile, block, panel=panel)
+                r["backend"] = jax.default_backend()
+                print(json.dumps(r), flush=True)
+                results.append(r)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)

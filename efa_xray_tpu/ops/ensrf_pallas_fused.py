@@ -67,7 +67,8 @@ def _gc_poly(r):
 
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
-                       cull: bool, hybrid: bool = False):
+                       cull: bool, hybrid: bool = False,
+                       panel: int = PANEL):
     def kernel(
         bits_ref,  # scalar-prefetch [gtiles, nblocks] int32 (SMEM): bit q
         # set = panel q of this (row-tile, obs-block) pair may have a
@@ -141,10 +142,10 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                 if hybrid:
                     bsig = geom_ref[4:5, :]  # [1, T]
 
-            npanels = -(-bsz // PANEL)
+            npanels = -(-bsz // panel)
             for q in range(npanels):
-                base = q * PANEL
-                width = min(PANEL, bsz - base)
+                base = q * panel
+                width = min(panel, bsz - base)
 
                 def _panel_body(base=base, width=width):
                     if base > 0:
@@ -203,6 +204,16 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                             )
                         )
                         s_panel = bsig * gc_s  # [width, TILE]
+                    # Within-panel recurrence, LEFT-looking (per-ob small
+                    # dot against the already-solved columns).  A
+                    # right-looking variant — subtract each solved
+                    # column's rank-1 contribution from the remaining d0
+                    # rows in one [rem, TILE] FMA, removing the per-ob
+                    # matmuls — was measured SLOWER at the pod workload
+                    # (0.913 s vs 0.818 s body; the in-place VMEM
+                    # read-modify-writes cost more than the small dots),
+                    # as were panel widths 4 and 16 (1.55 / 1.47 s) — see
+                    # benchmarks/pod_tile_sweep.py --panels.
                     for t in range(width):
                         j = base + t
                         if t > 0:
@@ -279,7 +290,8 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
 _CULL_MARGIN_RAD = 2e-3
 
 
-def cull_masks(body_xyz, ob_xyz, radii, assim, tile, nblocks, block_size):
+def cull_masks(body_xyz, ob_xyz, radii, assim, tile, nblocks, block_size,
+               panel: int = PANEL):
     """Localization cull masks for the fused kernel.
 
     Returns ``(mask, pmask)``: ``mask[gtiles, nblocks]`` int32 is 1 where a
@@ -324,16 +336,16 @@ def cull_masks(body_xyz, ob_xyz, radii, assim, tile, nblocks, block_size):
     pad = nblocks * block_size - nobs
     if pad:
         alive = jnp.pad(alive, ((0, pad), (0, 0)))
-    npanels = -(-block_size // PANEL)
-    ppad = nblocks * npanels * PANEL - nblocks * block_size
+    npanels = -(-block_size // panel)
+    ppad = nblocks * npanels * panel - nblocks * block_size
     a = alive
-    if ppad:  # block_size not a PANEL multiple: pad to the panel grid
+    if ppad:  # block_size not a panel multiple: pad to the panel grid
         a = jnp.pad(
             a.reshape(nblocks, block_size, gtiles),
-            ((0, 0), (0, npanels * PANEL - block_size), (0, 0)),
-        ).reshape(nblocks * npanels * PANEL, gtiles)
+            ((0, 0), (0, npanels * panel - block_size), (0, 0)),
+        ).reshape(nblocks * npanels * panel, gtiles)
     pmask = (
-        a.reshape(nblocks, npanels, PANEL, gtiles)
+        a.reshape(nblocks, npanels, panel, gtiles)
         .any(axis=2)
         .transpose(2, 0, 1)
         .astype(jnp.int32)
@@ -366,6 +378,7 @@ def _fused_impl(
     hybrid: bool = False,
     body_sigma=None,  # [N] static-B std per row (hybrid mode)
     static_length=None,  # km: GC halfwidth of the static covariance model
+    panel: int = PANEL,  # culling/recurrence panel width (obs per panel)
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -512,7 +525,7 @@ def _fused_impl(
          bvert.astype(dtype), bsig_row.astype(dtype)]
     )  # [5, N]
 
-    npanels = -(-bsz // PANEL)
+    npanels = -(-bsz // panel)
     # Panel alive-bits, one int32 per (row-tile, obs-block): scalar-prefetch
     # control for the kernel's culling.  An int32 holds up to 32 panels =
     # block_size 256; beyond that, culling is disabled rather than packed
@@ -534,6 +547,7 @@ def _fused_impl(
             tile,
             nblocks,
             bsz,
+            panel=panel,
         )
         shifts = jnp.arange(npanels, dtype=jnp.int32)
         bits = jnp.sum(pmask << shifts[None, None, :], axis=-1).astype(
@@ -555,7 +569,7 @@ def _fused_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_kernel(bsz, localize, vertical, cull, hybrid),
+        _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
@@ -841,7 +855,8 @@ def _fused_grid_impl(
 
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
-_STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length")
+_STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
+                          "panel")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(
