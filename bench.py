@@ -12,7 +12,7 @@ operating point (measured 7.9e10 vs 3.6e10 obs*points/s at the old
 
 The 3.2 GB state is generated ON DEVICE: the tunneled host->device path
 runs ~40 MB/s, and iid rows are layout-invariant, so drawing them
-directly in Morton coordinate order is statistically identical to
+directly in Hilbert coordinate order is statistically identical to
 uploading a host-sorted array.
 
 ``vs_baseline`` is measured, not assumed: the reference implementation's
@@ -37,11 +37,11 @@ import jax.numpy as jnp
 
 def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
                    dtype=jnp.float32):
-    """Morton-ingested geometry on host; state/tail ensembles on device."""
-    from efa_xray_tpu.observation.thinning import _morton3d_np
+    """Hilbert-ingested geometry on host; state/tail ensembles on device."""
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
     rng = np.random.default_rng(seed)
-    # Ingest-time spherical Morton layout (host, geometry-static, done once
+    # Ingest-time spherical Hilbert layout (host, geometry-static, done once
     # like forward-operator taps): row order is an internal layout choice
     # (per-row updates are row-local) and obs order is the caller's choice
     # in a serial filter (the reference demo shuffles it).  Sorted layout
@@ -50,11 +50,11 @@ def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
     # provably zero.
     state_lat = rng.uniform(-88.0, 88.0, nstate)
     state_lon = rng.uniform(0.0, 360.0, nstate)
-    ro = np.argsort(_morton3d_np(state_lat, state_lon), kind="stable")
+    ro = np.argsort(_hilbert3d_np(state_lat, state_lon), kind="stable")
     state_lat, state_lon = state_lat[ro], state_lon[ro]
     ob_rows = rng.integers(0, nstate, nobs)
     ob_lat, ob_lon = state_lat[ob_rows], state_lon[ob_rows]
-    oo = np.argsort(_morton3d_np(ob_lat, ob_lon), kind="stable")
+    oo = np.argsort(_hilbert3d_np(ob_lat, ob_lon), kind="stable")
     ob_lat, ob_lon = ob_lat[oo], ob_lon[oo]
     values = 280.0 + rng.normal(0, 1.0, nobs)
     errors = np.full(nobs, 1.0)

@@ -55,18 +55,18 @@ def _chain_time(step, carry, digest, iters=3):
 
 
 def _make_workload(nstate, nmems, nobs, radius=2000.0, seed=4):
-    """Morton-ingested synthetic workload, generated on device (see
+    """Hilbert-ingested synthetic workload, generated on device (see
     run_benchmarks.bench_config10 for why)."""
-    from efa_xray_tpu.observation.thinning import _morton3d_np
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
     rng = np.random.default_rng(seed)
     state_lat = rng.uniform(-88, 88, nstate)
     state_lon = rng.uniform(0, 360, nstate)
-    ro = np.argsort(_morton3d_np(state_lat, state_lon), kind="stable")
+    ro = np.argsort(_hilbert3d_np(state_lat, state_lon), kind="stable")
     state_lat, state_lon = state_lat[ro], state_lon[ro]
     rows = rng.integers(0, nstate, nobs)
     olat, olon = state_lat[rows], state_lon[rows]
-    oo = np.argsort(_morton3d_np(olat, olon), kind="stable")
+    oo = np.argsort(_hilbert3d_np(olat, olon), kind="stable")
     olat, olon = olat[oo], olon[oo]
     vals = 280.0 + rng.normal(0, 1, nobs)
     obs = core.ObsArrays(

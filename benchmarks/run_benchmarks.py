@@ -32,15 +32,15 @@ from efa_xray_tpu.assimilation import ensrf_core as core
 
 
 def _morton_ingest(state_lat, state_lon, prior, ob_lat, ob_lon, ob_vals):
-    """Ingest-time spherical Morton layout for flat-state kernel benches:
+    """Ingest-time spherical Hilbert layout for flat-state kernel benches:
     row order is an internal layout choice (updates are row-local) and obs
     order is the caller's choice in a serial filter.  Sorted layout makes
     row tiles compact caps so the fused kernel's localization culling
     engages (measured 1.9x on the headline workload)."""
-    from efa_xray_tpu.observation.thinning import _morton3d_np
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
-    ro = np.argsort(_morton3d_np(state_lat, state_lon), kind="stable")
-    oo = np.argsort(_morton3d_np(ob_lat, ob_lon), kind="stable")
+    ro = np.argsort(_hilbert3d_np(state_lat, state_lon), kind="stable")
+    oo = np.argsort(_hilbert3d_np(ob_lat, ob_lon), kind="stable")
     return (state_lat[ro], state_lon[ro], prior[ro],
             ob_lat[oo], ob_lon[oo], ob_vals[oo], ro, oo)
 
@@ -368,20 +368,20 @@ def bench_config10(nstate=10_000_000, nmems=80, nobs=10_000, iters=2,
     Mean/perturbations are generated directly ON DEVICE (the tunneled
     host->device path runs ~40 MB/s, so uploading 3.2 GB would cost ~80 s
     of setup for identical statistics — iid rows are layout-invariant, so
-    drawing them in Morton coordinate order is the same distribution) and
+    drawing them in Hilbert coordinate order is the same distribution) and
     no full [nstate, nmems] prior array is ever retained on the host side:
     a kept reference was measured to OOM the chip at this size."""
-    from efa_xray_tpu.observation.thinning import _morton3d_np
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
     rng = np.random.default_rng(4)
     state_lat = rng.uniform(-88, 88, nstate)
     state_lon = rng.uniform(0, 360, nstate)
-    ro = np.argsort(_morton3d_np(state_lat, state_lon), kind="stable")
+    ro = np.argsort(_hilbert3d_np(state_lat, state_lon), kind="stable")
     state_lat, state_lon = state_lat[ro], state_lon[ro]
 
     rows = rng.integers(0, nstate, nobs)
     olat, olon = state_lat[rows], state_lon[rows]
-    oo = np.argsort(_morton3d_np(olat, olon), kind="stable")
+    oo = np.argsort(_hilbert3d_np(olat, olon), kind="stable")
     olat, olon = olat[oo], olon[oo]
     # Ob values near the prior mean; the timing is value-independent.
     vals = 280.0 + rng.normal(0, 1, nobs)

@@ -90,18 +90,18 @@ class EnSRF(Assimilation):
         return (1 << 22) if grid else 8192
 
     def _tail_pallas(self, interpret: bool, nobs: int) -> bool:
-        """Pallas tail-apply selection: explicit config wins; auto is on
-        for real-TPU fused-kernel runs with chordal geometry AND a large
-        batch.  The kernel's fixed per-panel overhead (~10 ms measured:
-        cull masks, gram build, launch) beats the XLA apply only once the
-        tail slab is big — measured crossover near 8k obs on a v5e
-        (5k obs: +0.12 s; 10k: -0.03 s; 50k: -1.1 s)."""
+        """Pallas tail selection: explicit config wins; auto is on for all
+        real-TPU chordal-geometry runs.  With the in-kernel panel SOLVE
+        (:mod:`efa_xray_tpu.ops.tail_solve_pallas`) the Pallas tail wins
+        at every batch size (v5e, panel 512: 2048 obs ~0 vs 14 ms XLA;
+        5k obs 13.9 vs 51 ms; 10k obs 11.4 vs 154 ms; 50k obs 0.14 vs
+        1.79 s) — the old >=8k-obs crossover belonged to the apply-only
+        Pallas tail whose solve was still the XLA scan."""
         cfg = self.config
         if cfg.tail_pallas is not None:
             return bool(cfg.tail_pallas)
         return (
             not interpret
-            and nobs >= 8192
             and cfg.hybrid_alpha >= 1.0
             and (cfg.fast_geometry or not cfg.localize)
         )

@@ -505,6 +505,38 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
     )
 
 
+def _panel_solve_pallas(tm, tp, pob: ObsArrays, pxyz, localize: bool,
+                        unbiased: bool, vertical: bool, interpret: bool,
+                        dtype) -> TailSolution:
+    """Serial solve of one obs panel via the single-dispatch Pallas kernel
+    (:mod:`efa_xray_tpu.ops.tail_solve_pallas`), wrapped as a
+    :class:`TailSolution`.  The ob-ob weight matrix (chordal GC x optional
+    vertical GC — an elementwise-heavy ``O(P^2)`` chain) is built here in
+    XLA and streamed into the kernel."""
+    from efa_xray_tpu.ops.tail_solve_pallas import tail_panel_solve_pallas
+
+    if localize:
+        wmat = chordal_gc_weights(
+            pxyz[None, :, :], pxyz[:, None, :], pob.radii[:, None]
+        ).astype(dtype)
+        if vertical:
+            wmat = wmat * gaspari_cohn(
+                jnp.abs(pob.verts[:, None] - pob.verts[None, :]),
+                pob.vert_radii[:, None],
+            ).astype(dtype)
+    else:
+        wmat = None
+    ptm, ptp, pye, pg, psq, ppm, ppv, pom, pov = tail_panel_solve_pallas(
+        tm, tp, pob.values, pob.errors, pob.assim, wmat,
+        localize=localize, unbiased=unbiased, interpret=interpret,
+    )
+    return TailSolution(
+        ye=pye, gain_coef=pg, sqrt_coef=psq,
+        tail_mean=ptm, tail_perts=ptp,
+        diags=ObsDiagnostics(ppm, ppv, pom, pov, pob.assim),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
@@ -540,11 +572,15 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     Sequential work drops from ``No`` full-tail passes to ``No`` tiny
     ``[B, M]`` steps + ``No/B`` MXU-blocked tail passes.
 
-    ``pallas_apply=True`` (TPU, chordal-geometry runs) routes step 2
-    through the fused v4 Pallas kernel instead of the XLA
-    ``apply_obs_block``: the per-ob recurrence runs on VMEM-resident
-    scratch in-kernel rather than as ~panel sequential HLO ops — the
-    dominant cost in the large-nobs regime (measured: config 8, 50k obs).
+    ``pallas_apply=True`` (TPU, chordal-geometry runs) routes BOTH phases
+    through Pallas: step 1's per-ob serial recurrence runs as one kernel
+    dispatch per panel on a VMEM-resident slab
+    (:mod:`efa_xray_tpu.ops.tail_solve_pallas` — removing the measured
+    ~13-15 us/ob XLA scan-step floor), and step 2 through the fused v4
+    kernel instead of the XLA ``apply_obs_block``: the per-ob recurrence
+    runs on VMEM-resident scratch in-kernel rather than as ~panel
+    sequential HLO ops — the dominant cost in the large-nobs regime
+    (measured: config 8, 50k obs).
     Key exactness fact making this possible: the in-panel rows that the
     XLA path masked out (``outside``) are overwritten by the exact panel
     solution right after the apply, so masking is unnecessary and ANY
@@ -564,6 +600,17 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             "and no hybrid static column"
         )
     if nobs == 0 or nobs <= panel:
+        if pallas_apply and nobs > 0:
+            # One panel covers the whole batch: the in-kernel solve IS the
+            # tail (no out-of-panel rows to apply to).
+            obs1 = obs.with_default_verts()
+            return _panel_solve_pallas(
+                tail_mean, tail_perts, obs1,
+                latlon_to_unit(obs1.lats, obs1.lons).astype(dtype)
+                if (localize and fast_geometry) else None,
+                localize=localize, unbiased=unbiased, vertical=vertical,
+                interpret=interpret, dtype=dtype,
+            )
         return tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
                          vertical=vertical, tail_sigma=tail_sigma, **hkw)
@@ -617,14 +664,28 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             verts=sl(verts, base),
             vert_radii=sl(vrads, base),
         )
-        # 1. exact serial solve on the panel's own rows.
-        sol = tail_scan(
-            jax.lax.dynamic_slice_in_dim(tm, base, panel),
-            jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),
-            pob, localize=localize, unbiased=unbiased,
-            fast_geometry=fast_geometry, vertical=vertical,
-            tail_sigma=sl(tsig_all, base) if hybrid else None, **hkw,
-        )
+        # 1. exact serial solve on the panel's own rows.  On the Pallas
+        # path the whole per-ob recurrence runs in ONE kernel dispatch
+        # (:func:`efa_xray_tpu.ops.tail_solve_pallas.tail_panel_solve_pallas`)
+        # instead of `panel` XLA scan steps — the measured ~13-15 us/ob
+        # step-dispatch floor of the large-nobs regime.
+        if pallas_apply:
+            sol = _panel_solve_pallas(
+                jax.lax.dynamic_slice_in_dim(tm, base, panel),
+                jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),
+                pob,
+                sl(all_xyz, base) if localize else None,
+                localize=localize, unbiased=unbiased, vertical=vertical,
+                interpret=interpret, dtype=dtype,
+            )
+        else:
+            sol = tail_scan(
+                jax.lax.dynamic_slice_in_dim(tm, base, panel),
+                jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),
+                pob, localize=localize, unbiased=unbiased,
+                fast_geometry=fast_geometry, vertical=vertical,
+                tail_sigma=sl(tsig_all, base) if hybrid else None, **hkw,
+            )
         # 2. blocked application to all rows outside the panel.  The
         # in-panel rows' apply results are irrelevant — they are
         # overwritten with the exact step-1 solution below — so the

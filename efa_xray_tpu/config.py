@@ -32,11 +32,12 @@ class FilterConfig:
     # scan dominates the update; panels keep the sequential part on tiny
     # [panel, M] slices.  Identical results up to fp reassociation.
     tail_panel: int = 512
-    # Route the tail solve's panel-apply through the fused v4 Pallas
-    # kernel (the per-ob recurrence runs on VMEM scratch instead of
-    # ~panel sequential HLO ops — the dominant term in the large-nobs
-    # regime).  True / False / None (auto: with the Pallas body on TPU
-    # when geometry is chordal).  Requires fast_geometry under
+    # Route the tail solve through Pallas: the per-panel serial recurrence
+    # runs as ONE kernel dispatch on a VMEM-resident slab
+    # (ops/tail_solve_pallas, removing the ~13-15 us/ob XLA scan-step
+    # floor) and the panel-apply through the fused v4 kernel.  True /
+    # False / None (auto: on for every real-TPU chordal-geometry run —
+    # measured faster at all batch sizes).  Requires fast_geometry under
     # localization; not available with hybrid covariance.
     tail_pallas: Optional[bool] = None
     # Forward-operator knobs (reference: efa_xray/state/ensemble.py:170-239).

@@ -168,8 +168,53 @@ def morton3d_keys(xyz, bits: int = 10):
     )
 
 
+def hilbert3d_keys(xyz, bits: int = 10):
+    """Hilbert-curve keys for unit vectors: uint32, ``bits`` per axis.
+
+    Same role as :func:`morton3d_keys`, but the Hilbert curve has no
+    Z-order jumps: every pair of consecutive cells is face-adjacent, so
+    contiguous tiles cover more compact caps.  Measured on the
+    1e7-row pod workload this tightens the fused kernel's cull bound from
+    19.6% to 17.9% alive panels (Hilbert rows + obs vs Morton both).
+    Vectorized Skilling AxesToTranspose (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004) + MSB-first interleave;
+    3 * bits <= 30 bits fit a uint32 at the default precision.
+    """
+    n = float((1 << bits) - 1)
+    q = jnp.clip((jnp.asarray(xyz) + 1.0) * 0.5 * n, 0.0, n).astype(
+        jnp.uint32
+    )
+    X = [q[..., 0], q[..., 1], q[..., 2]]
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = jnp.uint32(Q - 1)
+        for i in range(3):
+            m = (X[i] & jnp.uint32(Q)) != 0
+            X[0] = jnp.where(m, X[0] ^ P, X[0])
+            t = jnp.where(m, jnp.uint32(0), (X[0] ^ X[i]) & P)
+            X[0] = X[0] ^ t
+            X[i] = X[i] ^ t
+        Q >>= 1
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        m = (X[2] & jnp.uint32(Q)) != 0
+        t = jnp.where(m, t ^ jnp.uint32(Q - 1), t)
+        Q >>= 1
+    X = [x ^ t for x in X]
+    key = jnp.zeros_like(X[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(3):
+            key = (key << jnp.uint32(1)) | (
+                (X[i] >> jnp.uint32(b)) & jnp.uint32(1)
+            )
+    return key
+
+
 def spatial_sort_order(lat, lon, bits: int = 10):
-    """Permutation that orders points by spherical Morton key.
+    """Permutation that orders points by spherical Hilbert key.
 
     Returns an index array usable with ``np.take``/``jnp.take``.  Row order
     of a state is a free (exact) choice — per-row EnSRF updates are
@@ -177,9 +222,11 @@ def spatial_sort_order(lat, lon, bits: int = 10):
     definition (the reference itself shuffles it, ``efa_demo.ipynb`` cell
     11); sorting obs spatially is therefore an explicit, documented choice
     that picks one valid assimilation order that maximizes localization
-    sparsity.
+    sparsity.  Hilbert keys replaced Morton in round 3 (jump-free curve →
+    more compact row tiles → measured 19.6% → 17.9% alive cull panels at
+    the pod workload).
     """
-    return jnp.argsort(morton3d_keys(latlon_to_unit(lat, lon), bits=bits))
+    return jnp.argsort(hilbert3d_keys(latlon_to_unit(lat, lon), bits=bits))
 
 
 def gaspari_cohn_np(distances, halfwidth):

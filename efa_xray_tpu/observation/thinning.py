@@ -233,8 +233,47 @@ def _morton3d_np(lats, lons, bits: int = 10) -> np.ndarray:
     )
 
 
+def _hilbert3d_np(lats, lons, bits: int = 10) -> np.ndarray:
+    """NumPy twin of ``localization.hilbert3d_keys`` on (lat, lon) degrees
+    (vectorized Skilling AxesToTranspose + MSB-first interleave)."""
+    phi = np.radians(np.asarray(lats, float))
+    lam = np.radians(np.asarray(lons, float))
+    xyz = np.stack(
+        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+        axis=-1,
+    )
+    scale = (1 << bits) - 1
+    q = np.clip((xyz + 1.0) * 0.5 * scale, 0, scale).astype(np.uint32)
+    X = [q[..., 0].copy(), q[..., 1].copy(), q[..., 2].copy()]
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = np.uint32(Q - 1)
+        for i in range(3):
+            m = (X[i] & np.uint32(Q)) != 0
+            X[0] = np.where(m, X[0] ^ P, X[0])
+            t = np.where(m, np.uint32(0), (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= 1
+    X[1] ^= X[0]
+    X[2] ^= X[1]
+    t = np.zeros_like(X[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        m = (X[2] & np.uint32(Q)) != 0
+        t = np.where(m, t ^ np.uint32(Q - 1), t)
+        Q >>= 1
+    X = [x ^ t for x in X]
+    key = np.zeros_like(X[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(3):
+            key = (key << np.uint32(1)) | ((X[i] >> np.uint32(b))
+                                           & np.uint32(1))
+    return key
+
+
 def sort_spatially(batch: ObservationBatch) -> ObservationBatch:
-    """Reorder observations into spherical Morton (Z-curve) order.
+    """Reorder observations into spherical Hilbert-curve order.
 
     Observation ORDER is part of the serial EnSRF's definition — the
     reference itself assimilates in arbitrary order and even shuffles it
@@ -245,5 +284,5 @@ def sort_spatially(batch: ObservationBatch) -> ObservationBatch:
     of the provably-zero-weight work.  Without localization the analysis
     mean is order-independent (in exact arithmetic), making the sort free.
     """
-    order = np.argsort(_morton3d_np(batch.lats, batch.lons), kind="stable")
+    order = np.argsort(_hilbert3d_np(batch.lats, batch.lons), kind="stable")
     return ObservationBatch(**_subset(batch, order))

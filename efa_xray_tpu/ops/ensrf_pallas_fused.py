@@ -68,7 +68,16 @@ def _gc_poly(r):
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                        cull: bool, hybrid: bool = False,
-                       panel: int = PANEL):
+                       panel: int = PANEL, ablate: tuple = ()):
+    # ``ablate`` is a TIMING-ONLY instrument (benchmarks/body_anatomy.py):
+    # each named piece of the alive-panel work is skipped so its cost can
+    # be measured by difference on the real chip.  Results are WRONG under
+    # any ablation; production callers always pass ().
+    #   "d0"        zero the y @ X^T priors matmul
+    #   "weights"   skip the chordal-angle + Gaspari-Cohn weight chain
+    #   "panelcorr" skip the panel-level correction matmul
+    #   "corr2"     skip the per-ob left-looking correction matvecs
+    #   "final"     skip the rank-B mean/perturbation application matmuls
     def kernel(
         bits_ref,  # scalar-prefetch [gtiles, nblocks] int32 (SMEM): bit q
         # set = panel q of this (row-tile, obs-block) pair may have a
@@ -126,9 +135,13 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
             xbp = xbp_out_ref[:]  # current tile state (resident across blocks)
             y = y_ref[0, :, :]  # [B, M]
 
-            d0_ref[:] = jax.lax.dot_general(
-                y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
+            if "d0" in ablate:
+                d0_ref[:] = jnp.zeros_like(d0_ref)
+            else:
+                d0_ref[:] = jax.lax.dot_general(
+                    y, xbp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
             if hybrid:
                 mean_ref[:] = jnp.zeros_like(mean_ref)
 
@@ -148,7 +161,7 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                 width = min(panel, bsz - base)
 
                 def _panel_body(base=base, width=width):
-                    if base > 0:
+                    if base > 0 and "panelcorr" not in ablate:
                         corr = jax.lax.dot_general(
                             ggt_ref[0, base : base + width, 0:base],
                             u_ref[0:base, :],
@@ -157,8 +170,8 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         )
                         d_panel = d0_ref[base : base + width, :] - corr
                     else:
-                        d_panel = d0_ref[0:width, :]
-                    if need_geo:
+                        d_panel = d0_ref[base : base + width, :]
+                    if need_geo and "weights" not in ablate:
                         # Panel's chordal angles [width, TILE] from unit
                         # vectors (shared by the localization taper and
                         # the hybrid static correlation).
@@ -173,7 +186,7 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                             jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
                         )
                         dist = EARTH_RADIUS_KM * ang
-                    if localize:
+                    if localize and "weights" not in ablate:
                         r = dist * invrad_ref[
                             0, 0, base : base + width
                         ].reshape(-1, 1)
@@ -216,7 +229,7 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                     # benchmarks/pod_tile_sweep.py --panels.
                     for t in range(width):
                         j = base + t
-                        if t > 0:
+                        if t > 0 and "corr2" not in ablate:
                             corr2 = jax.lax.dot_general(
                                 ggt_ref[0, j : j + 1, base : base + t],
                                 u_ref[base : base + t, :],
@@ -225,8 +238,8 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                             )
                             d_j = d_panel[t : t + 1, :] - corr2
                         else:
-                            d_j = d_panel[0:1, :]
-                        if localize:
+                            d_j = d_panel[t : t + 1, :]
+                        if localize and "weights" not in ablate:
                             d_j = d_j * w_panel[t : t + 1, :]
                         if hybrid:
                             # d_j now holds u_j; accumulate its mean pull
@@ -261,6 +274,8 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                 else:
                     _panel_body()
 
+            if "final" in ablate:
+                return
             u_t = u_ref[:]
             if hybrid:
                 xbm_out_ref[:] = xbm_out_ref[:] + mean_ref[:]
@@ -379,6 +394,8 @@ def _fused_impl(
     body_sigma=None,  # [N] static-B std per row (hybrid mode)
     static_length=None,  # km: GC halfwidth of the static covariance model
     panel: int = PANEL,  # culling/recurrence panel width (obs per panel)
+    ablate: tuple = (),  # TIMING-ONLY kernel ablations (results are wrong);
+    # see _make_fused_kernel.  Used by benchmarks/body_anatomy.py.
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -569,7 +586,8 @@ def _fused_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel),
+        _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel,
+                           ablate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
@@ -856,7 +874,7 @@ def _fused_grid_impl(
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 _STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
-                          "panel")
+                          "panel", "ablate")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(

@@ -177,6 +177,16 @@ def tail_panel_solve_pallas(
     """
     p, m = tail_perts.shape
     dtype = tail_perts.dtype
+    if p > 1024:
+        # wrows + wcols alone are 2 * p^2 * 4 bytes of VMEM (8 MB at
+        # p = 1024); beyond that the kernel over-commits VMEM, and the
+        # axon remote worker was observed to CRASH (not error) on such
+        # panels.  Tail panels this large also buy nothing — the measured
+        # optimum is 512.
+        raise ValueError(
+            f"tail_panel_solve_pallas: panel {p} > 1024 over-commits VMEM "
+            "(use tail_panel <= 1024)"
+        )
     if weights is None:
         weights = jnp.ones((p, p), dtype=dtype)
         localize = False

@@ -108,15 +108,11 @@ def _ensrf_sharded_impl(
             tm, tp, ob, localize=localize, unbiased=unbiased,
             fast_geometry=fast_geometry, vertical=vertical,
             panel=tail_panel,
-            # Pallas tail-apply rides the same selection as the fused
-            # body: real-TPU chordal runs only (the tail replicates, so
-            # this stays collective-free), and only for big batches —
-            # the kernel's fixed per-panel overhead beats the XLA apply
-            # past ~8k obs (measured; see EnSRF._tail_pallas).
-            pallas_apply=bool(
-                fused and not interpret and not hybrid
-                and int(ob.values.shape[0]) >= 8192
-            ),
+            # Pallas tail (in-kernel panel solve + fused apply) rides the
+            # same selection as the fused body: real-TPU chordal runs
+            # only (the tail replicates, so this stays collective-free).
+            # It wins at every batch size (see EnSRF._tail_pallas).
+            pallas_apply=bool(fused and not interpret and not hybrid),
             interpret=interpret,
             pallas_tile=tile,
             **hkw,

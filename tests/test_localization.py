@@ -183,3 +183,48 @@ def test_map_localization_plot():
     proj = lambda lon, lat: (lon * 2.0, lat * 2.0)  # any callable projection
     ax2 = ob.map_localization(state, projection=proj)
     assert ax2 is not ax
+
+
+def test_hilbert_keys_jnp_matches_numpy_twin():
+    """Device hilbert3d_keys == host _hilbert3d_np (float64)."""
+    import jax
+    import jax.numpy as jnp
+    from efa_xray_tpu.observation.localization import (
+        hilbert3d_keys, latlon_to_unit)
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 4096)
+    lon = rng.uniform(0, 360, 4096)
+    host = _hilbert3d_np(lat, lon)
+    dev = np.asarray(hilbert3d_keys(latlon_to_unit(
+        jnp.asarray(lat, jnp.float64), jnp.asarray(lon, jnp.float64))))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_hilbert_order_tiles_more_compact_than_morton():
+    """The Hilbert curve's jump-free adjacency must give contiguous tiles
+    caps no wider (on average) than Morton's — the property the fused
+    kernel's culling exploits."""
+    import jax.numpy as jnp
+    from efa_xray_tpu.observation.localization import latlon_to_unit
+    from efa_xray_tpu.observation.thinning import (
+        _hilbert3d_np, _morton3d_np)
+
+    rng = np.random.default_rng(3)
+    n, tile = 1 << 15, 512
+    lat = rng.uniform(-88, 88, n)
+    lon = rng.uniform(0, 360, n)
+
+    def mean_cap(order):
+        xyz = np.asarray(latlon_to_unit(jnp.asarray(lat[order]),
+                                        jnp.asarray(lon[order])))
+        t = xyz.reshape(n // tile, tile, 3)
+        c = t.sum(axis=1)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        cosmin = np.einsum("gtc,gc->gt", t, c).min(axis=1)
+        return np.arccos(np.clip(cosmin, -1, 1)).mean()
+
+    cap_m = mean_cap(np.argsort(_morton3d_np(lat, lon), kind="stable"))
+    cap_h = mean_cap(np.argsort(_hilbert3d_np(lat, lon), kind="stable"))
+    assert cap_h <= cap_m * 1.001, (cap_h, cap_m)

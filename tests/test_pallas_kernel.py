@@ -522,3 +522,68 @@ def test_tail_pallas_guards():
         core.tail_scan_blocked(tm, tp, obs, localize=True,
                                fast_geometry=False, panel=8,
                                pallas_apply=True, interpret=True)
+
+
+@pytest.mark.parametrize("localize", [True, False])
+@pytest.mark.parametrize("unbiased", [False, True])
+def test_tail_panel_solve_pallas_matches_tail_scan(localize, unbiased):
+    """The in-kernel panel solve reproduces ensrf_core.tail_scan exactly
+    (float64 interpret mode): slab, ye sequence, coefficients, and all
+    four diagnostics, including inf radii and skipped obs."""
+    from efa_xray_tpu.observation.localization import (
+        chordal_gc_weights, latlon_to_unit)
+    from efa_xray_tpu.ops.tail_solve_pallas import tail_panel_solve_pallas
+
+    rng = np.random.default_rng(11)
+    P, M = 24, 10
+    lat = rng.uniform(-60, 60, P)
+    lon = rng.uniform(0, 360, P)
+    tp0 = rng.normal(0, 1, (P, M))
+    tp0 -= tp0.mean(1, keepdims=True)
+    tm0 = rng.normal(280, 3, P)
+    obs = core.ObsArrays(
+        values=jnp.asarray(tm0 + rng.normal(0, 1, P)),
+        errors=jnp.asarray(rng.uniform(0.5, 2.0, P)),
+        lats=jnp.asarray(lat), lons=jnp.asarray(lon),
+        radii=jnp.asarray(np.where(rng.random(P) < 0.2, np.inf, 2000.0)),
+        assim=jnp.asarray(rng.random(P) > 0.25),
+    )
+    sol = core.tail_scan(jnp.asarray(tm0), jnp.asarray(tp0), obs,
+                         localize=localize, unbiased=unbiased,
+                         fast_geometry=True)
+    if localize:
+        xyz = latlon_to_unit(obs.lats, obs.lons)
+        wmat = chordal_gc_weights(xyz[None, :, :], xyz[:, None, :],
+                                  obs.radii[:, None])
+    else:
+        wmat = None
+    got = tail_panel_solve_pallas(
+        jnp.asarray(tm0), jnp.asarray(tp0), obs.values, obs.errors,
+        obs.assim, wmat, localize=localize, unbiased=unbiased,
+        interpret=True)
+    refs = (sol.tail_mean, sol.tail_perts, sol.ye, sol.gain_coef,
+            sol.sqrt_coef, sol.diags.prior_mean, sol.diags.prior_var,
+            sol.diags.post_mean, sol.diags.post_var)
+    for name, a, b in zip(
+            "tm tp ye gain sqrt pm pv om ov".split(), got, refs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=1e-9, err_msg=name)
+
+
+def test_tail_pallas_blocked_diags_match_xla():
+    """tail_scan_blocked with pallas_apply=True (which now also runs the
+    panel SOLVE in-kernel) reproduces the XLA path's diagnostics."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=30, nmems=10)
+    obs = obs._replace(assim=jnp.asarray(
+        np.random.default_rng(6).random(30) > 0.3))
+    ref = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=8)
+    got = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=8,
+                                 pallas_apply=True, interpret=True,
+                                 pallas_tile=64)
+    for name in ("prior_mean", "prior_var", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.diags, name)),
+            np.asarray(getattr(ref.diags, name)), atol=5e-4, rtol=0,
+            err_msg=name)
