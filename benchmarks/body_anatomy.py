@@ -27,6 +27,7 @@ Usage: python benchmarks/body_anatomy.py [--workload pod] [--tile 8192]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 
 import jax
@@ -52,7 +53,7 @@ def measure_body(nstate, nmems, nobs, tile, iters, ablate=(), dtype=None,
             sqrt_coef=tail.sqrt_coef, tail_mean=tail.tail_mean,
             tail_perts=tail.tail_perts, diags=tail.diags)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def body_step(bm, bp):
         return _fused_impl(bm, bp, blat, blon, tail, obs, localize=True,
                            block_size=128, tile=tile, ablate=ablate)

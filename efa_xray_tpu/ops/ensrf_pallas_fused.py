@@ -68,7 +68,8 @@ def _gc_poly(r):
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                        cull: bool, hybrid: bool = False,
-                       panel: int = PANEL, ablate: tuple = ()):
+                       panel: int = PANEL, ablate: tuple = (),
+                       corr2_form: str = "dot"):
     # ``ablate`` is a TIMING-ONLY instrument (benchmarks/body_anatomy.py):
     # each named piece of the alive-panel work is skipped so its cost can
     # be measured by difference on the real chip.  Results are WRONG under
@@ -226,17 +227,45 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                     # (0.913 s vs 0.818 s body; the in-place VMEM
                     # read-modify-writes cost more than the small dots),
                     # as were panel widths 4 and 16 (1.55 / 1.47 s) — see
-                    # benchmarks/pod_tile_sweep.py --panels.
+                    # benchmarks/pod_tile_sweep.py --panels.  The
+                    # corr2_form="fma" variant below (scalar-broadcast
+                    # VPU chain on register-resident columns, no MXU)
+                    # was ALSO measured slower — headline body 56 vs
+                    # 24 ms — the [1, TILE] one-sublane rows waste 7/8
+                    # of the VPU and the [1, 1] broadcasts don't
+                    # pipeline; the one-sublane MXU dots win despite
+                    # their ~1/128 array utilization ("corr2-form" entry
+                    # in benchmarks/results_v5e_r3.json).
+                    u_rows = []  # corr2_form="fma": panel's solved columns
+                    # as live VALUES so the correction never re-reads VMEM
                     for t in range(width):
                         j = base + t
                         if t > 0 and "corr2" not in ablate:
-                            corr2 = jax.lax.dot_general(
-                                ggt_ref[0, j : j + 1, base : base + t],
-                                u_ref[base : base + t, :],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32,
-                            )
-                            d_j = d_panel[t : t + 1, :] - corr2
+                            if corr2_form == "fma":
+                                # Scalar-broadcast VPU FMA chain instead
+                                # of a [1, t] x [t, TILE] MXU dot: the dot
+                                # writes ONE output sublane (<= 1/128 MXU
+                                # utilization) and re-reads the solved
+                                # columns from VMEM; the FMA form streams
+                                # the ggt scalars against the
+                                # register-resident columns.
+                                d_j = d_panel[t : t + 1, :]
+                                for i in range(t):
+                                    d_j = (
+                                        d_j
+                                        - ggt_ref[
+                                            0, j : j + 1, base + i : base + i + 1
+                                        ]
+                                        * u_rows[i]
+                                    )
+                            else:
+                                corr2 = jax.lax.dot_general(
+                                    ggt_ref[0, j : j + 1, base : base + t],
+                                    u_ref[base : base + t, :],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32,
+                                )
+                                d_j = d_panel[t : t + 1, :] - corr2
                         else:
                             d_j = d_panel[t : t + 1, :]
                         if localize and "weights" not in ablate:
@@ -254,6 +283,12 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                                 + ssqrt_ref[0, 0, j] * s_panel[t : t + 1, :]
                             )
                         u_ref[j : j + 1, :] = d_j
+                        if corr2_form == "fma":
+                            # Stored column == u_ref row j (after the
+                            # weight / hybrid transform), so the FMA chain
+                            # corrects against exactly what the dot form
+                            # would re-read.
+                            u_rows.append(d_j)
 
                 if localize and cull:
                     # Per-panel cull: a dead panel's weights are all zero,
@@ -396,6 +431,9 @@ def _fused_impl(
     panel: int = PANEL,  # culling/recurrence panel width (obs per panel)
     ablate: tuple = (),  # TIMING-ONLY kernel ablations (results are wrong);
     # see _make_fused_kernel.  Used by benchmarks/body_anatomy.py.
+    corr2_form: str = "dot",  # within-panel correction form: "dot" (small
+    # MXU matvecs against u_ref) or "fma" (scalar-broadcast VPU chain on
+    # register-resident columns).  Algebraically identical.
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -587,7 +625,7 @@ def _fused_impl(
 
     out_mean, out_perts = pl.pallas_call(
         _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel,
-                           ablate),
+                           ablate, corr2_form),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
@@ -874,7 +912,7 @@ def _fused_grid_impl(
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 _STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
-                          "panel", "ablate")
+                          "panel", "ablate", "corr2_form")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(

@@ -181,6 +181,26 @@ def test_fused_v4_odd_row_count():
                                rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.parametrize("localize", [True, False])
+def test_fused_v4_corr2_fma_matches_dot(localize):
+    """The scalar-broadcast FMA form of the within-panel correction is
+    algebraically identical to the small-dot form (summation order is the
+    only difference)."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=13, nmems=16, seed=6)
+    tail = core.tail_scan(tm, tp, obs, localize=localize)
+    kw = dict(localize=localize, block_size=4, tile=64, interpret=True)
+    dot = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, corr2_form="dot", **kw)
+    fma = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, corr2_form="fma", **kw)
+    np.testing.assert_allclose(np.asarray(fma[0]), np.asarray(dot[0]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fma[1]), np.asarray(dot[1]),
+                               rtol=2e-5, atol=2e-4)
+
+
 def test_fused_v4_matches_xla_exact():
     """v4 vs the exact-geometry XLA blocked path (weight-formula tolerance)."""
     from efa_xray_tpu.ops.ensrf_pallas_fused import ensrf_blocked_body_pallas_fused
