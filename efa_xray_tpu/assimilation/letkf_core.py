@@ -75,6 +75,12 @@ def _top_k(dots, k: int, method: str = "exact"):
     """
     if method == "approx":
         return jax.lax.approx_max_k(dots, k, recall_target=0.95)
+    # Measured dead end (benchmarks/letkf_breakdown.py, pod slice):
+    # approx_max_k(recall_target=1.0) — the partial-reduce op with loss
+    # disabled — runs at the SAME cost as the sort-based primitive
+    # (1.082 vs 1.084 s for the 524k-patch selection), so there is no
+    # fast exact path; "approx" (0.160 s, recall >= 0.95) is the fast
+    # option and exact selection stays on lax.top_k.
     return jax.lax.top_k(dots, k)
 
 

@@ -113,10 +113,14 @@ class FilterConfig:
     # better; 512 is the knee.
     letkf_chunk: int = 512
     # Nearest-k obs selection primitive: "exact" (lax.top_k) or "approx"
-    # (lax.approx_max_k, the TPU-optimized partial reduction, recall >=
-    # 0.95 per patch — a missed far-edge ob carries a near-zero GC weight
-    # by construction, so the analysis impact is far below the nearest-k
-    # truncation already accepted).
+    # (lax.approx_max_k, recall >= 0.95 per patch — a missed far-edge ob
+    # carries a near-zero GC weight by construction, so the analysis
+    # impact is far below the nearest-k truncation already accepted).
+    # Measured at the pod slice (benchmarks/letkf_breakdown.py): exact
+    # selection is 45% of the whole LETKF update (1.08 of 2.39 s) and has
+    # no faster exact form (approx_max_k at recall_target=1.0 lowers to
+    # the same cost); "approx" selects 6.8x faster (0.16 s, full update
+    # 1.47 s) and is the recommended production setting.
     letkf_topk: str = "exact"
     # --- Hybrid ensemble-static background covariance (Hamill & Snyder
     # 2000).  hybrid_alpha = 1 is the pure ensemble filter (reference
