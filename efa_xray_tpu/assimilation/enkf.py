@@ -16,10 +16,15 @@ exchange for exactly Gaussian-consistent higher moments (the square-root
 filter's deterministic update can produce non-Gaussian outliers in small
 ensembles).
 
-TPU shape: the same serial ``lax.scan`` as
-:func:`efa_xray_tpu.assimilation.ensrf_core.ensrf_serial`; the only extra
-state is the pre-drawn ``[nobs, M]`` perturbation table (one
-``jax.random.normal`` call — never a per-ob host RNG round-trip).
+TPU shape: the default blocked two-phase form mirrors the EnSRF
+(``method="blocked"``: obs-space tail scan + Gram-corrected block sweep of
+the body, :func:`enkf_blocked`) — the same one-HBM-pass-per-block
+structure, with the apply rows being the perturbed departures ``z`` and
+the correction Gram ``Z Ye^T``.  ``method="serial"`` keeps the literal
+per-ob ``lax.scan`` twin of
+:func:`efa_xray_tpu.assimilation.ensrf_core.ensrf_serial`.  The only
+extra state either way is the pre-drawn ``[nobs, M]`` perturbation table
+(one ``jax.random.normal`` call — never a per-ob host RNG round-trip).
 """
 
 from __future__ import annotations
@@ -182,6 +187,147 @@ def enkf_serial(
     return bm, bp, tm, tp, ObsDiagnostics(*diags)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical"),
+)
+def enkf_tail_scan(tail_mean, tail_perts, obs: ObsArrays, eps,
+                   localize: bool = True, unbiased: bool = False,
+                   fast_geometry: bool = False, vertical: bool = False):
+    """Run the stochastic EnKF on the observation-space tail only.
+
+    The EnKF twin of :func:`ensrf_core.tail_scan`: produces the exact
+    as-encountered ``ye`` sequence, the per-ob scalar coefficients, and
+    the perturbed-ob departure rows ``z = ye - eps`` that the blocked
+    body sweep applies against.  Returns ``(TailSolution, z)`` with
+    ``gain_coef = innov * scale`` and ``sqrt_coef = scale`` (the EnKF
+    applies the FULL gain to ``z``; there is no beta factor — Burgers
+    et al. 1998 eq. 10, vs the reference's square root,
+    ``efa_xray/assimilation/ensrf.py:135``).
+    """
+    nens = tail_perts.shape[1]
+    dtype = tail_perts.dtype
+    nobs = obs.values.shape[0]
+    if nobs == 0:
+        zc = jnp.zeros((0,), dtype=dtype)
+        return core.TailSolution(
+            ye=jnp.zeros((0, nens), dtype=dtype), gain_coef=zc,
+            sqrt_coef=zc, tail_mean=tail_mean, tail_perts=tail_perts,
+            diags=_empty_diags(dtype),
+        ), jnp.zeros((0, nens), dtype=dtype)
+
+    if localize and fast_geometry:
+        tail_xyz = latlon_to_unit(obs.lats, obs.lons).astype(dtype)
+    else:
+        tail_xyz = None
+    obs = obs.with_default_verts()
+    tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
+
+    def step(carry, xs):
+        tm, tp = carry
+        (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad,
+         eps_row) = xs
+
+        ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
+        mye = tm[i]
+        varye = _ye_var(ye, unbiased)
+        innov = y - mye
+        kdenom = varye + r_err
+        scale = 1.0 / (kdenom * (nens - 1))
+
+        kcov_t = tp @ ye
+        vkw = dict(row_vert=tail_vert, ob_vert=ob_vert,
+                   vert_radius=ob_vrad) if (localize and vertical) else {}
+        if localize and fast_geometry:
+            w_t = _loc_weights(None, None, None, None, radius, True, dtype,
+                               row_xyz=tail_xyz,
+                               ob_xyz=latlon_to_unit(ob_lat, ob_lon)
+                               .astype(dtype), **vkw)
+        else:
+            w_t = _loc_weights(obs.lats, obs.lons, ob_lat, ob_lon, radius,
+                               localize, dtype, **vkw)
+        if localize:
+            kcov_t = kcov_t * w_t
+        kmat_t = kcov_t * scale
+
+        z = ye - eps_row
+        tm2 = jnp.where(do_assim, tm + kmat_t * innov, tm)
+        tp2 = jnp.where(do_assim, tp - kmat_t[:, None] * z[None, :], tp)
+
+        post_row = jax.lax.dynamic_index_in_dim(tp2, i, axis=0,
+                                                keepdims=False)
+        out = (
+            ye,
+            z,
+            jnp.where(do_assim, innov * scale, 0.0),
+            jnp.where(do_assim, scale, 0.0),
+            mye,
+            varye,
+            jnp.where(do_assim, tm2[i], jnp.nan),
+            jnp.where(do_assim, _ye_var(post_row, unbiased), jnp.nan),
+            do_assim,
+        )
+        return (tm2, tp2), out
+
+    xs = (
+        jnp.arange(nobs),
+        obs.values.astype(dtype),
+        obs.errors.astype(dtype),
+        obs.lats.astype(dtype),
+        obs.lons.astype(dtype),
+        obs.radii.astype(dtype),
+        obs.assim,
+        obs.verts.astype(dtype),
+        obs.vert_radii.astype(dtype),
+        eps.astype(dtype),
+    )
+    with jax.named_scope("enkf/tail_scan"):
+        (tm, tp), (ye, z, gain, coef, pm, pv, om, ov, asm) = jax.lax.scan(
+            step, (tail_mean, tail_perts), xs
+        )
+    return core.TailSolution(
+        ye=ye, gain_coef=gain, sqrt_coef=coef, tail_mean=tm,
+        tail_perts=tp, diags=ObsDiagnostics(pm, pv, om, ov, asm),
+    ), z
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
+                     "block_size"),
+)
+def enkf_blocked(
+    body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
+    obs: ObsArrays, eps,
+    localize: bool = True, unbiased: bool = False,
+    fast_geometry: bool = False, body_vert=None, vertical: bool = False,
+    block_size: int = 128,
+):
+    """Blocked two-phase stochastic EnKF: obs-space tail scan + one
+    block-swept body application.
+
+    The EnKF twin of :func:`ensrf_core.ensrf_blocked`: phase 1 solves the
+    cheap ``[No, M]`` tail serially (exact ye sequence + coefficients +
+    departure rows ``z``); phase 2 applies all obs to the state body in
+    ``block_size`` batches through the same Gram-corrected recurrence as
+    the EnSRF, with the apply rows being ``z`` instead of ``ye``
+    (``apply_obs_block(apply_rows=...)``).  Algebraically identical to
+    :func:`enkf_serial` for the same ``eps`` (fp reassociation only); the
+    state body crosses HBM ``No/block_size`` times instead of ``No``.
+    """
+    tail, z = enkf_tail_scan(
+        tail_mean, tail_perts, obs, eps, localize=localize,
+        unbiased=unbiased, fast_geometry=fast_geometry, vertical=vertical,
+    )
+    bm, bp = core.ensrf_blocked_body(
+        body_mean, body_perts, body_lat, body_lon, tail, obs,
+        localize=localize, block_size=block_size,
+        fast_geometry=fast_geometry, body_vert=body_vert,
+        vertical=vertical, apply_rows=z,
+    )
+    return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
+
+
 class EnKF(Assimilation):
     """User-facing stochastic EnKF with the same API as
     :class:`~efa_xray_tpu.assimilation.ensrf.EnSRF` /
@@ -265,6 +411,23 @@ class EnKF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+            )
+        elif cfg.method == "blocked":
+            bm, bp, tm, tp, diags = enkf_blocked(
+                body_mean,
+                body_perts,
+                tail_mean,
+                tail_perts,
+                body_lat,
+                body_lon,
+                obs,
+                eps,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
+                block_size=cfg.block_size,
             )
         else:
             bm, bp, tm, tp, diags = enkf_serial(

@@ -841,7 +841,8 @@ def _block_recurrence(d0, gram, w, gain_coef, sqrt_coef, panel: int = 8,
 
 @jax.jit
 def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef,
-                    w_block, static_mean=None, static_tilde=None):
+                    w_block, static_mean=None, static_tilde=None,
+                    apply_rows=None):
     """Apply one block of B pre-solved observations to the state body.
 
     ``ye_block [B, M]``, coefficients ``[B]``, ``w_block [rows, B]`` (or
@@ -854,17 +855,29 @@ def apply_obs_block(body_mean, body_perts, ye_block, gain_coef, sqrt_coef,
     mean pull ``sigma_row * (Gc @ static_gain)``) added once, and
     ``static_tilde [rows, B]`` (``sigma_row static_sqrt_j gc_j`` columns)
     riding the same recurrence/matmul as the ensemble part.
+
+    ``apply_rows [B, M]`` (default: ``ye_block``): the rows the solved
+    gain columns are applied AGAINST — for the square-root filter these
+    are the ``ye`` rows themselves (perts update ``X - V @ Y``,
+    ``efa_xray/assimilation/ensrf.py:141``); for the stochastic EnKF they
+    are the perturbed-ob departures ``z = ye - eps`` (Burgers et al. 1998
+    eq. 10), and the correction Gram becomes ``A @ Y^T`` since later obs'
+    priors see the state updated by ``V @ A``.
     """
     y = ye_block.astype(body_perts.dtype)
+    a = y if apply_rows is None else apply_rows.astype(body_perts.dtype)
     d0 = jnp.dot(body_perts, y.T, preferred_element_type=body_perts.dtype)
-    gram = jnp.dot(y, y.T, preferred_element_type=body_perts.dtype)
+    # gram[i, j] = a_i . ye_j: the prior of (later) ob j picks up column i
+    # through the ``- V @ A`` perts update.  Pure square-root mode has
+    # a == y and this is the usual symmetric Ye Gram.
+    gram = jnp.dot(a, y.T, preferred_element_type=body_perts.dtype)
     u, v = _block_recurrence(d0, gram, w_block, gain_coef, sqrt_coef,
                              static_tilde=static_tilde)
     body_mean = body_mean + u @ gain_coef
     if static_mean is not None:
         body_mean = body_mean + static_mean
     body_perts = body_perts - jnp.dot(
-        v, y, preferred_element_type=body_perts.dtype
+        v, a, preferred_element_type=body_perts.dtype
     )
     return body_mean, body_perts
 
@@ -889,6 +902,8 @@ def ensrf_blocked_body(
     hybrid: bool = False,
     body_sigma=None,  # [Ns] static-B std per row (hybrid mode)
     static_length=None,  # scalar km: GC halfwidth of the static correlation
+    apply_rows=None,  # [No, M] alternative apply rows (stochastic EnKF:
+    # z = ye - eps; see apply_obs_block)
 ):
     """Phase 2: sweep the pre-solved observation sequence over the state
     body in blocks.  Exact (up to fp reassociation) match of the serial
@@ -908,6 +923,9 @@ def ensrf_blocked_body(
             "hybrid blocked body needs body_sigma, static_length and a "
             "hybrid-mode TailSolution (static_gain/static_sqrt)"
         )
+    if hybrid and apply_rows is not None:
+        raise ValueError("apply_rows (stochastic EnKF) does not combine "
+                         "with hybrid covariance")
     nblocks = -(-nobs // block_size)
     pad = nblocks * block_size - nobs
 
@@ -922,6 +940,14 @@ def ensrf_blocked_body(
     ob_vrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf)
 
     ye_b = ye.reshape(nblocks, block_size, -1)
+    # Apply rows ride the scan alongside ye; the dispatch below is
+    # Python-static, so the square-root path (apply_rows=None) still
+    # traces apply_obs_block's symmetric a == y form and the dummy xs
+    # entry is dead-code-eliminated.
+    use_ar = apply_rows is not None
+    ar_b = (ye_b if not use_ar
+            else jnp.pad(apply_rows.astype(dtype), ((0, pad), (0, 0)))
+            .reshape(nblocks, block_size, -1))
     gain_b = gain.reshape(nblocks, block_size).astype(dtype)
     sqrt_b = sqrtc.reshape(nblocks, block_size).astype(dtype)
     lat_b = ob_lat.reshape(nblocks, block_size)
@@ -951,7 +977,7 @@ def ensrf_blocked_body(
 
     def step(carry, xs):
         bm, bp = carry
-        yb, gb, sb, latb, lonb, radb, vertb, vradb, sgb, ssb = xs
+        yb, ab, gb, sb, latb, lonb, radb, vertb, vradb, sgb, ssb = xs
         if localize and fast_geometry:
             ob_xyz = latlon_to_unit(latb, lonb).astype(dtype)
             w = chordal_gc_weights(
@@ -983,15 +1009,16 @@ def ensrf_blocked_body(
             static_tilde = bsig[:, None] * gc * ssb[None, :]
         bm, bp = apply_obs_block(bm, bp, yb, gb, sb, w,
                                  static_mean=static_mean,
-                                 static_tilde=static_tilde)
+                                 static_tilde=static_tilde,
+                                 apply_rows=ab if use_ar else None)
         return (bm, bp), None
 
     with jax.named_scope("ensrf/block_update"):
         (bm, bp), _ = jax.lax.scan(
             step,
             (body_mean, body_perts),
-            (ye_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b, vrad_b,
-             sgain_b, ssqrt_b),
+            (ye_b, ar_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b,
+             vrad_b, sgain_b, ssqrt_b),
         )
     return bm, bp
 

@@ -21,6 +21,7 @@ from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.assimilation.enkf import (
     EnKF,
     draw_ob_perturbations,
+    enkf_blocked,
     enkf_serial,
 )
 from efa_xray_tpu.config import FilterConfig
@@ -109,6 +110,66 @@ def test_monte_carlo_variance_matches_ensrf():
     ratio = var_mc.mean() / var_srf.mean()
     assert 0.9 < ratio < 1.1, ratio
     np.testing.assert_allclose(var_mc, var_srf, rtol=0.35)
+
+
+@pytest.mark.parametrize("localize,fast_geometry",
+                         [(True, False), (True, True), (False, False)])
+def test_enkf_blocked_equals_serial(localize, fast_geometry):
+    """The blocked two-phase EnKF (tail scan + Gram-corrected block sweep
+    with apply_rows=z) is algebraically identical to the serial scan for
+    the same perturbation draw — including QC-masked obs."""
+    bm, bp, tm, tp, lat, lon, obs = _toy(nobs=23, seed=4)
+    eps = draw_ob_perturbations(jax.random.PRNGKey(9),
+                                obs.errors, bp.shape[1])
+    s = enkf_serial(bm, bp, tm, tp, lat, lon, obs, eps,
+                    localize=localize, fast_geometry=fast_geometry)
+    for bs in (4, 8, 23, 64):
+        b = enkf_blocked(bm, bp, tm, tp, lat, lon, obs, eps,
+                         localize=localize, fast_geometry=fast_geometry,
+                         block_size=bs)
+        for i in range(4):
+            np.testing.assert_allclose(np.asarray(b[i]), np.asarray(s[i]),
+                                       atol=1e-9)
+        for f in range(5):
+            np.testing.assert_allclose(np.asarray(b[4][f]),
+                                       np.asarray(s[4][f]), atol=1e-9)
+
+
+def test_enkf_blocked_equals_serial_vertical():
+    """Vertical-localization parity of the blocked EnKF."""
+    bm, bp, tm, tp, lat, lon, obs = _toy(nobs=15, seed=6)
+    rng = np.random.default_rng(7)
+    obs = obs._replace(
+        verts=jnp.asarray(rng.uniform(100, 900, 15), jnp.float64),
+        vert_radii=jnp.full(15, 300.0, jnp.float64),
+    )
+    bvert = jnp.asarray(rng.uniform(100, 900, bm.shape[0]), jnp.float64)
+    eps = draw_ob_perturbations(jax.random.PRNGKey(3),
+                                obs.errors, bp.shape[1])
+    s = enkf_serial(bm, bp, tm, tp, lat, lon, obs, eps, localize=True,
+                    vertical=True, body_vert=bvert)
+    b = enkf_blocked(bm, bp, tm, tp, lat, lon, obs, eps, localize=True,
+                     vertical=True, body_vert=bvert, block_size=8)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(b[i]), np.asarray(s[i]),
+                                   atol=1e-9)
+
+
+def test_enkf_class_serial_vs_blocked_method():
+    """EnKF dispatches on FilterConfig.method; both produce the same
+    analysis for the same seed (float64)."""
+    state = make_demo_state(nmems=14, seed=8)
+    obs = make_demo_obs(state, nobs=9, seed=9, radius=1500.0)
+    cfg_b = FilterConfig(localization="GC", dtype="float64",
+                         method="blocked")
+    cfg_s = FilterConfig(localization="GC", dtype="float64",
+                         method="serial")
+    post_b, _ = EnKF(state, list(obs), config=cfg_b, verbose=False,
+                     seed=21).update()
+    post_s, _ = EnKF(state, list(obs), config=cfg_s, verbose=False,
+                     seed=21).update()
+    np.testing.assert_allclose(np.asarray(post_b.data),
+                               np.asarray(post_s.data), atol=1e-9)
 
 
 def test_enkf_class_end_to_end():
