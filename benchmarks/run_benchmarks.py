@@ -94,8 +94,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=(kernel != "xla"),
                                       vertical=vertical, panel=512,
-                                      pallas_apply=(kernel != "xla"
-                                                    and nobs >= 8192))
+                                      pallas_apply=(kernel != "xla"))
         if kernel == "v4g":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
 
@@ -409,8 +408,7 @@ def bench_config10(nstate=10_000_000, nmems=80, nobs=10_000, iters=2,
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=True, panel=512,
-                                      pallas_apply=(kernel == "v4"
-                                                    and nobs >= 8192))
+                                      pallas_apply=(kernel == "v4"))
         if kernel == "v4":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
 
@@ -688,10 +686,68 @@ def bench_config8(nobs_list=(2000, 10000, 50000)):
     return out
 
 
+def bench_config11(nobs=2000, iters=3):
+    """Stochastic EnKF at config-2 scale, serial scan vs the blocked
+    two-phase form (round 3; same Gram-corrected machinery as the EnSRF
+    with apply rows z = ye - eps; ``enkf.enkf_blocked``)."""
+    import functools
+
+    try:
+        from benchmarks.breakdown import _chain_time
+    except ImportError:  # invoked as `python benchmarks/run_benchmarks.py`
+        from breakdown import _chain_time
+    from efa_xray_tpu.assimilation import enkf as E
+
+    rng = np.random.default_rng(6)
+    ny, nx, nmems = 361, 720, 40
+    ngrid = ny * nx
+    lat1d = np.linspace(-90, 90, ny)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    rows = rng.integers(0, ngrid, nobs)
+    obs = _obs_arrays(
+        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
+        lat.ravel()[rows], lon.ravel()[rows], np.full(nobs, 2000.0),
+        jnp.float32,
+    )
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.asarray(prior[rows].mean(1))
+    tp = jnp.asarray(prior[rows] - prior[rows].mean(1, keepdims=True))
+    blat = jnp.asarray(lat.ravel(), jnp.float32)
+    blon = jnp.asarray(lon.ravel(), jnp.float32)
+    eps = E.draw_ob_perturbations(jax.random.PRNGKey(0), obs.errors, nmems)
+    out = {"config": "11-enkf-0.5deg", "nstate": ngrid, "nmems": nmems,
+           "nobs": nobs}
+    for name, fn in (
+        ("serial", E.enkf_serial),
+        ("blocked", functools.partial(E.enkf_blocked, block_size=128)),
+    ):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(b, p, fn=fn):
+            r = fn(b, p, tm, tp, blat, blon, obs, eps,
+                   localize=True, fast_geometry=True)
+            return r[0], r[1]
+        try:
+            b2, p2 = jnp.array(bm), jnp.array(bp)
+            t, _ = _chain_time(
+                lambda a, b: step(a, b), (b2, p2),
+                lambda c: jnp.sum(c[0]) + jnp.sum(c[1][:, 0]), iters=iters)
+            out[name + "_seconds"] = t
+        except Exception as e:
+            out[name + "_seconds"] = None
+            out[name + "_error"] = repr(e)[:200]
+    if out.get("blocked_seconds"):
+        out["obs_points_per_sec"] = nobs * ngrid / out["blocked_seconds"]
+    out["backend"] = jax.default_backend()
+    return out
+
+
 BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
            3: bench_config3, 4: bench_config4, 5: bench_config5,
            6: bench_config6, 7: bench_config7, 8: bench_config8,
-           9: bench_config9, 10: bench_config10}
+           9: bench_config9, 10: bench_config10, 11: bench_config11}
 
 
 def main():
