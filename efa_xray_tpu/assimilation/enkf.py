@@ -411,6 +411,8 @@ class EnKF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+                method=cfg.method,
+                block_size=cfg.block_size,
             )
         elif cfg.method == "blocked":
             bm, bp, tm, tp, diags = enkf_blocked(

@@ -333,13 +333,26 @@ def _enkf_sharded_impl(
     unbiased: bool,
     fast_geometry: bool,
     vertical: bool,
+    method: str,
+    block_size: int,
 ):
-    from efa_xray_tpu.assimilation.enkf import enkf_serial
+    from efa_xray_tpu.assimilation.enkf import enkf_blocked, enkf_serial
 
     in_specs, out_specs = _shard_specs(axis_name)
     in_specs = in_specs + (P(),)  # eps replicates with the tail
 
     def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, eps_rep):
+        # The tail (and its scan) replicates per shard either way; the
+        # blocked form additionally block-sweeps the LOCAL body rows
+        # through the Gram-corrected recurrence (apply rows z) — still
+        # zero collectives, same layout as the EnSRF sharded path.
+        if method == "blocked":
+            return enkf_blocked(
+                bm, bp, tm, tp, blat, blon, ob, eps_rep,
+                localize=localize, unbiased=unbiased,
+                fast_geometry=fast_geometry, body_vert=bvert,
+                vertical=vertical, block_size=block_size,
+            )
         return enkf_serial(
             bm, bp, tm, tp, blat, blon, ob, eps_rep, localize=localize,
             unbiased=unbiased, fast_geometry=fast_geometry,
@@ -361,6 +374,7 @@ def _enkf_sharded_impl(
 
 _ENKF_SHARDED_STATIC = (
     "mesh", "localize", "axis_name", "unbiased", "fast_geometry", "vertical",
+    "method", "block_size",
 )
 
 _enkf_sharded_jit = jax.jit(
@@ -384,11 +398,16 @@ def enkf_update_sharded(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    method: str = "blocked",
+    block_size: int = 128,
 ):
     """Sharded stochastic EnKF (same layout/communication design as
     :func:`ensrf_update_sharded`): state body sharded along the state axis,
-    obs tail AND the perturbation table replicated, the serial scan runs
-    row-locally with zero per-ob collectives.  The perturbed-ob update is
+    obs tail AND the perturbation table replicated, the update runs
+    row-locally with zero per-ob collectives — ``method="blocked"``
+    (default) block-sweeps each shard's rows through the Gram-corrected
+    recurrence (:func:`efa_xray_tpu.assimilation.enkf.enkf_blocked`);
+    ``"serial"`` keeps the per-ob scan.  The perturbed-ob update is
     exactly as row-parallel as the square-root one — ``eps`` enters only
     through the obs-space vector ``ye - eps~``."""
     ns = body_mean.shape[0]
@@ -432,6 +451,8 @@ def enkf_update_sharded(
         unbiased=unbiased,
         fast_geometry=fast_geometry,
         vertical=vertical,
+        method=method,
+        block_size=block_size,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

@@ -244,3 +244,11 @@ def test_enkf_sharded_matches_single_device():
                     seed=4, mesh=make_mesh()).update()
     np.testing.assert_allclose(np.asarray(post8.data), np.asarray(post1.data),
                                rtol=1e-10, atol=1e-10)
+    # the serial method on the mesh agrees too (same draws, fp-identical
+    # algorithm family)
+    cfg_s = FilterConfig(localization="GC", dtype="float64",
+                         method="serial")
+    post8s, _ = EnKF(state, list(obs), config=cfg_s, verbose=False,
+                     seed=4, mesh=make_mesh()).update()
+    np.testing.assert_allclose(np.asarray(post8s.data),
+                               np.asarray(post1.data), atol=1e-9)
