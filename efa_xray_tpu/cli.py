@@ -131,6 +131,7 @@ def cmd_assimilate(args):
 
     cfg = FilterConfig(
         localization=None if args.no_localization else "GC",
+        method=args.method,
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
         spatial_sort=args.sort_spatial,
@@ -214,6 +215,11 @@ def main(argv=None):
                       help="write the posterior obs batch (with per-ob "
                            "diagnostics) to this netCDF path")
     p_as.add_argument("--stats", default=None, help="per-ob stats CSV path")
+    p_as.add_argument("--method", choices=["blocked", "serial"],
+                      default="blocked",
+                      help="execution strategy for the EnSRF/EnKF solvers "
+                           "(blocked two-phase, default, or the literal "
+                           "per-ob serial scan)")
     p_as.add_argument("--solver", choices=["ensrf", "letkf", "enkf"],
                       default="ensrf")
     p_as.add_argument("--seed", type=int, default=0,
