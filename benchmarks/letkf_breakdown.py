@@ -1,16 +1,14 @@
 #!/usr/bin/env python
 """Phase breakdown of the LETKF body sweep on the real chip.
 
-Phases (mirroring ``letkf_core._analyze_body_chunked.one``):
-
-* ``select``   chunked ``[C, 3] x [3, No]`` dots + top-k per patch
-* ``solve``    gather ye / rho weighting / C build / Newton-Schulz
-               inverse-sqrt / wbar (given precomputed indices)
-* ``apply``    the per-patch weight application matmuls
-* ``full``     the production ``letkf_update`` (all phases in one jit)
-
-plus the existing knobs measured head-to-head: ``topk exact`` vs
-``approx`` and the Newton-Schulz iteration cap.
+Measures the SELECT phase in isolation (chunked ``[C, 3] x [3, No]``
+dots + top-k per patch, exact vs approx) and the full production
+``letkf_update`` under each top-k method — select-time by difference
+attributes the selection cost.  The solve/apply remainder is
+``full - select`` (the phases fuse inside one jit and cannot be timed
+separately without changing what is measured); the Newton-Schulz cap
+was settled by a head-to-head (12 vs 30 identical — the stall early
+exit fires first).
 
 Usage: python benchmarks/letkf_breakdown.py [--nstate 4194304]
        [--nmems 80] [--nobs 10000] [--k 64] [--patch 8] [--iters 2]

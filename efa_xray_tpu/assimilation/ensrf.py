@@ -89,14 +89,15 @@ class EnSRF(Assimilation):
             return int(cfg.pallas_tile)
         return (1 << 22) if grid else 8192
 
-    def _tail_pallas(self, interpret: bool, nobs: int) -> bool:
+    def _tail_pallas(self, interpret: bool) -> bool:
         """Pallas tail selection: explicit config wins; auto is on for all
-        real-TPU chordal-geometry runs.  With the in-kernel panel SOLVE
-        (:mod:`efa_xray_tpu.ops.tail_solve_pallas`) the Pallas tail wins
-        at every batch size (v5e, panel 512: 2048 obs ~0 vs 14 ms XLA;
-        5k obs 13.9 vs 51 ms; 10k obs 11.4 vs 154 ms; 50k obs 0.14 vs
-        1.79 s) — the old >=8k-obs crossover belonged to the apply-only
-        Pallas tail whose solve was still the XLA scan."""
+        real-TPU chordal-geometry runs at ANY batch size (v5e, panel 512:
+        2048 obs ~0 vs 14 ms XLA; 5k obs 13.9 vs 51 ms; 10k obs 11.4 vs
+        154 ms; 50k obs 0.14 vs 1.79 s) — the old >=8k-obs crossover
+        belonged to the apply-only Pallas tail whose solve was still the
+        XLA scan.  ``tail_panel`` does not gate this: panels over the
+        in-kernel solver's 1024 bound automatically keep the XLA panel
+        solve and the Pallas apply (see ``tail_scan_blocked``)."""
         cfg = self.config
         if cfg.tail_pallas is not None:
             return bool(cfg.tail_pallas)
@@ -237,8 +238,7 @@ class EnSRF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 vertical=vertical,
                 panel=cfg.tail_panel,
-                pallas_apply=self._tail_pallas(
-                    interpret, int(obs.values.shape[0])),
+                pallas_apply=self._tail_pallas(interpret),
                 interpret=interpret,
                 pallas_tile=self._tile(),
                 **tail_hkw,

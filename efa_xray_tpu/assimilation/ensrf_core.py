@@ -599,17 +599,52 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             "pallas_apply tail requires chordal geometry (fast_geometry) "
             "and no hybrid static column"
         )
+    # The in-kernel panel solve is bounded at 1024 obs per panel (its
+    # [p, p] weight slabs over-commit VMEM beyond that —
+    # ops/tail_solve_pallas); larger user-set panels keep the Pallas
+    # APPLY but solve each panel with the XLA scan (the pre-in-kernel
+    # behavior), instead of erroring out of a previously valid config.
+    solve_pallas = pallas_apply and panel <= 1024
     if nobs == 0 or nobs <= panel:
-        if pallas_apply and nobs > 0:
+        if solve_pallas and nobs > 0:
             # One panel covers the whole batch: the in-kernel solve IS the
-            # tail (no out-of-panel rows to apply to).
+            # tail (no out-of-panel rows to apply to).  Pad to the full
+            # panel width — the shape family measured on hardware
+            # (256/512/1024); padded obs have assim=False so they are
+            # exact no-ops — then slice every output back.
+            pad1 = panel - nobs
             obs1 = obs.with_default_verts()
-            return _panel_solve_pallas(
-                tail_mean, tail_perts, obs1,
+
+            def pad_f(x, fill=0.0):
+                return jnp.pad(x.astype(dtype), (0, pad1),
+                               constant_values=fill)
+
+            obs1 = ObsArrays(
+                values=pad_f(obs1.values),
+                errors=pad_f(obs1.errors, 1.0),
+                lats=pad_f(obs1.lats),
+                lons=pad_f(obs1.lons),
+                radii=pad_f(obs1.radii, jnp.inf),
+                assim=jnp.pad(obs1.assim, (0, pad1)),
+                verts=pad_f(obs1.verts),
+                vert_radii=pad_f(obs1.vert_radii, jnp.inf),
+            )
+            sol = _panel_solve_pallas(
+                jnp.pad(tail_mean, (0, pad1)),
+                jnp.pad(tail_perts, ((0, pad1), (0, 0))),
+                obs1,
                 latlon_to_unit(obs1.lats, obs1.lons).astype(dtype)
                 if (localize and fast_geometry) else None,
                 localize=localize, unbiased=unbiased, vertical=vertical,
                 interpret=interpret, dtype=dtype,
+            )
+            return TailSolution(
+                ye=sol.ye[:nobs],
+                gain_coef=sol.gain_coef[:nobs],
+                sqrt_coef=sol.sqrt_coef[:nobs],
+                tail_mean=sol.tail_mean[:nobs],
+                tail_perts=sol.tail_perts[:nobs],
+                diags=ObsDiagnostics(*(d[:nobs] for d in sol.diags)),
             )
         return tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
@@ -668,8 +703,11 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
         # path the whole per-ob recurrence runs in ONE kernel dispatch
         # (:func:`efa_xray_tpu.ops.tail_solve_pallas.tail_panel_solve_pallas`)
         # instead of `panel` XLA scan steps — the measured ~13-15 us/ob
-        # step-dispatch floor of the large-nobs regime.
-        if pallas_apply:
+        # step-dispatch floor of the large-nobs regime.  (`solve_pallas`
+        # additionally requires panel <= 1024 — the kernel's VMEM bound;
+        # beyond it the solve is the XLA scan and only the apply is
+        # Pallas.)
+        if solve_pallas:
             sol = _panel_solve_pallas(
                 jax.lax.dynamic_slice_in_dim(tm, base, panel),
                 jax.lax.dynamic_slice_in_dim(tp, base, panel, axis=0),

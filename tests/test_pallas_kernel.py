@@ -590,6 +590,41 @@ def test_tail_panel_solve_pallas_matches_tail_scan(localize, unbiased):
                                    atol=1e-9, rtol=1e-9, err_msg=name)
 
 
+def test_tail_pallas_single_panel_pads_and_slices():
+    """nobs <= panel routes the whole batch through ONE padded in-kernel
+    panel solve; outputs must slice back to nobs and match the XLA tail
+    (padded rows are exact no-ops via assim=False)."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=13, nmems=10, seed=9)
+    ref = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=32)
+    got = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=32,
+                                 pallas_apply=True, interpret=True)
+    assert got.ye.shape == ref.ye.shape == (13, 10)
+    np.testing.assert_allclose(np.asarray(got.tail_mean),
+                               np.asarray(ref.tail_mean), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.tail_perts),
+                               np.asarray(ref.tail_perts), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.gain_coef),
+                               np.asarray(ref.gain_coef), atol=5e-4)
+
+
+def test_tail_pallas_oversize_panel_falls_back_to_xla_solve():
+    """panel > 1024 exceeds the in-kernel solver's VMEM bound: the Pallas
+    tail must keep working (XLA panel solve + Pallas apply), not raise —
+    a tail_panel=2048 config was valid before the in-kernel solve."""
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=20, nmems=10, seed=2)
+    ref = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=2048)
+    got = core.tail_scan_blocked(tm, tp, obs, localize=True,
+                                 fast_geometry=True, panel=2048,
+                                 pallas_apply=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.tail_mean),
+                               np.asarray(ref.tail_mean), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.tail_perts),
+                               np.asarray(ref.tail_perts), atol=5e-4)
+
+
 def test_tail_pallas_blocked_diags_match_xla():
     """tail_scan_blocked with pallas_apply=True (which now also runs the
     panel SOLVE in-kernel) reproduces the XLA path's diagnostics."""
