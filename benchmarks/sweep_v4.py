@@ -99,5 +99,6 @@ if __name__ == "__main__":
 # --- round 3: cull-granularity sweep on the pod-full workload -------------
 # Smaller row tiles tighten the cull bound's tile caps (more skipped
 # panels) at the price of more kernel iterations; smaller obs blocks
-# refine skip granularity but shrink the MXU matmuls.  Run:
-#   python benchmarks/sweep_v4.py --pod-sweep
+# refine skip granularity but shrink the MXU matmuls.  That sweep lives in
+# its own tool:
+#   python benchmarks/pod_tile_sweep.py

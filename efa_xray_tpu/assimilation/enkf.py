@@ -362,6 +362,12 @@ class EnKF(Assimilation):
 
     def update(self) -> Tuple["object", "object"]:
         cfg = self.config
+        if cfg.hybrid_alpha < 1.0:
+            raise ValueError(
+                "hybrid covariance (hybrid_alpha < 1) is implemented for "
+                "the EnSRF solver only; the stochastic EnKF would silently "
+                "ignore the static-B blend"
+            )
         if self.verbose:
             self.log.info("Beginning stochastic EnKF update sequence")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()

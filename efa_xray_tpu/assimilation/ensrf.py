@@ -78,16 +78,38 @@ class EnSRF(Assimilation):
             ok = ok and (cfg.fast_geometry or not cfg.localize)
         return ok
 
-    def _tile(self, grid: bool = False) -> int:
+    def _tile(self, grid: bool = False, nrows: int = 0, nmems: int = 0) -> int:
         """Resolved Pallas row-tile: explicit config wins; auto = 8192 for
         the flat v4 kernel (smaller tiles tighten the cull bound's caps —
         measured 1.36x at the 1e7-row pod workload vs 16384) and
-        effectively whole-grid for the v4-grid kernel (clamped to the
-        grid internally; fewer grid iterations measured faster there)."""
+        whole-grid for the v4-grid / grid-mode v3 kernels (fewer grid
+        iterations measured faster there), with two safety clamps:
+
+        - grid kernels: the tile is capped so the kernel's working set
+          ([tile, nmems] state blocks and [block_size, tile] weight +
+          scratch panels, double-buffered across grid steps) stays well
+          inside the kernels' 100 MB ``vmem_limit_bytes`` — whole-grid is
+          only literal for grids that actually fit (e.g. the measured
+          16.2k-point GEFS grid; a 0.5-deg 260k-point grid tiles).
+        - flat kernel: Mosaic bounds each grid dimension near 2048
+          (measured: tile 4096 at 1e7 rows fails remote compile with
+          gtiles = 2442 while 1221 compiles), so for huge states the tile
+          is raised just enough to keep ``ceil(nrows / tile)`` under it.
+        """
         cfg = self.config
         if cfg.pallas_tile is not None:
             return int(cfg.pallas_tile)
-        return (1 << 22) if grid else 8192
+        if grid:
+            b = int(cfg.block_size)
+            m = int(nmems) if nmems else 80
+            per_row = 8 * (2 + 2 * m + b) + 8 * b  # dbl-buffered io + scratch
+            cap = max(8, (64 * 1024 * 1024 // per_row) // 8 * 8)
+            return int(min(1 << 22, cap))
+        tile = 8192
+        if nrows:
+            min_tile = -(-int(nrows) // 2040)
+            tile = max(tile, -(-min_tile // 8) * 8)
+        return tile
 
     def _tail_pallas(self, interpret: bool) -> bool:
         """Pallas tail selection: explicit config wins; auto is on for all
@@ -186,7 +208,12 @@ class EnSRF(Assimilation):
                 localize=cfg.localize,
                 method=cfg.method,
                 block_size=cfg.block_size,
-                tile=self._tile(),
+                # Per-shard rows are what the flat kernel's Mosaic grid sees.
+                tile=self._tile(
+                    nrows=-(-int(body_mean.shape[0])
+                            // max(1, int(self.mesh.devices.size))),
+                    nmems=int(body_perts.shape[1]),
+                ),
                 unbiased=cfg.unbiased_variance,
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
@@ -271,7 +298,7 @@ class EnSRF(Assimilation):
                     body_vert=body_vert if vertical else None,
                     localize=cfg.localize,
                     block_size=cfg.block_size,
-                    tile=self._tile(grid=True),
+                    tile=self._tile(grid=True, nmems=int(body_perts.shape[1])),
                     interpret=interpret,
                     vertical=vertical,
                     ngrid=st.ngrid,
@@ -302,7 +329,8 @@ class EnSRF(Assimilation):
                     body_vert=body_vert if vertical else None,
                     localize=cfg.localize,
                     block_size=cfg.block_size,
-                    tile=self._tile(),
+                    tile=self._tile(nrows=nrows,
+                                    nmems=int(body_perts.shape[1])),
                     interpret=interpret,
                     vertical=vertical,
                     cull=cfg.cull,
@@ -323,7 +351,7 @@ class EnSRF(Assimilation):
                     obs,
                     localize=cfg.localize,
                     block_size=cfg.block_size,
-                    tile=self._tile(grid=True),
+                    tile=self._tile(grid=True, nmems=int(body_perts.shape[1])),
                     fast_geometry=cfg.fast_geometry,
                     body_vert=body_vert,
                     vertical=vertical,

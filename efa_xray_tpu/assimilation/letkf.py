@@ -74,6 +74,12 @@ class LETKF(Assimilation):
         """Assimilate all observations simultaneously; return
         ``(posterior, observations)``."""
         cfg = self.config
+        if cfg.hybrid_alpha < 1.0:
+            raise ValueError(
+                "hybrid covariance (hybrid_alpha < 1) is implemented for "
+                "the EnSRF solver only; the LETKF would silently ignore "
+                "the static-B blend"
+            )
         if self.verbose:
             self.log.info("Beginning LETKF update (all obs at once)")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()

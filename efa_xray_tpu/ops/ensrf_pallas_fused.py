@@ -172,7 +172,10 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         d_panel = d0_ref[base : base + width, :] - corr
                     else:
                         d_panel = d0_ref[base : base + width, :]
-                    if need_geo and "weights" not in ablate:
+                    # The hybrid static column needs the chordal angles even
+                    # when the "weights" ablation drops the localization
+                    # taper (dist is consumed at the `if hybrid:` below).
+                    if need_geo and ("weights" not in ablate or hybrid):
                         # Panel's chordal angles [width, TILE] from unit
                         # vectors (shared by the localization taper and
                         # the hybrid static correlation).

@@ -219,7 +219,11 @@ def write_state(filename: str, state) -> None:
     meta = s.meta
     extra_coord_names = []
     if meta is not None:
-        attrs.update(meta.attrs)
+        # User attrs must not clobber the bookkeeping attrs read_state
+        # parses (it strips _STATE_INTERNAL_ATTRS on read, so a colliding
+        # key would round-trip wrong values anyway).
+        attrs.update({k: v for k, v in meta.attrs.items()
+                      if k not in _STATE_INTERNAL_ATTRS})
         var_attrs.update({k: dict(v) for k, v in meta.var_attrs.items()})
         for cname, (cdims, carr, cattrs) in meta.coords.items():
             carr = np.asarray(carr)

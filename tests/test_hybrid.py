@@ -309,3 +309,57 @@ def test_hybrid_pallas_config_guard():
     # chordal hybrid + fused kernel is a supported combination
     FilterConfig(hybrid_alpha=0.5, static_b_sigma=1.0,
                  static_b_length=500.0, use_pallas=True, fast_geometry=True)
+
+
+def test_hybrid_rejected_by_enkf_and_letkf():
+    """EnKF/LETKF have no static-B blend; requesting one must be loud, not
+    a silent pure-ensemble run (the pre-r3 config guard only covered the
+    serial-method restriction, so a hybrid config reaching these solvers
+    was ignored)."""
+    from efa_xray_tpu.assimilation.enkf import EnKF
+    from efa_xray_tpu.assimilation.letkf import LETKF
+
+    state = make_demo_state(nmems=10, seed=6)
+    obs = make_demo_obs(state, nobs=3, seed=7, radius=1500.0)
+    cfg = FilterConfig(localization="GC", hybrid_alpha=0.5,
+                       static_b_sigma=1.0, static_b_length=800.0)
+    for cls in (EnKF, LETKF):
+        with pytest.raises(ValueError, match="EnSRF solver only"):
+            cls(state, list(obs), config=cfg, verbose=False).update()
+
+
+def test_fused_hybrid_weights_ablation_runs():
+    """The hybrid static column consumes the chordal angles even when the
+    "weights" ablation drops the localization taper (regression: `dist`
+    used to be gated on the ablation and hybrid tracing raised NameError)."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
+
+    rng = np.random.default_rng(1)
+    ns, M, no = 64, 8, 8
+    prior = rng.normal(280, 3, (ns, M)).astype(np.float32)
+    rows = rng.integers(0, ns, no)
+    ye = prior[rows]
+    obs = core.ObsArrays(
+        values=jnp.asarray(ye.mean(1) + 1.0, jnp.float32),
+        errors=jnp.ones(no, jnp.float32),
+        lats=jnp.asarray(rng.uniform(-60, 60, no), jnp.float32),
+        lons=jnp.asarray(rng.uniform(0, 360, no), jnp.float32),
+        radii=jnp.full(no, 3000.0, jnp.float32),
+        assim=jnp.ones(no, bool),
+    )
+    blat = jnp.asarray(rng.uniform(-60, 60, ns), jnp.float32)
+    blon = jnp.asarray(rng.uniform(0, 360, ns), jnp.float32)
+    bm = jnp.asarray(prior.mean(1))
+    bp = jnp.asarray(prior - prior.mean(1, keepdims=True))
+    tm = jnp.asarray(ye.mean(1))
+    tp = jnp.asarray(ye - ye.mean(1, keepdims=True))
+    bsig = jnp.full(ns, 1.5, jnp.float32)
+    tail = core.tail_scan_blocked(
+        tm, tp, obs, localize=True, fast_geometry=True, panel=4,
+        hybrid_alpha=0.5, tail_sigma=bsig[rows], static_length=1500.0)
+    bk, pk = _fused_impl(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=4,
+        tile=32, interpret=True, hybrid=True, body_sigma=bsig,
+        static_length=1500.0, ablate=("weights",))
+    assert np.isfinite(np.asarray(bk)).all()
+    assert np.isfinite(np.asarray(pk)).all()

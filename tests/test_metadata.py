@@ -146,3 +146,23 @@ def test_plain_state_roundtrip_still_clean(tmp_path):
     )
     assert back.attrs == {}
     assert back.extra_coords == {}
+
+
+def test_reserved_bookkeeping_attrs_not_clobbered(tmp_path):
+    """A foreign Dataset whose global attrs collide with the writer's
+    bookkeeping keys (var_order / grid_is_2d / extra_coords) must not
+    corrupt the read-back (r3 review: user attrs used to be applied after
+    the computed bookkeeping attrs and clobbered them)."""
+    state = _rich_state()
+    state.structure.meta.attrs["var_order"] = "BOGUS,NAMES"
+    state.structure.meta.attrs["grid_is_2d"] = np.int8(0)
+    state.structure.meta.attrs["extra_coords"] = "nope"
+    path = str(tmp_path / "collide.nc")
+    state.save_to_disk(path)
+    back = EnsembleState.from_netcdf(path)
+    assert back.structure.var_names == state.structure.var_names
+    assert back.structure.grid_is_2d == state.structure.grid_is_2d
+    assert "fhour" in back.extra_coords
+    np.testing.assert_allclose(
+        np.asarray(back.data), np.asarray(state.data), rtol=1e-6
+    )

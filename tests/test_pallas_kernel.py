@@ -642,3 +642,44 @@ def test_tail_pallas_blocked_diags_match_xla():
             np.asarray(getattr(got.diags, name)),
             np.asarray(getattr(ref.diags, name)), atol=5e-4, rtol=0,
             err_msg=name)
+
+
+def test_auto_tile_clamps():
+    """Auto Pallas tile selection is workload-aware (r3 review): grid-mode
+    tiles are capped so the kernels' VMEM working set fits their 100 MB
+    limit, and the flat tile rises for huge states so the Mosaic grid
+    dimension stays under its ~2048 bound."""
+    from conftest import make_demo_obs, make_demo_state
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+
+    state = make_demo_state(nmems=10, seed=0)
+    obs = make_demo_obs(state, nobs=2, seed=1, radius=1500.0)
+    filt = EnSRF(state, list(obs), config=FilterConfig(localization="GC"),
+                 verbose=False)
+
+    # Grid-mode cap: [tile, nmems] blocks + [block_size, tile] weight and
+    # scratch panels (double-buffered) must fit well inside 100 MB.
+    b = filt.config.block_size
+    for m in (10, 80, 256):
+        t = filt._tile(grid=True, nmems=m)
+        per_row = 8 * (2 + 2 * m + b) + 8 * b
+        assert t % 8 == 0
+        assert t * per_row <= 64 * 1024 * 1024
+        assert t < (1 << 22)
+    assert filt._tile(grid=True, nmems=10) > filt._tile(grid=True, nmems=256)
+
+    # Flat kernel: default 8192 up to ~16.7M rows, then raised so
+    # ceil(nrows / tile) stays under the Mosaic grid-dimension bound
+    # (tile 4096 at 1e7 rows measured failing with gtiles = 2442).
+    assert filt._tile(nrows=10_000_000) == 8192
+    big = 30_000_000
+    t = filt._tile(nrows=big)
+    assert t % 8 == 0 and t >= 8192
+    assert -(-big // t) <= 2040
+
+    # An explicit pallas_tile always wins.
+    filt2 = EnSRF(state, list(obs), verbose=False,
+                  config=FilterConfig(localization="GC", pallas_tile=4096))
+    assert filt2._tile(grid=True, nmems=80) == 4096
+    assert filt2._tile(nrows=big) == 4096
