@@ -117,7 +117,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
             bm2, bp2 = ensrf_blocked_body_pallas(
                 bm, bp, blat, blon, tail, obs, localize=True,
                 block_size=block_size, fast_geometry=True, ngrid=ngrid,
-                body_vert=bvert, vertical=vertical,
+                body_vert=bvert, vertical=vertical, tile=tile,
             )
         else:
             bm2, bp2 = core.ensrf_blocked_body(

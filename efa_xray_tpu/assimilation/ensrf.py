@@ -79,37 +79,18 @@ class EnSRF(Assimilation):
         return ok
 
     def _tile(self, grid: bool = False, nrows: int = 0, nmems: int = 0) -> int:
-        """Resolved Pallas row-tile: explicit config wins; auto = 8192 for
-        the flat v4 kernel (smaller tiles tighten the cull bound's caps —
-        measured 1.36x at the 1e7-row pod workload vs 16384) and
-        whole-grid for the v4-grid / grid-mode v3 kernels (fewer grid
-        iterations measured faster there), with two safety clamps:
+        """Resolved Pallas row-tile: explicit config wins; otherwise the
+        workload-aware defaults in :mod:`efa_xray_tpu.ops.tiling` (8192
+        for the flat v4 kernel, raised for >16.7M-row states; VMEM-capped
+        whole-grid for the grid-mode kernels)."""
+        from efa_xray_tpu.ops import tiling
 
-        - grid kernels: the tile is capped so the kernel's working set
-          ([tile, nmems] state blocks and [block_size, tile] weight +
-          scratch panels, double-buffered across grid steps) stays well
-          inside the kernels' 100 MB ``vmem_limit_bytes`` — whole-grid is
-          only literal for grids that actually fit (e.g. the measured
-          16.2k-point GEFS grid; a 0.5-deg 260k-point grid tiles).
-        - flat kernel: Mosaic bounds each grid dimension near 2048
-          (measured: tile 4096 at 1e7 rows fails remote compile with
-          gtiles = 2442 while 1221 compiles), so for huge states the tile
-          is raised just enough to keep ``ceil(nrows / tile)`` under it.
-        """
         cfg = self.config
         if cfg.pallas_tile is not None:
             return int(cfg.pallas_tile)
         if grid:
-            b = int(cfg.block_size)
-            m = int(nmems) if nmems else 80
-            per_row = 8 * (2 + 2 * m + b) + 8 * b  # dbl-buffered io + scratch
-            cap = max(8, (64 * 1024 * 1024 // per_row) // 8 * 8)
-            return int(min(1 << 22, cap))
-        tile = 8192
-        if nrows:
-            min_tile = -(-int(nrows) // 2040)
-            tile = max(tile, -(-min_tile // 8) * 8)
-        return tile
+            return tiling.auto_grid_tile(cfg.block_size, nmems)
+        return tiling.auto_flat_tile(nrows)
 
     def _tail_pallas(self, interpret: bool) -> bool:
         """Pallas tail selection: explicit config wins; auto is on for all
