@@ -150,3 +150,26 @@ def test_cli_nc_obs_enkf_and_obs_out(tmp_path, capsys):
     assert post.data.shape == state.data.shape
     back = ncio.read_obs(str(tmp_path / "obs_post.nc"))
     assert back.post_mean is not None and np.isfinite(back.post_mean).all()
+
+
+def test_cli_method_serial_matches_blocked(tmp_path, capsys):
+    """--method picks the execution path without changing the analysis
+    (blocked and serial are algebraically identical at float64)."""
+    state = make_demo_state(ny=6, nx=8, nmems=16, seed=9)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "obs.csv"
+    _write_obs_csv(str(obs_csv), state)
+
+    outs = {}
+    for method in ("blocked", "serial"):
+        out_nc = tmp_path / f"post_{method}.nc"
+        rc = cli.main([
+            "assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+            "--out", str(out_nc), "--radius", "2000",
+            "--dtype", "float64", "--method", method,
+        ])
+        assert rc == 0
+        outs[method] = np.asarray(EnsembleState.from_netcdf(str(out_nc)).data)
+    np.testing.assert_allclose(outs["serial"], outs["blocked"],
+                               atol=1e-9, rtol=0)
