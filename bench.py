@@ -73,7 +73,8 @@ def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
     )
 
 
-def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192):
+def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192,
+            mxu_bf16=False):
     """Time the blocked update with the chained-iterations + scalar-sync
     protocol.  NOTE: on tunneled/experimental platforms
     ``jax.block_until_ready`` can return before execution finishes, so the
@@ -126,6 +127,7 @@ def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192):
             bm2, bp2 = _fused_impl(
                 bm, bp, blat, blon, tail, obs,
                 localize=localize, block_size=block_size, tile=tile,
+                mxu_bf16=mxu_bf16,
             )
             return bm2, bp2, tail.tail_mean, tail.tail_perts
         bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(

@@ -204,6 +204,7 @@ class EnSRF(Assimilation):
                 tail_panel=cfg.tail_panel,
                 cull=cfg.cull,
                 spatial_sort=cfg.spatial_sort,
+                mxu_bf16=cfg.mxu_bf16,
                 # EnSRF owns the formatted prior: let the posterior shards
                 # reuse its HBM.
                 donate=True,
@@ -321,6 +322,7 @@ class EnSRF(Assimilation):
                     hybrid=bool(hybrid_kwargs),
                     body_sigma=hybrid_kwargs.get("body_sigma"),
                     static_length=hybrid_kwargs.get("static_length"),
+                    mxu_bf16=cfg.mxu_bf16,
                 )
             else:
                 bm, bp = ensrf_blocked_body_pallas(

@@ -68,6 +68,15 @@ class FilterConfig:
     # the 1e7-row pod workload vs 16384) and whole-grid for the v4-grid
     # kernel (fewer grid iterations win there — measured on config 3).
     pallas_tile: Optional[int] = None
+    # Opt-in mixed precision in the fused v4 kernel: feed the two LARGE
+    # matmuls (obs-priors d0 and the final rank-B perturbation apply)
+    # bf16 inputs with f32 accumulation — one MXU pass instead of the
+    # multi-pass f32 decomposition.  Inputs there are perturbations
+    # (O(1) around zero), so the ~0.4% input rounding perturbs analysis
+    # increments far below typical observation error; the mean path and
+    # all obs-space scalars stay f32.  Off by default (bit-level f32
+    # reproducibility); no effect outside the fused flat kernel.
+    mxu_bf16: bool = False
     # Fast chordal geometry for localization weights (unit-vector dot +
     # polynomial arccos; ~2e-8 rad error) instead of the exact haversine.
     # Off by default to keep bit-level reference parity.

@@ -69,7 +69,7 @@ def _gc_poly(r):
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                        cull: bool, hybrid: bool = False,
                        panel: int = PANEL, ablate: tuple = (),
-                       corr2_form: str = "dot"):
+                       corr2_form: str = "dot", mxu_bf16: bool = False):
     # ``ablate`` is a TIMING-ONLY instrument (benchmarks/body_anatomy.py):
     # each named piece of the alive-panel work is skipped so its cost can
     # be measured by difference on the real chip.  Results are WRONG under
@@ -139,8 +139,19 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
             if "d0" in ablate:
                 d0_ref[:] = jnp.zeros_like(d0_ref)
             else:
+                # mxu_bf16: single-pass bf16 MXU inputs with f32
+                # accumulation on the two LARGE matmuls (this one and the
+                # final rank-B apply) instead of the multi-pass f32
+                # decomposition.  Inputs are perturbations (O(1) around
+                # zero), so the ~0.4% bf16 input rounding perturbs
+                # increments far below typical observation error; the
+                # mean path stays f32 throughout.
+                ly, lx = (
+                    (y.astype(jnp.bfloat16), xbp.astype(jnp.bfloat16))
+                    if mxu_bf16 else (y, xbp)
+                )
                 d0_ref[:] = jax.lax.dot_general(
-                    y, xbp, (((1,), (1,)), ((), ())),
+                    ly, lx, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32,
                 )
             if hybrid:
@@ -315,22 +326,27 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
             if "final" in ablate:
                 return
             u_t = u_ref[:]
+            yr = y.astype(jnp.bfloat16) if mxu_bf16 else y
             if hybrid:
                 xbm_out_ref[:] = xbm_out_ref[:] + mean_ref[:]
                 # u_ref holds V: X <- X - V @ Y directly.
+                vl = u_t.astype(jnp.bfloat16) if mxu_bf16 else u_t
                 xbp_out_ref[:] = xbp - jax.lax.dot_general(
-                    u_t, y, (((0,), (0,)), ((), ())),
+                    vl, yr, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )
             else:
+                # Mean update stays f32: [1, TILE] output is one MXU
+                # sublane anyway, and mean precision matters most.
                 mean_upd = jax.lax.dot_general(
                     gain_ref[0, :, :], u_t, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )  # [1, TILE]
                 xbm_out_ref[:] = xbm_out_ref[:] + mean_upd
                 gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+                gl = gu.astype(jnp.bfloat16) if mxu_bf16 else gu
                 xbp_out_ref[:] = xbp - jax.lax.dot_general(
-                    gu, y, (((0,), (0,)), ((), ())),
+                    gl, yr, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )
 
@@ -437,6 +453,10 @@ def _fused_impl(
     corr2_form: str = "dot",  # within-panel correction form: "dot" (small
     # MXU matvecs against u_ref) or "fma" (scalar-broadcast VPU chain on
     # register-resident columns).  Algebraically identical.
+    mxu_bf16: bool = False,  # opt-in: bf16 MXU inputs (f32 accumulation)
+    # on the two large matmuls (priors d0 and the final rank-B apply).
+    # Single-pass MXU instead of the multi-pass f32 decomposition; input
+    # rounding ~0.4% on perturbation products, mean path stays f32.
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -628,7 +648,7 @@ def _fused_impl(
 
     out_mean, out_perts = pl.pallas_call(
         _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel,
-                           ablate, corr2_form),
+                           ablate, corr2_form, mxu_bf16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
@@ -915,7 +935,7 @@ def _fused_grid_impl(
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 _STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
-                          "panel", "ablate", "corr2_form")
+                          "panel", "ablate", "corr2_form", "mxu_bf16")
 _STATIC_GRID = _STATIC + ("ngrid",)
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(

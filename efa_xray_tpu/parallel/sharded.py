@@ -77,6 +77,7 @@ def _ensrf_sharded_impl(
     spatial_sort: bool,
     hybrid_alpha: float,
     static_length: float,
+    mxu_bf16: bool = False,
 ):
     # The hybrid static column is per-row x per-ob separable, so it shards
     # exactly like the ensemble part: sigma_row rides the state axis, the
@@ -131,6 +132,7 @@ def _ensrf_sharded_impl(
                 hybrid=hybrid,
                 body_sigma=bsig if hybrid else None,
                 static_length=static_length if hybrid else None,
+                mxu_bf16=mxu_bf16,
             )
         elif use_pallas:
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -170,6 +172,7 @@ _SHARDED_STATIC = (
     "mesh", "localize", "method", "block_size", "tile", "axis_name",
     "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
     "tail_panel", "cull", "spatial_sort", "hybrid_alpha", "static_length",
+    "mxu_bf16",
 )
 
 _ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
@@ -211,6 +214,8 @@ def ensrf_update_sharded(
     body_sigma=None,  # [Ns] static-B std per row (hybrid_alpha < 1)
     tail_sigma=None,  # [No] static-B std at ob locations
     static_length=None,  # km: GC halfwidth of the static covariance model
+    mxu_bf16: bool = False,  # bf16 MXU inputs on the fused kernel's two
+    # large matmuls (see FilterConfig.mxu_bf16)
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -305,6 +310,7 @@ def ensrf_update_sharded(
         static_length=(
             float(static_length) if static_length is not None else 0.0
         ),
+        mxu_bf16=mxu_bf16,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

@@ -683,3 +683,31 @@ def test_auto_tile_clamps():
                   config=FilterConfig(localization="GC", pallas_tile=4096))
     assert filt2._tile(grid=True, nmems=80) == 4096
     assert filt2._tile(nrows=big) == 4096
+
+
+def test_fused_mxu_bf16_close_to_f32():
+    """Opt-in bf16 MXU inputs perturb the analysis only at the bf16
+    input-rounding level (~0.4% of increments): the posterior must stay
+    far closer to the f32 kernel's than the prior is to either."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import (
+        ensrf_blocked_body_pallas_fused,
+    )
+
+    bm, bp, tm, tp, blat, blon, obs = _scatter_setup()
+    tail = core.tail_scan(tm, tp, obs, localize=True, fast_geometry=True)
+    kw = dict(localize=True, block_size=8, tile=64, interpret=True)
+    bm_f, bp_f = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, **kw)
+    bm_b, bp_b = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, mxu_bf16=True, **kw)
+    # increments actually happened
+    inc = np.abs(np.asarray(bm_f) - np.asarray(bm)).max()
+    assert inc > 1e-3
+    # bf16 drift is a small fraction of the increment scale
+    dm = np.abs(np.asarray(bm_b) - np.asarray(bm_f)).max()
+    dp = np.abs(np.asarray(bp_b) - np.asarray(bp_f)).max()
+    assert dm < 0.05 * max(inc, 1.0), (dm, inc)
+    assert dp < 0.1, dp
+    # and the mean path (f32 throughout) tracks tightly in relative terms
+    np.testing.assert_allclose(np.asarray(bm_b), np.asarray(bm_f),
+                               rtol=0, atol=0.05)
