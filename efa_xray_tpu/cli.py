@@ -134,6 +134,7 @@ def cmd_assimilate(args):
         method=args.method,
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
+        mxu_bf16=args.mxu_bf16,
         spatial_sort=args.sort_spatial,
         rtps_alpha=args.rtps,
         rtpp_alpha=args.rtpp,
@@ -242,6 +243,10 @@ def main(argv=None):
                       help="RTPP posterior relaxation alpha (Zhang et al. "
                            "2004); exclusive with --rtps")
     p_as.add_argument("--fast-geometry", action="store_true")
+    p_as.add_argument("--mxu-bf16", action="store_true",
+                      help="bf16 MXU inputs (f32 accumulation) on the fused "
+                           "kernel's two large matmuls; ~0.4%% increment "
+                           "rounding, mean path stays f32")
     p_as.add_argument("--taps-topk", default="exact",
                       choices=["exact", "approx"],
                       help="forward-operator nearest-point candidate "
