@@ -284,6 +284,7 @@ class EnSRF(Assimilation):
                     interpret=interpret,
                     vertical=vertical,
                     ngrid=st.ngrid,
+                    mxu_bf16=cfg.mxu_bf16,
                 )
             elif cfg.fast_geometry or not cfg.localize:
                 # Geometry-only row permutation for the kernel's cull:

@@ -706,7 +706,8 @@ def _fused_impl(
     return out_mean[0], out_perts
 
 
-def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
+def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool,
+                            mxu_bf16: bool = False):
     """v4-grid: same loop nest as v4 (state tile resident across ALL obs
     blocks) but weights stream from a precomputed per-GRID-POINT array
     instead of per-row in-kernel trig.  For a VT = nvars*ntimes-group
@@ -741,8 +742,14 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
         xbp = xbp_out_ref[0]  # [T, M] resident across blocks
         y = y_ref[0]  # [B, M]
 
+        # Same opt-in as the flat kernel: bf16 MXU inputs with f32
+        # accumulation on the two large matmuls only.
+        ly, lx = (
+            (y.astype(jnp.bfloat16), xbp.astype(jnp.bfloat16))
+            if mxu_bf16 else (y, xbp)
+        )
         d0_ref[:] = jax.lax.dot_general(
-            y, xbp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ly, lx, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
 
         npanels = -(-bsz // PANEL)
@@ -784,8 +791,10 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool):
         )  # [1, TILE_G]
         xbm_out_ref[0] = xbm_out_ref[0] + mean_upd
         gu = u_t * sqrtc_ref[0, 0, :].reshape(-1, 1)
+        gl = gu.astype(jnp.bfloat16) if mxu_bf16 else gu
         xbp_out_ref[0] = xbp - jax.lax.dot_general(
-            gu, y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            gl, ly if mxu_bf16 else y, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32
         )
 
     return kernel
@@ -805,6 +814,7 @@ def _fused_grid_impl(
     interpret: bool = False,
     vertical: bool = False,
     ngrid: int = 0,
+    mxu_bf16: bool = False,  # bf16 MXU inputs on the two large matmuls
 ):
     """v4-grid phase 2 for states whose rows tile one spatial grid over
     VT = nrows/ngrid groups (``StateStructure.row_latlon`` ordering).
@@ -890,7 +900,7 @@ def _fused_grid_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_grid_kernel(bsz, localize, vertical),
+        _make_fused_grid_kernel(bsz, localize, vertical, mxu_bf16),
         grid=(vt, gtiles, nblocks),
         in_specs=[
             pl.BlockSpec((1, 1, tile), lambda v, t, b: (v, 0, t),
@@ -936,7 +946,7 @@ def _fused_grid_impl(
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 _STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
                           "panel", "ablate", "corr2_form", "mxu_bf16")
-_STATIC_GRID = _STATIC + ("ngrid",)
+_STATIC_GRID = _STATIC + ("ngrid", "mxu_bf16")
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(
     _fused_grid_impl, static_argnames=_STATIC_GRID

@@ -711,3 +711,26 @@ def test_fused_mxu_bf16_close_to_f32():
     # and the mean path (f32 throughout) tracks tightly in relative terms
     np.testing.assert_allclose(np.asarray(bm_b), np.asarray(bm_f),
                                rtol=0, atol=0.05)
+
+
+def test_fused_grid_mxu_bf16_close_to_f32():
+    """v4-grid bf16 MXU inputs: same drift contract as the flat kernel."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import (
+        ensrf_blocked_body_pallas_fused_grid,
+    )
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9, nmems=12, seed=14)
+    ngrid = 64
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    kw = dict(localize=True, block_size=3, tile=48, interpret=True,
+              ngrid=ngrid)
+    bm_f, bp_f = ensrf_blocked_body_pallas_fused_grid(
+        bm, bp, blat, blon, tail, obs, **kw)
+    bm_b, bp_b = ensrf_blocked_body_pallas_fused_grid(
+        bm, bp, blat, blon, tail, obs, mxu_bf16=True, **kw)
+    inc = np.abs(np.asarray(bm_f) - np.asarray(bm)).max()
+    assert inc > 1e-3
+    dm = np.abs(np.asarray(bm_b) - np.asarray(bm_f)).max()
+    dp = np.abs(np.asarray(bp_b) - np.asarray(bp_f)).max()
+    assert dm < 0.05 * max(inc, 1.0), (dm, inc)
+    assert dp < 0.1, dp
