@@ -59,7 +59,8 @@ def _obs_arrays(values, errors, lats, lons, radii, dtype):
 
 def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
                   kernel=None, dtype=jnp.float32, ngrid=None,
-                  body_vert=None, vertical=False, tile=8192, donate=False):
+                  body_vert=None, vertical=False, tile=8192, donate=False,
+                  mxu_bf16=False):
     """Chained timing of the blocked update; returns seconds/update.
 
     ``kernel``: "v4" (fully-fused, state crosses HBM once), "v4g"
@@ -101,7 +102,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
             bm2, bp2 = _fused_grid_impl(
                 bm, bp, blat, blon, tail, obs, body_vert=bvert,
                 localize=True, block_size=block_size, tile=tile,
-                vertical=vertical, ngrid=ngrid,
+                vertical=vertical, ngrid=ngrid, mxu_bf16=mxu_bf16,
             )
         elif kernel == "v4":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
@@ -109,7 +110,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
             bm2, bp2 = _fused_impl(
                 bm, bp, blat, blon, tail, obs, body_vert=bvert,
                 localize=True, block_size=block_size, tile=tile,
-                vertical=vertical,
+                vertical=vertical, mxu_bf16=mxu_bf16,
             )
         elif kernel == "v3":
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
