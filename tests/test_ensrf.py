@@ -438,3 +438,44 @@ def test_module_update_solver_dispatch(demo_state):
         )
     with _pytest.raises(ValueError, match="unknown solver"):
         update(demo_state, list(obs), solver="4dvar")
+
+
+@pytest.mark.parametrize("method", ["serial", "blocked"])
+def test_parity_vs_oracle_large_randomized(method):
+    """Stress parity at ~10x the demo scale with adversarial per-ob
+    structure: mixed finite/inf localization radii, QC'd-out obs, exactly
+    duplicated ob locations, and a zero-error (R = 0) ob — all compared
+    against the independent float64 NumPy oracle to 1e-9 RMSE."""
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(42)
+    ns, nm, no = 4000, 16, 250
+    row_lat = rng.uniform(-80, 80, ns)
+    row_lon = rng.uniform(0, 360, ns)
+    prior_vect = (280 + 5 * rng.standard_normal((ns, nm))).astype(np.float64)
+    rows = rng.integers(0, ns, no)
+    rows[10] = rows[11] = rows[12]  # duplicated ob locations
+    ye = prior_vect[rows] + 0.1 * rng.standard_normal((no, nm))
+    values = ye.mean(1) + rng.normal(0, 1.0, no)
+    errors = rng.uniform(0.25, 4.0, no)
+    errors[7] = 0.0  # R = 0: kdenom = varye stays finite
+    radii = rng.uniform(500.0, 4000.0, no)
+    radii[::5] = np.inf  # every 5th ob unlocalized
+    assim = rng.random(no) > 0.15
+    batch = SimpleNamespace(values=values, errors=errors,
+                            lats=row_lat[rows], lons=row_lon[rows])
+
+    want, want_diags = oracle.serial_ensrf(
+        prior_vect, ye, values, errors, batch.lats, batch.lons,
+        radii, row_lat, row_lon, assim, localize=True,
+    )
+    got, diags = _run_core(
+        prior_vect, ye, row_lat, row_lon, batch, radii, assim, True, method,
+        block_size=32,
+    )
+    rmse = np.sqrt(np.mean((got - want) ** 2))
+    assert rmse < 1e-9, f"posterior RMSE {rmse}"
+    np.testing.assert_allclose(np.asarray(diags.post_mean)[assim],
+                               want_diags["post_mean"][assim], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(diags.post_var)[assim],
+                               want_diags["post_var"][assim], rtol=1e-7)
