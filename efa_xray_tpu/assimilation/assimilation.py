@@ -228,6 +228,38 @@ class Assimilation:
         verts = np.asarray(self.obs.verts, dtype=np.float64)
         return bool(np.any(np.isfinite(vr) & np.isfinite(verts)))
 
+    def _matmul_precision_ctx(self):
+        """Context manager pinning what an f32 matmul means on the MXU for
+        everything traced inside ``update()`` — XLA einsums and Pallas
+        kernel dots alike.  Measured semantics on v5e
+        (``benchmarks/precision_probe.py``): at the JAX default, f32 dot
+        inputs are truncated to bf16 and run one MXU pass (bit-identical
+        to explicit bf16 casts, ~2.4e-3 relative input rounding);
+        ``matmul_precision="highest"`` restores the multi-pass true-f32
+        product (~1e-7 vs a float64 oracle).  ``None`` inherits the
+        ambient setting (a no-op context)."""
+        import contextlib
+
+        mp = getattr(self.config, "matmul_precision", None)
+        if mp is None:
+            return contextlib.nullcontext()
+        return jax.default_matmul_precision(mp)
+
+    @staticmethod
+    def with_matmul_precision(fn):
+        """Decorator for solver ``update()`` methods: run the whole update
+        (tracing included) under :meth:`_matmul_precision_ctx`.  The
+        precision config is part of JAX's trace-cache key, so switching
+        it re-traces rather than reusing stale executables."""
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            with self._matmul_precision_ctx():
+                return fn(self, *args, **kwargs)
+
+        return wrapper
+
     def compute_ob_priors(self, state: Optional[EnsembleState] = None):
         """Ensemble obs-space priors: means [No] and perts [No, M]
         (reference: ``assimilation.py:36-49``, vectorized).

@@ -360,6 +360,7 @@ class EnKF(Assimilation):
         self.seed = int(seed)
         self.scale_perturbations = bool(scale_perturbations)
 
+    @Assimilation.with_matmul_precision
     def update(self) -> Tuple["object", "object"]:
         cfg = self.config
         if cfg.hybrid_alpha < 1.0:

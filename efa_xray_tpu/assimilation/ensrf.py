@@ -132,6 +132,7 @@ class EnSRF(Assimilation):
             static_length=float(cfg.static_b_length),
         )
 
+    @Assimilation.with_matmul_precision
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
         """Assimilate all observations; return (posterior, observations).
 

@@ -70,6 +70,7 @@ class LETKF(Assimilation):
             mesh=mesh,
         )
 
+    @Assimilation.with_matmul_precision
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
         """Assimilate all observations simultaneously; return
         ``(posterior, observations)``."""

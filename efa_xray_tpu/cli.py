@@ -135,6 +135,7 @@ def cmd_assimilate(args):
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
         mxu_bf16=args.mxu_bf16,
+        matmul_precision=args.matmul_precision,
         spatial_sort=args.sort_spatial,
         rtps_alpha=args.rtps,
         rtpp_alpha=args.rtpp,
@@ -244,9 +245,18 @@ def main(argv=None):
                            "2004); exclusive with --rtps")
     p_as.add_argument("--fast-geometry", action="store_true")
     p_as.add_argument("--mxu-bf16", action="store_true",
-                      help="bf16 MXU inputs (f32 accumulation) on the fused "
-                           "kernel's two large matmuls; ~0.4%% increment "
-                           "rounding, mean path stays f32")
+                      help="explicit bf16 casts on the fused kernel's two "
+                           "large matmuls (measured no-op on TPU: default "
+                           "f32 dots already run single-pass bf16; see "
+                           "--matmul-precision)")
+    p_as.add_argument("--matmul-precision", default=None,
+                      choices=["default", "high", "highest", "bfloat16",
+                               "tensorfloat32", "float32"],
+                      help="what an f32 matmul means on the MXU for the "
+                           "whole update (XLA einsums AND Pallas dots): "
+                           "TPU default truncates inputs to bf16 "
+                           "(~2.4e-3 rel.); 'highest' = multi-pass true "
+                           "f32 (~1e-7) for accuracy-pinned reruns")
     p_as.add_argument("--taps-topk", default="exact",
                       choices=["exact", "approx"],
                       help="forward-operator nearest-point candidate "

@@ -68,15 +68,29 @@ class FilterConfig:
     # the 1e7-row pod workload vs 16384) and whole-grid for the v4-grid
     # kernel (fewer grid iterations win there — measured on config 3).
     pallas_tile: Optional[int] = None
-    # Opt-in mixed precision in the fused v4 kernel: feed the two LARGE
-    # matmuls (obs-priors d0 and the final rank-B perturbation apply)
-    # bf16 inputs with f32 accumulation — one MXU pass instead of the
-    # multi-pass f32 decomposition.  Inputs there are perturbations
-    # (O(1) around zero), so the ~0.4% input rounding perturbs analysis
-    # increments far below typical observation error; the mean path and
-    # all obs-space scalars stay f32.  Off by default (bit-level f32
-    # reproducibility); no effect outside the fused flat kernel.
+    # Explicit bf16 input casts on the fused v4 kernel's two LARGE
+    # matmuls (obs-priors d0 and the final rank-B perturbation apply),
+    # f32 accumulation.  MEASURED NO-OP ON TPU HARDWARE
+    # (benchmarks/bf16_ab.py + precision_probe.py, v5e): at JAX's
+    # default matmul precision the MXU already truncates f32 dot inputs
+    # to bf16 and runs one pass — posteriors are BIT-IDENTICAL with and
+    # without this flag, and the explicit casts only add VPU work
+    # (headline 0.033 -> 0.048 s).  Kept for interpret-mode/CPU
+    # experiments (where dots are true f32) and for runs that pin
+    # ``matmul_precision="highest"`` but want these two dots fast.
     mxu_bf16: bool = False
+    # What an f32 matmul MEANS on the MXU for this filter's traces.
+    # Applied as a ``jax.default_matmul_precision`` context around every
+    # solver trace, so it governs the XLA einsums AND the Pallas
+    # kernels' dots alike.  Measured on v5e
+    # (benchmarks/precision_probe.py): "default" truncates f32 dot
+    # inputs to bf16, one MXU pass (~2.4e-3 relative input rounding;
+    # this is what every published benchmark number uses); "highest"
+    # runs the multi-pass f32 decomposition (~1e-7 vs a float64 oracle)
+    # for accuracy-pinned reruns.  None = inherit the ambient JAX
+    # setting.  Other accepted values: "high", "bfloat16",
+    # "tensorfloat32", "float32" (= "highest" on TPU).
+    matmul_precision: Optional[str] = None
     # Fast chordal geometry for localization weights (unit-vector dot +
     # polynomial arccos; ~2e-8 rad error) instead of the exact haversine.
     # Off by default to keep bit-level reference parity.
@@ -185,6 +199,13 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
         if self.taps_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown taps_topk {self.taps_topk!r}")
+        if self.matmul_precision not in (
+            None, "default", "high", "highest", "bfloat16",
+            "tensorfloat32", "float32",
+        ):
+            raise ValueError(
+                f"Unknown matmul_precision {self.matmul_precision!r}"
+            )
         if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
         if not 0.0 <= self.rtps_alpha <= 1.0:

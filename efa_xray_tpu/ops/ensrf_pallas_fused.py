@@ -139,13 +139,15 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
             if "d0" in ablate:
                 d0_ref[:] = jnp.zeros_like(d0_ref)
             else:
-                # mxu_bf16: single-pass bf16 MXU inputs with f32
-                # accumulation on the two LARGE matmuls (this one and the
-                # final rank-B apply) instead of the multi-pass f32
-                # decomposition.  Inputs are perturbations (O(1) around
-                # zero), so the ~0.4% bf16 input rounding perturbs
-                # increments far below typical observation error; the
-                # mean path stays f32 throughout.
+                # mxu_bf16: explicit bf16 input casts (f32 accumulation)
+                # on the two LARGE matmuls (this one and the final rank-B
+                # apply).  MEASURED NO-OP at default matmul precision on
+                # v5e: the MXU already truncates f32 dot inputs to bf16
+                # single-pass, bit-identically (benchmarks/bf16_ab.py,
+                # precision_probe.py) — the casts only add VPU work.
+                # Meaningful in interpret mode (true-f32 dots there) and
+                # under jax.default_matmul_precision("highest"), where
+                # they buy back single-pass speed on just these two dots.
                 ly, lx = (
                     (y.astype(jnp.bfloat16), xbp.astype(jnp.bfloat16))
                     if mxu_bf16 else (y, xbp)
@@ -453,10 +455,11 @@ def _fused_impl(
     corr2_form: str = "dot",  # within-panel correction form: "dot" (small
     # MXU matvecs against u_ref) or "fma" (scalar-broadcast VPU chain on
     # register-resident columns).  Algebraically identical.
-    mxu_bf16: bool = False,  # opt-in: bf16 MXU inputs (f32 accumulation)
-    # on the two large matmuls (priors d0 and the final rank-B apply).
-    # Single-pass MXU instead of the multi-pass f32 decomposition; input
-    # rounding ~0.4% on perturbation products, mean path stays f32.
+    mxu_bf16: bool = False,  # explicit bf16 casts (f32 accumulation) on
+    # the two large matmuls (priors d0 and the final rank-B apply).
+    # Measured no-op at default matmul precision on TPU (the MXU already
+    # ingests f32 dot inputs as bf16, bit-identically); see the kernel
+    # comment and benchmarks/bf16_ab.py.
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -742,8 +745,8 @@ def _make_fused_grid_kernel(bsz: int, localize: bool, vertical: bool,
         xbp = xbp_out_ref[0]  # [T, M] resident across blocks
         y = y_ref[0]  # [B, M]
 
-        # Same opt-in as the flat kernel: bf16 MXU inputs with f32
-        # accumulation on the two large matmuls only.
+        # Same flag as the flat kernel (and the same measured-no-op
+        # caveat there): explicit bf16 casts on the two large matmuls.
         ly, lx = (
             (y.astype(jnp.bfloat16), xbp.astype(jnp.bfloat16))
             if mxu_bf16 else (y, xbp)
