@@ -110,12 +110,16 @@ class Observation:
         ``efa_xray/observation/observation.py:94-115``, which needed
         Basemap; here plain matplotlib / any callable projection).
 
-        ``coastlines``: draw coastline/country outlines when a geo toolkit
-        is importable — cartopy preferred, Basemap as fallback (the
-        reference's ``drawcoastlines``/``drawcountries``,
-        ``observation.py:109-111``).  ``"auto"`` (default) silently skips
-        when neither is installed; ``True`` raises if unavailable;
-        ``False`` disables."""
+        ``coastlines``: draw coastline outlines (the reference's
+        ``drawcoastlines``/``drawcountries``, ``observation.py:109-111``).
+        A geo toolkit is used when importable — cartopy preferred,
+        Basemap as fallback; when neither is installed (this image ships
+        neither), ``"auto"``/``True`` fall back to the built-in
+        orientation-grade world outline
+        (:mod:`efa_xray_tpu.utils.coastlines`).  A path or ``(N, 2)``
+        lon/lat array draws those user-supplied NaN-separated polylines
+        instead (see :func:`utils.coastlines.load_segments` for the
+        formats).  ``False`` disables."""
         import matplotlib.pyplot as plt
 
         localization = np.asarray(self.localize(state, type=type))
@@ -123,8 +127,11 @@ class Observation:
             gx, gy = state.project_coordinates(projection)
         else:
             gx, gy = np.asarray(state.structure.lon), np.asarray(state.structure.lat)
+        coast_auto = coastlines is True or (
+            isinstance(coastlines, str) and coastlines == "auto"
+        )
         if ax is None:
-            if coastlines and projection is None:
+            if coast_auto and projection is None:
                 try:  # lat/lon axes: a cartopy GeoAxes gives real outlines
                     import cartopy.crs as ccrs
 
@@ -137,31 +144,42 @@ class Observation:
             else:
                 _, ax = plt.subplots(figsize=(10, 8))
         pm = ax.pcolormesh(gx, gy, localization.reshape(gx.shape), vmin=0.0, vmax=1.0)
-        if coastlines:
-            drew = False
-            if hasattr(ax, "coastlines"):  # cartopy GeoAxes
-                try:
-                    import cartopy.feature as cfeature
+        if coastlines is not False and coastlines is not None:
+            from ..utils import coastlines as _coast
 
-                    ax.coastlines()
-                    ax.add_feature(cfeature.BORDERS, linewidth=0.5)
-                    drew = True
-                except Exception:
-                    pass
-            if not drew and projection is not None and hasattr(
-                projection, "drawcoastlines"
-            ):  # a Basemap instance doubles as the projection callable
-                try:
-                    projection.drawcoastlines(ax=ax)
-                    projection.drawcountries(ax=ax)
-                    drew = True
-                except Exception:
-                    pass
-            if not drew and coastlines is True:
-                raise ImportError(
-                    "coastlines=True needs cartopy (or a Basemap "
-                    "projection); install one or pass coastlines='auto'"
+            segments = None  # builtin coarse world outline
+            drew = False
+            if coast_auto:
+                if hasattr(ax, "coastlines"):  # cartopy GeoAxes
+                    try:
+                        import cartopy.feature as cfeature
+
+                        ax.coastlines()
+                        ax.add_feature(cfeature.BORDERS, linewidth=0.5)
+                        drew = True
+                    except Exception:
+                        pass
+                if not drew and projection is not None and hasattr(
+                    projection, "drawcoastlines"
+                ):  # a Basemap instance doubles as the projection callable
+                    try:
+                        projection.drawcoastlines(ax=ax)
+                        projection.drawcountries(ax=ax)
+                        drew = True
+                    except Exception:
+                        pass
+            else:  # a path or an (N, 2) lon/lat array of polylines
+                segments = coastlines
+            if not drew:
+                lon360 = projection is None and np.nanmax(gx) > 180.0
+                _coast.draw_coastlines(
+                    ax, segments=segments, projection=projection,
+                    lon360=lon360,
                 )
+                if projection is None:
+                    # keep the view on the data, not the world outline
+                    ax.set_xlim(float(np.nanmin(gx)), float(np.nanmax(gx)))
+                    ax.set_ylim(float(np.nanmin(gy)), float(np.nanmax(gy)))
         plt.colorbar(pm, ax=ax)
         ax.set_title(
             "Localization Weights for {:s} ({:5.3f},{:5.3f})".format(

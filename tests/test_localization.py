@@ -228,3 +228,111 @@ def test_hilbert_order_tiles_more_compact_than_morton():
     cap_m = mean_cap(np.argsort(_morton3d_np(lat, lon), kind="stable"))
     cap_h = mean_cap(np.argsort(_hilbert3d_np(lat, lon), kind="stable"))
     assert cap_h <= cap_m * 1.001, (cap_h, cap_m)
+
+
+def test_map_localization_builtin_coastlines():
+    """Coastline fallback (reference observation.py:109-111 drew them via
+    Basemap): with no geo toolkit in the image, coastlines='auto' draws the
+    built-in coarse world outline, wrapped to the grid's 0-360 longitudes,
+    without disturbing the data view limits."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from conftest import make_demo_state
+    from efa_xray_tpu.observation.observation import Observation
+
+    state = make_demo_state(ny=8, nx=10)  # lon 230-244 (0-360 convention)
+    s = state.structure
+    ob = Observation(value=1.0, obtype=s.var_names[0], time=s.times64()[0],
+                     error=1.0, lat=float(s.lat[4, 5]), lon=float(s.lon[4, 5]),
+                     localize_radius=300.0)
+    ax = ob.map_localization(state)  # coastlines='auto' default
+    assert len(ax.lines) >= 1  # outline drawn despite no cartopy/Basemap
+    xd = ax.lines[0].get_xdata()
+    assert np.nanmin(xd) >= 0.0 and np.nanmax(xd) < 360.0  # wrapped to grid
+    lo, hi = ax.get_xlim()
+    assert lo >= 229.0 and hi <= 245.0  # view stays on the data
+
+    ax2 = ob.map_localization(state, coastlines=False)
+    assert len(ax2.lines) == 0
+
+
+def test_map_localization_user_segments(tmp_path):
+    """A user-supplied coastline file (npz and csv forms) overlays those
+    polylines; a projection callable is applied to them NaN-safely."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from conftest import make_demo_state
+    from efa_xray_tpu.observation.observation import Observation
+    from efa_xray_tpu.utils import coastlines as coast
+
+    seg = np.array([[231.0, 43.0], [240.0, 47.0], [np.nan, np.nan],
+                    [235.0, 44.0], [238.0, 49.0]])
+    npz = tmp_path / "seg.npz"
+    np.savez(npz, lonlat=seg)
+    csv = tmp_path / "seg.csv"
+    with open(csv, "w") as f:
+        f.write("lon,lat\n")  # header row becomes a break, then stripped
+        for lon, lat in seg:
+            f.write("\n" if np.isnan(lon) else f"{lon},{lat}\n")
+    got_npz = coast.load_segments(str(npz))
+    got_csv = coast.load_segments(str(csv))
+    np.testing.assert_allclose(got_npz, seg)
+    # csv: leading header break + identical vertices/breaks
+    np.testing.assert_allclose(got_csv[1:], seg)
+
+    state = make_demo_state(ny=8, nx=10)
+    s = state.structure
+    ob = Observation(value=1.0, obtype=s.var_names[0], time=s.times64()[0],
+                     error=1.0, lat=float(s.lat[4, 5]), lon=float(s.lon[4, 5]),
+                     localize_radius=300.0)
+    ax = ob.map_localization(state, coastlines=str(npz))
+    (line,) = ax.lines
+    assert np.nansum(line.get_ydata()) > 0  # user polylines drawn
+
+    proj = lambda lon, lat: (lon * 2.0, lat * 3.0)
+    ax2 = ob.map_localization(state, projection=proj, coastlines=seg)
+    (line2,) = ax2.lines
+    y = line2.get_ydata()
+    np.testing.assert_allclose(y[np.isfinite(y)], seg[np.isfinite(seg[:, 1]), 1] * 3.0)
+
+
+def test_wrap_segments_seam_breaks():
+    """wrap_segments never draws across the longitude seam: wrapping
+    inserts NaN breaks at >180-degree jumps in either convention."""
+    from efa_xray_tpu.utils import coastlines as coast
+
+    # crosses the dateline in [-180, 180); contiguous in [0, 360)
+    seg = np.array([[170.0, 60.0], [-170.0, 61.0], [-160.0, 62.0]])
+    w180 = coast.wrap_segments(seg, lon360=False)
+    assert np.isnan(w180[:, 0]).sum() == 1  # one inserted break
+    w360 = coast.wrap_segments(seg, lon360=True)
+    assert not np.isnan(w360[:, 0]).any()
+    np.testing.assert_allclose(w360[:, 0], [170.0, 190.0, 200.0])
+
+    # crosses Greenwich: contiguous in [-180, 180), broken in [0, 360)
+    seg2 = np.array([[-5.0, 50.0], [5.0, 51.0]])
+    assert np.isnan(coast.wrap_segments(seg2, lon360=True)[:, 0]).sum() == 1
+    assert not np.isnan(coast.wrap_segments(seg2, lon360=False)[:, 0]).any()
+
+
+def test_builtin_world_outline_sanity():
+    """The built-in outline is valid (finite lon/lat ranges, NaN-separated,
+    a plausible number of segments) and lands known points correctly:
+    no vertex within 3 degrees of mid-ocean points, some within 3 of
+    well-known coastal cities."""
+    from efa_xray_tpu.utils.coastlines import COARSE_WORLD_LONLAT as w
+
+    lon, lat = w[:, 0], w[:, 1]
+    ok = np.isfinite(lon)
+    assert (np.abs(lon[ok]) <= 180.0).all() and (np.abs(lat[ok]) <= 90.0).all()
+    assert 10 <= (~ok).sum() <= 40  # segment count in the intended range
+    d2 = lambda plon, plat: np.nanmin(np.hypot(lon - plon, lat - plat))
+    # mid-ocean: nothing nearby
+    for plon, plat in [(-40.0, 30.0), (-150.0, 0.0), (80.0, -40.0)]:
+        assert d2(plon, plat) > 5.0
+    # coastal: something nearby at this fidelity
+    for plon, plat in [(-122.0, 47.0), (0.0, 51.0), (140.0, 36.0),
+                       (151.0, -34.0), (18.0, -34.0)]:
+        assert d2(plon, plat) < 4.0
