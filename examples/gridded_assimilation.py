@@ -32,6 +32,9 @@ def main():
                     help="serial square-root filter (reference parity) or "
                     "all-at-once local transform filter")
     ap.add_argument("--out", default=None, help="netCDF output path")
+    ap.add_argument("--plot", default=None,
+                    help="save a localization-footprint map (with the "
+                         "built-in coastline overlay) to this PNG path")
     args = ap.parse_args()
 
     state, truth = gefs_like_state(ny=args.ny, nx=args.nx, nmems=args.nmems)
@@ -71,6 +74,16 @@ def main():
     if args.out:
         post.save_to_disk(args.out)
         print(f"posterior checkpointed to {args.out}")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        # localization footprint of the first ob, with the built-in
+        # coastline overlay (reference observation.py:94-115 via Basemap)
+        ax = obs[0].map_localization(state)
+        ax.figure.savefig(args.plot, dpi=110, bbox_inches="tight")
+        print(f"localization footprint map -> {args.plot}")
 
 
 if __name__ == "__main__":
