@@ -4,11 +4,14 @@
 ``mxu_bf16=True`` casts the inputs of the kernel's two large matmuls
 (the kcov contraction ``Xbp @ ye`` and the blocked gain application) to
 bfloat16 while keeping f32 accumulation (`ops/ensrf_pallas_fused.py`).
-On v5e the default f32 matmul executes as three bf16 MXU passes
-(bf16x3), so the single-pass form has a theoretical 3x matmul-FLOP
-ceiling; this script measures what it actually buys on the full fused
-body, and what it costs in posterior accuracy relative to the validated
-f32 path.
+MEASURED OUTCOME (recorded in results_v5e_r3.json, "bf16-*" entries):
+the posteriors are BIT-IDENTICAL with and without the casts — at JAX's
+default matmul precision the MXU already truncates f32 dot inputs to
+bf16 and runs ONE pass (confirmed independently by
+benchmarks/precision_probe.py; the multi-pass decomposition only runs
+under ``Precision.HIGHEST``).  The explicit casts therefore only add
+VPU work (headline 0.033 -> 0.048 s) and the flag stays off by default;
+this script is kept as the reproduction of that negative result.
 
 Reference anchor for the ops being cast: the per-ob covariance and
 rank-1 update of efa_xray/assimilation/ensrf.py:95,141.
