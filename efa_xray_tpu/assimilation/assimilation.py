@@ -182,6 +182,7 @@ class Assimilation:
                 metric=cfg.nearest_metric,
                 time_weighting=cfg.time_weighting,
                 topk_method=cfg.taps_topk,
+                search=cfg.taps_search,
             )
         return self._taps
 

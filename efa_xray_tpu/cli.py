@@ -140,6 +140,7 @@ def cmd_assimilate(args):
         rtps_alpha=args.rtps,
         rtpp_alpha=args.rtpp,
         taps_topk=args.taps_topk,
+        taps_search=args.taps_search,
         letkf_topk=args.letkf_topk,
         letkf_k_obs=args.letkf_k_obs,
         letkf_patch_size=args.letkf_patch_size,
@@ -262,6 +263,12 @@ def main(argv=None):
                       help="forward-operator nearest-point candidate "
                            "selection (approx = lax.approx_max_k over an "
                            "exactly-rescored candidate set)")
+    p_as.add_argument("--taps-search", default="auto",
+                      choices=["auto", "device"],
+                      help="nearest-point search: auto resolves separable "
+                           "lat x lon grids host-side (exact, certified, "
+                           "no device dispatch); device forces the full "
+                           "on-device search")
     p_as.add_argument("--letkf-topk", default="exact",
                       choices=["exact", "approx"],
                       help="LETKF nearest-k obs selection primitive")

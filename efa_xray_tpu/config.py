@@ -53,6 +53,13 @@ class FilterConfig:
     # default "haversine" nearest_metric (the "reference_proxy" metric
     # reproduces the reference's scoring verbatim and stays exact).
     taps_topk: str = "exact"
+    # Nearest-point search strategy: "auto" (default) detects separable
+    # lat x lon product grids and resolves the search as exact host-side
+    # index arithmetic with a per-ob exactness certificate — no device
+    # dispatch at all (observation/forward.py:_nearest_separable);
+    # "device" forces the full device search (the taps_topk path) even on
+    # separable grids.  Results are identical either way.
+    taps_search: str = "auto"
     time_weighting: str = "linear"  # or "reference" (reproduces swapped weights)
     # Device dtype for the update ("float32" on TPU; "float64" for parity
     # studies on CPU with jax_enable_x64).
@@ -199,6 +206,8 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
         if self.taps_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown taps_topk {self.taps_topk!r}")
+        if self.taps_search not in ("auto", "device"):
+            raise ValueError(f"Unknown taps_search {self.taps_search!r}")
         if self.matmul_precision not in (
             None, "default", "high", "highest", "bfloat16",
             "tensorfloat32", "float32",

@@ -136,9 +136,19 @@ def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
         def one(ll):
             la, lo = ll
             oxyz = _loc.latlon_to_unit(la, lo)  # [chunk, 3]
+            # HIGHEST is load-bearing: on TPU a default-precision f32
+            # matmul ingests bf16 (measured: benchmarks/precision_probe.py),
+            # and bf16 quantization of chord dots near 1.0 is ~sqrt(2*2^-8)
+            # rad ~ 560 km of distance resolution — the top-m candidate set
+            # then MISSES true nearest points outright (measured as O(sigma)
+            # ye errors by benchmarks/taps_search_ab.py).  Multi-pass f32 on
+            # this K=3 contraction is noise next to the top_k that follows;
+            # with it the tie range is the documented ~2-4 km, far inside
+            # the m-fold over-selection.
             dots = jnp.einsum(
                 "oc,gc->og", oxyz, gxyz,
                 preferred_element_type=oxyz.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if topk_method == "approx":
                 _, cand = jax.lax.approx_max_k(dots, m, recall_target=0.99)
@@ -161,6 +171,154 @@ def _topk_points_mapped(grid_lat, grid_lon, lats, lons, npt: int,
 
     idx = jax.lax.map(one, (lats.reshape(-1, chunk), lons.reshape(-1, chunk)))
     return idx.reshape(lats.shape[0], npt)
+
+
+def _haversine_np(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Host (NumPy, float64) great-circle distance in km; broadcasts."""
+    la1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    la2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlat = la2 - la1
+    dlon = np.radians(
+        np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64)
+    )
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2.0) ** 2
+    return _loc.EARTH_RADIUS_KM * 2.0 * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+
+
+def separable_grid_axes(lat2d, lon2d):
+    """``(lat1d, lon1d)`` if the raster is a separable lat x lon product
+    grid with monotone axes, else ``None``.
+
+    Separable means ``lat[y, x] == lat1d[y]`` and ``lon[y, x] == lon1d[x]``
+    for all (y, x) — the ordinary regular/rectilinear case (uniform spacing
+    NOT required; a Gaussian-latitude grid qualifies).  1-D location-list
+    states (``nx == 1`` with arbitrary points) fail the lon-constancy test
+    unless they genuinely lie on one meridian.
+    """
+    lat2d = np.asarray(lat2d, dtype=np.float64)
+    lon2d = np.asarray(lon2d, dtype=np.float64)
+    if lat2d.ndim != 2:
+        return None
+    lat1 = lat2d[:, 0]
+    lon1 = lon2d[0, :]
+    if not (
+        np.array_equal(lat2d, np.broadcast_to(lat1[:, None], lat2d.shape))
+        and np.array_equal(lon2d, np.broadcast_to(lon1[None, :], lon2d.shape))
+    ):
+        return None
+    dla, dlo = np.diff(lat1), np.diff(lon1)
+    if not ((dla > 0).all() or (dla < 0).all()):
+        return None
+    if not ((dlo > 0).all() or (dlo < 0).all()):
+        return None
+    return lat1, lon1
+
+
+def _nearest_separable(
+    lat1, lon1, lats, lons, npt: int, ncand_rows: int = 4, ncand_cols: int = 8
+):
+    """Exact nearest-``npt`` search on a separable grid, entirely on host.
+
+    Replaces the device full-grid ``top_k`` (the dominant cost of a cold
+    ``build_taps`` — measured in ``benchmarks/results_v5e_r3.json`` config
+    5) with O(ny + nx + ncand) index arithmetic per ob: the candidate set
+    is the ``ncand_rows`` nearest latitude rows x the ``ncand_cols``
+    nearest longitude columns, and a per-ob CERTIFICATE proves no excluded
+    grid point can beat the selected ``npt``:
+
+    * any point in an excluded row is at least ``R * |dphi|`` away (a
+      great circle between latitudes phi1, phi2 spans at least their
+      latitude separation);
+    * within a kept row, great-circle distance is monotone in the wrapped
+      longitude gap ``|dlambda| <= 180`` (d/dDl cos(gc) = -cos(phi_ob) *
+      cos(phi_row) * sin(Dl) <= 0), so every excluded column in that row
+      is at least as far as the row's farthest CANDIDATE.
+
+    Returns ``(flat_idx [nobs, npt] int64, certified [nobs] bool)``;
+    uncertified rows (possible only for obs very near a pole on coarse
+    grids) must be re-searched exactly by the caller.
+    """
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    ny, nx = lat1.shape[0], lon1.shape[0]
+    nobs = lats.shape[0]
+    nr = min(ncand_rows, ny)
+    nc = min(max(ncand_cols, npt), nx)
+    if nr * nc < npt:
+        nr = min(ny, int(np.ceil(npt / nc)))
+        if nr * nc < npt:
+            raise ValueError("candidate window smaller than npt")
+
+    dphi = np.abs(lats[:, None] - lat1[None, :])  # [nobs, ny]
+    if nr < ny:
+        part = np.argpartition(dphi, nr - 1, axis=1)
+        rows_sel = part[:, :nr]  # [nobs, nr]
+        # smallest excluded-row latitude gap -> lower bound on any
+        # excluded-row point's distance
+        excl_gap = np.partition(dphi, nr, axis=1)[:, nr]
+        row_lb = _loc.EARTH_RADIUS_KM * np.radians(excl_gap)
+    else:
+        rows_sel = np.broadcast_to(np.arange(ny), (nobs, ny)).copy()
+        row_lb = np.full(nobs, np.inf)
+
+    dlam = np.abs(((lons[:, None] - lon1[None, :] + 180.0) % 360.0) - 180.0)
+    if nc < nx:
+        cols_sel = np.argpartition(dlam, nc - 1, axis=1)[:, :nc]  # [nobs, nc]
+        col_window_full = False
+    else:
+        cols_sel = np.broadcast_to(np.arange(nx), (nobs, nx)).copy()
+        col_window_full = True
+
+    cand_lat = lat1[rows_sel][:, :, None]  # [nobs, nr, 1]
+    cand_lon = lon1[cols_sel][:, None, :]  # [nobs, 1, nc]
+    d = _haversine_np(lats[:, None, None], lons[:, None, None], cand_lat, cand_lon)
+    flat = (rows_sel[:, :, None] * nx + cols_sel[:, None, :]).reshape(nobs, -1)
+    d2 = d.reshape(nobs, -1)
+
+    pick = np.argpartition(d2, npt - 1, axis=1)[:, :npt]
+    pick_d = np.take_along_axis(d2, pick, axis=1)
+    order = np.argsort(pick_d, axis=1, kind="stable")  # ascending distance,
+    pick = np.take_along_axis(pick, order, axis=1)  # like the device top_k
+    d_star = np.take_along_axis(pick_d, order[:, -1:], axis=1)[:, 0]
+
+    # Certificate (conservative margin absorbs f64 rounding differences
+    # between the analytic bound and the haversine evaluation).
+    margin = 1.0 + 1e-9
+    certified = row_lb >= d_star * margin
+    if not col_window_full:
+        # farthest candidate per kept row bounds that row's excluded columns
+        certified &= (d.max(axis=2) >= d_star[:, None] * margin).all(axis=1)
+    return np.take_along_axis(flat, pick, axis=1).astype(np.int64), certified
+
+
+def _host_full_search(row_lat, row_lon, lats, lons, npt: int,
+                      chunk_bytes: int = 1 << 28) -> np.ndarray:
+    """Exact host-side full-grid nearest-``npt`` for a (small) set of obs.
+
+    Used for separable-fast-path certificate failures: a fresh device
+    search for a handful of obs would pay a new-shape compile through the
+    remote-TPU tunnel (30-600 s); the NumPy slab here is cheap at the few
+    obs this ever sees."""
+    row_lat = np.asarray(row_lat, dtype=np.float64).ravel()
+    row_lon = np.asarray(row_lon, dtype=np.float64).ravel()
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    ngrid = row_lat.shape[0]
+    per = max(1, chunk_bytes // (ngrid * 8))
+    out = np.empty((lats.shape[0], npt), dtype=np.int64)
+    for s in range(0, lats.shape[0], per):
+        d = _haversine_np(
+            lats[s:s + per, None], lons[s:s + per, None],
+            row_lat[None, :], row_lon[None, :],
+        )
+        pick = np.argpartition(d, npt - 1, axis=1)[:, :npt]
+        pd = np.take_along_axis(d, pick, axis=1)
+        out[s:s + per] = np.take_along_axis(
+            pick, np.argsort(pd, axis=1, kind="stable"), axis=1
+        )
+    return out
 
 
 def nearest_points(grid_lat, grid_lon, lat, lon, npt: int = 1,
@@ -253,11 +411,19 @@ def build_taps(
     time_weighting: str = "linear",
     obs_chunk_bytes: int = 1 << 28,
     topk_method: str = "exact",
+    search: str = "auto",
 ) -> ObsTaps:
     """Construct gather taps for a batch of point observations.
 
     ``lats``/``lons``: float [nobs]; ``times_s``: int64 epoch seconds
     [nobs]; ``var_idx``: int [nobs] index into ``structure.var_names``.
+
+    ``search="auto"`` (default) detects separable lat x lon product grids
+    and runs the nearest-point search as exact host-side index arithmetic
+    (:func:`_nearest_separable` — no device dispatch, no full-grid
+    ``top_k``); non-separable grids, the ``reference_proxy`` metric, and
+    per-ob certificate failures fall back to the exact search
+    (``search="device"`` forces the device path everywhere).
     """
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
@@ -279,8 +445,24 @@ def build_taps(
     # which dominated the measured build_taps cost at 2k obs.
     itemsize = jnp.dtype(fdtype).itemsize
     chunk = max(1, min(nobs, obs_chunk_bytes // max(ngrid * itemsize, 1)))
+    if search not in ("auto", "device"):
+        raise ValueError(f"unknown search {search!r}")
+    axes = (
+        separable_grid_axes(structure.lat, structure.lon)
+        if (search == "auto" and metric == "haversine" and nobs > 0
+            and npt <= ngrid)
+        else None
+    )
     if nobs == 0:  # empty observation batch
         sp_idx = np.empty((0, npt), dtype=np.int64)
+    elif axes is not None:
+        sp_idx, certified = _nearest_separable(axes[0], axes[1], lats, lons, npt)
+        if not certified.all():
+            bad = ~certified
+            sp_idx[bad] = _host_full_search(
+                structure.lat, structure.lon, lats[bad], lons[bad], npt,
+                chunk_bytes=obs_chunk_bytes,
+            )
     else:
         npad = (-nobs) % chunk
         lat_p = np.concatenate([lats, np.full(npad, lats[0])])
@@ -295,13 +477,13 @@ def build_taps(
             dtype=np.int64,
         )
 
-    # Recompute the selected distances in f64 on host so the IDW weights and
-    # the exact-match test are precision-independent of the device dtype.
+    # Recompute the selected distances in f64 on host (pure NumPy — true
+    # float64 regardless of jax_enable_x64, and no device dispatch) so the
+    # IDW weights and the exact-match test are precision-independent of the
+    # device dtype.
     sel_lat = structure.lat.ravel()[sp_idx]
     sel_lon = structure.lon.ravel()[sp_idx]
-    sp_dist = np.asarray(
-        _loc.haversine((sel_lat, sel_lon), (lats[:, None], lons[:, None]))
-    )
+    sp_dist = _haversine_np(lats[:, None], lons[:, None], sel_lat, sel_lon)
     sw = _space_weights(sp_dist, exact_match_km)  # [nobs, npt]
 
     t_idx, tw, ok = _time_weights(structure.times_s, times_s, time_weighting)
@@ -368,6 +550,7 @@ def build_taps_cached(
     metric: str = "haversine",
     time_weighting: str = "linear",
     topk_method: str = "exact",
+    search: str = "auto",
 ) -> ObsTaps:
     """LRU-cached :func:`build_taps` for stationary observation networks.
 
@@ -379,7 +562,7 @@ def build_taps_cached(
     global taps_build_count
     # x64 mode changes the weight dtype build_taps emits; key on it.
     params = (npt, float(exact_match_km), metric, time_weighting,
-              topk_method, bool(jax.config.jax_enable_x64))
+              topk_method, search, bool(jax.config.jax_enable_x64))
     key = _obs_digest(lats, lons, times_s, var_idx, params)
     per = _TAPS_CACHE.get(structure)
     if per is not None and key in per:
@@ -389,6 +572,7 @@ def build_taps_cached(
         structure, lats, lons, times_s, var_idx,
         npt=npt, exact_match_km=exact_match_km, metric=metric,
         time_weighting=time_weighting, topk_method=topk_method,
+        search=search,
     )
     taps_build_count += 1
     if per is None:

@@ -329,3 +329,194 @@ def test_taps_cache_amortizes_across_filter_objects():
     # next cycle: same network, new values, new filter object -> cache hit
     post2, _ = EnSRF(post1, batch(1.0), verbose=False, loc="GC").update()
     assert fwd.taps_build_count == n0 + 1
+
+
+# ---------------------------------------------------------------------------
+# Separable-grid host-side nearest-point fast path (taps_search="auto")
+# ---------------------------------------------------------------------------
+
+def _global_state(ny=61, nx=120, ntimes=2, nmems=8, south_up=True,
+                  gaussian_lats=False):
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    rng = np.random.default_rng(3)
+    if gaussian_lats:
+        # non-uniform (Gaussian-quadrature-like) latitude spacing
+        lat1d = np.degrees(np.arcsin(np.polynomial.legendre.leggauss(ny)[0]))
+        lat1d.sort()
+    else:
+        # pole rows excluded: a grid row AT the pole holds nx copies of one
+        # physical point, so nearest-4 membership there is a 120-way exact
+        # tie that the two search paths may break differently (both
+        # validly) — test_separable_fast_path_pole_row_grid covers poles.
+        lat1d = np.linspace(-89.7, 89.7, ny)
+    if not south_up:
+        lat1d = lat1d[::-1]
+    lon1d = np.arange(nx) * (360.0 / nx)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    times = np.datetime64("2026-08-01T00") + np.arange(ntimes) * np.timedelta64(6, "h")
+    field = 280.0 + rng.normal(0, 5, (ntimes, ny, nx, nmems))
+    return EnsembleState.from_vardict(
+        {"T2m": field},
+        {"validtime": times, "lat": lat, "lon": lon, "mem": np.arange(nmems)},
+    )
+
+
+def _dense_h(taps, nstate):
+    """Dense [nobs, nstate] operator; the order-free equality check."""
+    rows = np.asarray(taps.rows)
+    w = np.asarray(taps.weights)
+    h = np.zeros((rows.shape[0], nstate))
+    for i in range(rows.shape[0]):
+        np.add.at(h[i], rows[i], w[i])
+    return h
+
+
+def _adversarial_obs(s, rng, n_random=40):
+    """Random obs plus pole / dateline-seam / exact-grid-point adversaries."""
+    lats = np.concatenate([
+        rng.uniform(-89.5, 89.5, n_random),
+        [89.97, -89.97, 0.0, 45.0, s.lat[3, 5], s.lat[-1, 0]],
+    ])
+    lons = np.concatenate([
+        rng.uniform(0.0, 360.0, n_random),
+        [359.995, 0.004, 180.0, 179.999, s.lon[3, 5], s.lon[-1, 0]],
+    ])
+    return lats, lons
+
+
+@pytest.mark.parametrize("south_up", [True, False])
+@pytest.mark.parametrize("gaussian_lats", [False, True])
+def test_separable_fast_path_matches_device_search(south_up, gaussian_lats):
+    state = _global_state(south_up=south_up, gaussian_lats=gaussian_lats)
+    s = state.structure
+    rng = np.random.default_rng(11)
+    lats, lons = _adversarial_obs(s, rng)
+    times = [s.times64()[0]] * len(lats)
+    t_auto = _taps_for(state, lats, lons, times, search="auto")
+    t_dev = _taps_for(state, lats, lons, times, search="device")
+    np.testing.assert_allclose(
+        _dense_h(t_auto, s.nstate), _dense_h(t_dev, s.nstate), atol=1e-12
+    )
+    assert np.array_equal(t_auto.qc_ok, t_dev.qc_ok)
+
+
+def test_separable_fast_path_pole_row_grid():
+    """Grids whose first/last rows sit exactly AT the poles (nx duplicate
+    physical points per pole row) — selected-point distances must match the
+    device search exactly, and ye must match on any field that is constant
+    along each latitude row (tie choice between physically identical
+    points is then invisible, as it is for real pole-capped fields)."""
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    ny, nx, nmems = 31, 60, 6
+    lat1d = np.linspace(-90.0, 90.0, ny)
+    lon1d = np.arange(nx) * (360.0 / nx)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    times = np.asarray([np.datetime64("2026-08-01T00")])
+    rng = np.random.default_rng(7)
+    # row-constant field: value depends on latitude (and member) only
+    field = (280.0 + 3.0 * np.sin(np.radians(lat1d)))[None, :, None, None]
+    field = np.broadcast_to(
+        field + rng.normal(0, 1, (1, ny, 1, nmems)), (1, ny, nx, nmems)
+    ).copy()
+    state = EnsembleState.from_vardict(
+        {"T2m": field},
+        {"validtime": times, "lat": lat, "lon": lon, "mem": np.arange(nmems)},
+    )
+    s = state.structure
+    lats = np.asarray([89.999, 89.2, -89.999, -88.0, 0.0])
+    lons = np.asarray([13.0, 201.0, 355.0, 6.0, 180.0])
+    tt = [s.times64()[0]] * len(lats)
+    t_auto = _taps_for(state, lats, lons, tt, search="auto")
+    t_dev = _taps_for(state, lats, lons, tt, search="device")
+    glat, glon = s.lat.ravel(), s.lon.ravel()
+    for taps in (t_auto, t_dev):
+        # rows interleave (point, time) taps; ::2 extracts the 4 distinct
+        # spatial points (ntimes == 1 here)
+        r = (np.asarray(taps.rows) % s.ngrid)[:, ::2]
+        d = np.sort(fwd._haversine_np(
+            lats[:, None], lons[:, None], glat[r], glon[r]), axis=1)
+        if taps is t_auto:
+            d_ref = d
+        else:
+            np.testing.assert_allclose(d, d_ref, atol=1e-9)
+    ye_a = np.asarray(fwd.apply_taps_obj(state.to_vect(), t_auto))
+    ye_d = np.asarray(fwd.apply_taps_obj(state.to_vect(), t_dev))
+    np.testing.assert_allclose(ye_a, ye_d, atol=1e-9)
+
+
+def test_separable_detection_rejects_non_product_grids():
+    # curvilinear (rotated) grid
+    y, x = np.meshgrid(np.arange(5), np.arange(6), indexing="ij")
+    lat = 40.0 + y + 0.1 * x
+    lon = 230.0 + x
+    assert fwd.separable_grid_axes(lat, lon) is None
+    # location list: nx == 1 with scattered points off one meridian
+    assert fwd.separable_grid_axes(
+        np.asarray([[40.0], [41.0], [47.0]]),
+        np.asarray([[230.0], [238.0], [231.0]]),
+    ) is None
+    # non-monotone longitude axis
+    lon2, lat2 = np.meshgrid([350.0, 355.0, 0.0, 5.0], [40.0, 45.0])
+    assert fwd.separable_grid_axes(lat2, lon2) is None
+    # regular product grid is accepted either way up
+    lon3, lat3 = np.meshgrid([10.0, 20.0, 30.0], [50.0, 45.0, 40.0, 35.0])
+    axes = fwd.separable_grid_axes(lat3, lon3)
+    assert axes is not None and axes[0][0] == 50.0
+
+
+def test_separable_certificate_fallback_near_pole():
+    """A pole-adjacent ob with a deliberately starved candidate window must
+    fail the certificate, and the full-search fallback must equal the
+    exact answer."""
+    lat1 = np.linspace(-89.0, 89.0, 90)  # 2-degree rows, no pole row
+    lon1 = np.arange(0.0, 360.0, 30.0)  # 12 coarse columns
+    lats = np.asarray([89.9999, -89.9999])
+    lons = np.asarray([17.0, 252.0])
+    idx, cert = fwd._nearest_separable(lat1, lon1, lats, lons, npt=4,
+                                       ncand_rows=2, ncand_cols=4)
+    assert not cert.all()  # near the pole every column ties at ~R*dphi
+    glat = np.repeat(lat1, len(lon1))
+    glon = np.tile(lon1, len(lat1))
+    full = fwd._host_full_search(glat, glon, lats, lons, npt=4)
+    d_full = np.sort(fwd._haversine_np(
+        lats[:, None], lons[:, None], glat[full], glon[full]), axis=1)
+    # certificate failures must be repaired to the exact nearest distances
+    idx = idx.copy()
+    idx[~cert] = full[~cert]
+    d_fast = np.sort(fwd._haversine_np(
+        lats[:, None], lons[:, None], glat[idx], glon[idx]), axis=1)
+    np.testing.assert_allclose(d_fast, d_full, rtol=1e-12)
+
+
+def test_taps_search_device_knob_end_to_end():
+    """FilterConfig.taps_search='device' and the default 'auto' produce the
+    same posterior through the public API."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import ObservationBatch
+
+    state = make_demo_state(ny=8, nx=9, ntimes=2, nmems=10)
+    s = state.structure
+    n = 6
+    rng = np.random.default_rng(5)
+    batch = ObservationBatch(
+        values=rng.normal(280, 3, n),
+        errors=np.ones(n),
+        lats=rng.uniform(42.5, 49.5, n),
+        lons=rng.uniform(230.5, 243.5, n),
+        times_s=timeutil.to_epoch_seconds(np.asarray([s.times64()[0]] * n)),
+        obtypes=[s.var_names[0]] * n,
+        localize_radius=np.full(n, 1500.0),
+        assimilate_flags=np.ones(n, bool),
+        verts=np.full(n, np.nan),
+        descriptions=[None] * n,
+    )
+    posts = {}
+    for search in ("auto", "device"):
+        cfg = FilterConfig(localization="GC", dtype="float64",
+                           taps_search=search)
+        post, _ = EnSRF(state, batch, config=cfg, verbose=False).update()
+        posts[search] = np.asarray(post.data)
+    np.testing.assert_allclose(posts["auto"], posts["device"], atol=1e-12)
