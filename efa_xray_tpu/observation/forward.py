@@ -220,11 +220,16 @@ def _nearest_separable(
     """Exact nearest-``npt`` search on a separable grid, entirely on host.
 
     Replaces the device full-grid ``top_k`` (the dominant cost of a cold
-    ``build_taps`` — measured in ``benchmarks/results_v5e_r3.json`` config
-    5) with O(ny + nx + ncand) index arithmetic per ob: the candidate set
-    is the ``ncand_rows`` nearest latitude rows x the ``ncand_cols``
-    nearest longitude columns, and a per-ob CERTIFICATE proves no excluded
-    grid point can beat the selected ``npt``:
+    ``build_taps`` — measured in ``results_v5e_r3.json`` config 5) with
+    O(log ny + log nx + ncand) index arithmetic per ob: both axes are
+    monotone, so the nearest rows/columns live in a small contiguous
+    (circularly contiguous, for wrapped longitude) index window around the
+    ``searchsorted`` insertion point — nearest-k sets in a sorted array
+    are contiguous and contain the insertion point, so a window of twice
+    the needed size always covers them.  The candidate set is the
+    ``ncand_rows`` nearest latitude rows x the ``ncand_cols`` nearest
+    longitude columns, and a per-ob CERTIFICATE proves no excluded grid
+    point can beat the selected ``npt``:
 
     * any point in an excluded row is at least ``R * |dphi|`` away (a
       great circle between latitudes phi1, phi2 spans at least their
@@ -251,21 +256,43 @@ def _nearest_separable(
         if nr * nc < npt:
             raise ValueError("candidate window smaller than npt")
 
-    dphi = np.abs(lats[:, None] - lat1[None, :])  # [nobs, ny]
+    asc_lat = ny == 1 or lat1[-1] >= lat1[0]
+    la = lat1 if asc_lat else lat1[::-1]
     if nr < ny:
-        part = np.argpartition(dphi, nr - 1, axis=1)
-        rows_sel = part[:, :nr]  # [nobs, nr]
-        # smallest excluded-row latitude gap -> lower bound on any
-        # excluded-row point's distance
-        excl_gap = np.partition(dphi, nr, axis=1)[:, nr]
+        # window of 2(nr+1) contiguous rows around the insertion point is
+        # guaranteed to contain the nr+1 nearest rows (see docstring)
+        wr = min(ny, 2 * (nr + 1))
+        jr = np.searchsorted(la, lats)
+        start = np.clip(jr - (nr + 1), 0, ny - wr)
+        rwin = start[:, None] + np.arange(wr)[None, :]  # [nobs, wr] distinct
+        dphi_w = np.abs(lats[:, None] - la[rwin])
+        part = np.argpartition(dphi_w, nr - 1, axis=1)[:, :nr]
+        rows_sel = np.take_along_axis(rwin, part, axis=1)  # [nobs, nr]
+        # the (nr+1)-th smallest in-window gap IS the global smallest
+        # excluded-row gap -> lower bound on any excluded-row point's
+        # distance
+        excl_gap = np.partition(dphi_w, nr, axis=1)[:, nr]
         row_lb = _loc.EARTH_RADIUS_KM * np.radians(excl_gap)
+        if not asc_lat:
+            rows_sel = ny - 1 - rows_sel
     else:
         rows_sel = np.broadcast_to(np.arange(ny), (nobs, ny)).copy()
         row_lb = np.full(nobs, np.inf)
 
-    dlam = np.abs(((lons[:, None] - lon1[None, :] + 180.0) % 360.0) - 180.0)
+    asc_lon = nx == 1 or lon1[-1] >= lon1[0]
+    lo = lon1 if asc_lon else lon1[::-1]
     if nc < nx:
-        cols_sel = np.argpartition(dlam, nc - 1, axis=1)[:, :nc]  # [nobs, nc]
+        # nearest-by-wrapped-gap columns are CIRCULARLY contiguous around
+        # the circular insertion point; a 2*nc circular window covers them
+        wc = min(nx, 2 * nc)
+        lonw = lo[0] + ((lons - lo[0]) % 360.0)
+        jc = np.searchsorted(lo, lonw)
+        cwin = (jc[:, None] + np.arange(wc)[None, :] - nc) % nx  # distinct
+        dlam_w = np.abs(((lons[:, None] - lo[cwin] + 180.0) % 360.0) - 180.0)
+        part = np.argpartition(dlam_w, nc - 1, axis=1)[:, :nc]
+        cols_sel = np.take_along_axis(cwin, part, axis=1)  # [nobs, nc]
+        if not asc_lon:
+            cols_sel = nx - 1 - cols_sel
         col_window_full = False
     else:
         cols_sel = np.broadcast_to(np.arange(nx), (nobs, nx)).copy()

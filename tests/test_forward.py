@@ -490,6 +490,40 @@ def test_separable_certificate_fallback_near_pole():
     np.testing.assert_allclose(d_fast, d_full, rtol=1e-12)
 
 
+def test_separable_windowed_search_matches_brute_force():
+    """Randomized oracle: the searchsorted-windowed selection must match a
+    brute-force full search on every certified ob, across ascending /
+    descending axes, Gaussian latitudes, regional longitude spans, and
+    out-of-range query longitudes."""
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        ny = int(rng.integers(3, 80))
+        nx = int(rng.integers(3, 160))
+        if rng.random() < 0.3:
+            lat1 = np.degrees(np.arcsin(np.sort(rng.uniform(-1, 1, ny))))
+        else:
+            lat1 = np.linspace(-89.5, 89.5, ny)
+        if rng.random() < 0.5:
+            lat1 = lat1[::-1]
+        span = rng.choice([360.0, 40.0])
+        lon1 = (np.sort(rng.uniform(0, span, nx)) if span < 360
+                else np.arange(nx) * (360.0 / nx))
+        if rng.random() < 0.5:
+            lon1 = lon1[::-1].copy()
+        nobs = 40
+        lats = rng.uniform(-90, 90, nobs)
+        lons = rng.uniform(-180, 540, nobs)
+        idx, cert = fwd._nearest_separable(lat1, lon1, lats, lons, 4)
+        glat, glon = np.repeat(lat1, nx), np.tile(lon1, ny)
+        full = fwd._host_full_search(glat, glon, lats, lons, 4)
+        d_fast = np.sort(fwd._haversine_np(
+            lats[:, None], lons[:, None], glat[idx], glon[idx]), axis=1)
+        d_full = np.sort(fwd._haversine_np(
+            lats[:, None], lons[:, None], glat[full], glon[full]), axis=1)
+        bad = cert & ~np.all(np.abs(d_fast - d_full) < 1e-9, axis=1)
+        assert not bad.any(), (trial, ny, nx, np.where(bad))
+
+
 def test_taps_search_device_knob_end_to_end():
     """FilterConfig.taps_search='device' and the default 'auto' produce the
     same posterior through the public API."""
