@@ -64,6 +64,17 @@ class CyclingHarness:
     adaptive_inflation: bool = False
     adaptive_sd: float = 0.6
     adaptive_min: float = 1.0
+    # Additive inflation (Mitchell & Houtekamer 2000; Whitaker et al. 2008
+    # used it operationally for the NCEP GFS hybrid): before each analysis,
+    # add zero-mean Gaussian noise of standard deviation ``additive_sigma``
+    # to the perturbations (mean-preserving).  Multiplicative schemes scale
+    # existing spread and therefore cannot restore it where it has
+    # collapsed toward zero or points in the wrong subspace; additive noise
+    # reintroduces variance everywhere, the standard counter to systematic
+    # model error.  Draws come from the harness RNG, so checkpoint/resume
+    # stays bit-exact.  0 = off — reference behavior (the reference has
+    # only multiplicative inflation, efa_xray/assimilation/assimilation.py:52).
+    additive_sigma: float = 0.0
     # Desroziers (2005) adaptive observation error: after each analysis the
     # consistency estimate R_est = E[d_a d_b] (analysis x background obs-space
     # departures) is blended into the working R with weight ``adaptive_r_rho``
@@ -142,6 +153,13 @@ class CyclingHarness:
                 lam = jnp.ones(ens.shape[1], dtype=ens.dtype)
             mean = jnp.mean(ens, axis=0)
             ens = mean + jnp.sqrt(lam)[None, :] * (ens - mean)
+        if self.additive_sigma > 0.0:
+            rng = getattr(self, "_rng", None)
+            if rng is None:
+                rng = self._rng = np.random.default_rng(0)
+            noise = rng.normal(0.0, self.additive_sigma, ens.shape)
+            noise -= noise.mean(axis=0, keepdims=True)  # mean-preserving
+            ens = ens + jnp.asarray(noise, dtype=ens.dtype)
         return ens, lam
 
     def analysis_step(self, ensemble, values, ob_lats, ob_lons):

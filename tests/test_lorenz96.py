@@ -506,3 +506,86 @@ def test_run_without_resume_resets_state():
         rtol=0, atol=0,
     )
     assert [s.cycle for s in b] == list(range(6))
+
+
+def test_additive_inflation_recovers_collapsed_ensemble():
+    """The capability multiplicative inflation cannot provide (and the
+    reference lacks entirely — efa_xray/assimilation/assimilation.py:52
+    only scales existing perturbations): once ensemble spread collapses
+    to zero, the gain is zero and the filter is stuck forever no matter
+    the multiplicative factor; additive inflation
+    (``CyclingHarness.additive_sigma``, Mitchell & Houtekamer 2000)
+    reintroduces variance and the filter re-converges."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 16
+    truth, ens0 = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=3)
+    lats, lons = l96.fake_latlon(nvars)
+    # collapse: every member = the (offset) ensemble mean -> zero spread
+    collapsed = np.repeat(
+        np.asarray(ens0).mean(axis=0, keepdims=True) + 1.0, nmems, axis=0
+    )
+
+    def run(sig=0.0, infl=None, ncycles=40):
+        h = CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats, state_lons=lons, ob_error=1.0,
+            localize_radius=4000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            inflation=infl, additive_sigma=sig,
+        )
+        stats = h.run(collapsed.copy(), truth.copy(), ncycles, seed=7)
+        return (np.mean([s.analysis_rmse for s in stats[-10:]]),
+                np.mean([s.mean_spread for s in stats[-10:]]))
+
+    rmse_none, spread_none = run()
+    rmse_mult, spread_mult = run(infl=1.5)
+    rmse_add, spread_add = run(sig=0.2)
+    # multiplicative on (numerically) zero spread is a no-op
+    # (measured: both runs stuck at RMSE 5.38, spread ~1e-16)
+    assert spread_none < 1e-12 and spread_mult < 1e-12
+    np.testing.assert_allclose(rmse_mult, rmse_none, rtol=1e-9)
+    # additive restores spread and re-converges (measured: 0.62 vs 5.38)
+    assert spread_add > 0.1
+    assert rmse_add < 1.0 < 0.3 * rmse_none
+
+
+def test_additive_inflation_checkpoint_resume_bit_exact(tmp_path):
+    """Additive-noise draws ride the harness RNG, so a checkpointed +
+    resumed segment reproduces the uninterrupted run exactly."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems = 40, 16
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=9)
+    lats, lons = l96.fake_latlon(nvars)
+
+    def make():
+        return CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats, state_lons=lons, ob_error=1.0,
+            localize_radius=4000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, nvars, 2),
+            additive_sigma=0.2,
+        )
+
+    h_full = make()
+    full = h_full.run(np.asarray(ens).copy(), truth.copy(), ncycles=8, seed=5)
+
+    h_a = make()
+    h_a.run(np.asarray(ens).copy(), truth.copy(), ncycles=4, seed=5)
+    ckpt = tmp_path / "cyc.nc"
+    h_a.save_checkpoint(ckpt)
+    h_b = make()
+    h_b.load_checkpoint(ckpt)
+    resumed = h_b.run(None, None, ncycles=4, resume=True)
+
+    np.testing.assert_allclose(
+        [s.analysis_rmse for s in full[4:]],
+        [s.analysis_rmse for s in resumed], rtol=0, atol=0,
+    )
