@@ -75,6 +75,13 @@ class CyclingHarness:
     # stays bit-exact.  0 = off — reference behavior (the reference has
     # only multiplicative inflation, efa_xray/assimilation/assimilation.py:52).
     additive_sigma: float = 0.0
+    # Optional perturbation bank ``[nbank, nvars]`` for the additive draws:
+    # instead of white noise, each member adds ``additive_sigma`` times a
+    # randomly sampled bank row (the operational form — Whitaker et al.
+    # 2008 sampled lagged-forecast differences — so the added variance
+    # carries balanced, flow-like covariance structure instead of being
+    # spatially white).  None = white Gaussian noise.
+    additive_bank: Optional[np.ndarray] = None
     # Desroziers (2005) adaptive observation error: after each analysis the
     # consistency estimate R_est = E[d_a d_b] (analysis x background obs-space
     # departures) is blended into the working R with weight ``adaptive_r_rho``
@@ -157,7 +164,12 @@ class CyclingHarness:
             rng = getattr(self, "_rng", None)
             if rng is None:
                 rng = self._rng = np.random.default_rng(0)
-            noise = rng.normal(0.0, self.additive_sigma, ens.shape)
+            if self.additive_bank is not None:
+                bank = np.asarray(self.additive_bank, dtype=np.float64)
+                pick = rng.integers(0, bank.shape[0], ens.shape[0])
+                noise = self.additive_sigma * bank[pick]
+            else:
+                noise = rng.normal(0.0, self.additive_sigma, ens.shape)
             noise -= noise.mean(axis=0, keepdims=True)  # mean-preserving
             ens = ens + jnp.asarray(noise, dtype=ens.dtype)
         return ens, lam

@@ -589,3 +589,47 @@ def test_additive_inflation_checkpoint_resume_bit_exact(tmp_path):
         [s.analysis_rmse for s in full[4:]],
         [s.analysis_rmse for s in resumed], rtol=0, atol=0,
     )
+
+
+def test_additive_bank_draws_carry_bank_covariance_structure():
+    """``additive_bank`` replaces white noise with sampled bank rows
+    (Whitaker et al. 2008's operational form), so the added perturbations
+    must live in the bank's span and carry its spatial covariance —
+    here a bank of smooth ring waves, whose adjacent-variable correlation
+    white noise cannot produce."""
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    nvars, nmems, nbank = 40, 200, 64
+    rng = np.random.default_rng(2)
+    x = 2 * np.pi * np.arange(nvars) / nvars
+    # bank of smooth low-wavenumber ring waves
+    bank = np.stack([
+        np.cos((k % 3 + 1) * x + rng.uniform(0, 2 * np.pi))
+        for k in range(nbank)
+    ])
+    lats, lons = l96.fake_latlon(nvars)
+
+    def added_noise(bank_arg):
+        h = CyclingHarness(
+            forecast=lambda e: e,
+            state_lats=lats, state_lons=lons,
+            obs_operator_rows=np.arange(nvars),
+            additive_sigma=0.5, additive_bank=bank_arg,
+        )
+        h._rng = np.random.default_rng(11)
+        ens0 = jnp.zeros((nmems, nvars))
+        out, _ = h._apply_prior_inflation(ens0)
+        return np.asarray(out)
+
+    structured = added_noise(bank)
+    white = added_noise(None)
+    for n in (structured, white):  # mean-preserving either way
+        np.testing.assert_allclose(n.mean(axis=0), 0.0, atol=1e-12)
+        assert n.std() > 0.1
+    # adjacent-variable correlation: smooth bank ~cos(dx*k) >= cos(3*2pi/40)
+    # ~ 0.89; white noise ~ 0
+    def adj_corr(n):
+        c = np.corrcoef(n.T)
+        return np.mean(np.diag(c, k=1))
+    assert adj_corr(structured) > 0.7
+    assert abs(adj_corr(white)) < 0.2
