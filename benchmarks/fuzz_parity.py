@@ -93,7 +93,7 @@ def build_workload(rng, t):
         prior=prior, ye=ye, row_lat=row_lat, row_lon=row_lon,
         values=values, errors=errors,
         ob_lat=row_lat[rows], ob_lon=row_lon[rows],
-        radii=radii, assim=assim,
+        radii=radii, assim=assim, rows=rows,
     )
     if t["vertical"]:
         w["body_vert"] = rng.uniform(100.0, 1000.0, ns)
@@ -136,8 +136,10 @@ def knob_kwargs(w, t):
         kw.update(
             hybrid_alpha=w["hybrid_alpha"],
             body_sigma=rows_sigma,
-            # obs sit on state rows; the tail sigma of an ob is its row's
-            tail_sigma=jnp.ones(len(w["values"]), dtype=rows_sigma.dtype),
+            # obs sit on state rows; the tail sigma of an ob is its row's —
+            # heterogeneous, so tail-sigma plumbing (ordering, sharding
+            # replication) is actually exercised by every hybrid trial
+            tail_sigma=rows_sigma[jnp.asarray(w["rows"])],
             static_length=w["static_length"],
         )
     return kw

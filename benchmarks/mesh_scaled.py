@@ -18,6 +18,8 @@ Run:  python benchmarks/mesh_scaled.py  (CPU only; ~minutes on one core)
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -27,6 +29,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
 
 
 def main(nstate=1_048_576, nmems=80, nobs=2048, block_size=128, seed=7):

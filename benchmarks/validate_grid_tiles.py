@@ -17,6 +17,8 @@ Usage (real TPU):  python benchmarks/validate_grid_tiles.py [--json OUT]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -24,8 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from run_benchmarks import _obs_arrays, _timed_update
-from efa_xray_tpu.ops.tiling import auto_grid_tile
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
+sys.path.insert(0, _here)
+
+from run_benchmarks import _obs_arrays, _timed_update  # noqa: E402
+from efa_xray_tpu.ops.tiling import auto_grid_tile  # noqa: E402
 
 
 def build(nmems=40, nobs=2000, vt=4, seed=2):

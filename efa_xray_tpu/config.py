@@ -58,7 +58,14 @@ class FilterConfig:
     # index arithmetic with a per-ob exactness certificate — no device
     # dispatch at all (observation/forward.py:_nearest_separable);
     # "device" forces the full device search (the taps_topk path) even on
-    # separable grids.  Results are identical either way.
+    # separable grids.  Selected points (and hence ye) are identical
+    # either way, with one measure-zero caveat: among grid points at
+    # EXACTLY equal distance from an ob, the host paths break ties by
+    # lowest flat grid index (so "auto", its full-search fallback, and
+    # the single-stage device top_k all agree), while the two-stage
+    # chordal device search resolves such ties by its own fp rounding —
+    # an ob exactly midway between grid points may select a different
+    # (equally correct, equidistant) point there.
     taps_search: str = "auto"
     time_weighting: str = "linear"  # or "reference" (reproduces swapped weights)
     # Device dtype for the update ("float32" on TPU; "float64" for parity

@@ -304,11 +304,17 @@ def _nearest_separable(
     flat = (rows_sel[:, :, None] * nx + cols_sel[:, None, :]).reshape(nobs, -1)
     d2 = d.reshape(nobs, -1)
 
-    pick = np.argpartition(d2, npt - 1, axis=1)[:, :npt]
-    pick_d = np.take_along_axis(d2, pick, axis=1)
-    order = np.argsort(pick_d, axis=1, kind="stable")  # ascending distance,
-    pick = np.take_along_axis(pick, order, axis=1)  # like the device top_k
-    d_star = np.take_along_axis(pick_d, order[:, -1:], axis=1)[:, 0]
+    # Ascending distance with ties broken by LOWEST flat grid index — a
+    # deterministic rule shared with _host_full_search and matching the
+    # single-stage device top_k (lax.top_k prefers the lowest index among
+    # equal scores), so obs exactly equidistant between grid points select
+    # the same points on every host path.  (The two-stage chordal device
+    # search breaks exact ties by fp rounding instead — see the
+    # FilterConfig.taps_search note.)  The candidate set is tiny
+    # (nr*nc <= ~32), so a full lexsort is cheap.
+    order = np.lexsort((flat, d2), axis=1)[:, :npt]
+    pick = order
+    d_star = np.take_along_axis(d2, order[:, -1:], axis=1)[:, 0]
 
     # Certificate (conservative margin absorbs f64 rounding differences
     # between the analytic bound and the haversine evaluation).
@@ -340,11 +346,9 @@ def _host_full_search(row_lat, row_lon, lats, lons, npt: int,
             lats[s:s + per, None], lons[s:s + per, None],
             row_lat[None, :], row_lon[None, :],
         )
-        pick = np.argpartition(d, npt - 1, axis=1)[:, :npt]
-        pd = np.take_along_axis(d, pick, axis=1)
-        out[s:s + per] = np.take_along_axis(
-            pick, np.argsort(pd, axis=1, kind="stable"), axis=1
-        )
+        # Stable argsort over the flat axis = ascending distance with ties
+        # at the lowest flat index, matching the device top_k tie rule.
+        out[s:s + per] = np.argsort(d, axis=1, kind="stable")[:, :npt]
     return out
 
 
@@ -462,7 +466,6 @@ def build_taps(
     npt = min(npt, ngrid)
 
     fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    glat, glon = structure.grid_latlon_device(fdtype)
 
     # Device-side nearest-point search, chunked so the [chunk, ngrid]
     # distance matrix stays within a bounded footprint.  The whole batch
@@ -491,6 +494,11 @@ def build_taps(
                 chunk_bytes=obs_chunk_bytes,
             )
     else:
+        # The grid upload happens only on this branch: the host-side
+        # separable path above must stay free of ANY device transfer (a
+        # multi-MB grid upload through the ~40 MB/s tunnel is exactly the
+        # cold-build cost it was built to eliminate).
+        glat, glon = structure.grid_latlon_device(fdtype)
         npad = (-nobs) % chunk
         lat_p = np.concatenate([lats, np.full(npad, lats[0])])
         lon_p = np.concatenate([lons, np.full(npad, lons[0])])

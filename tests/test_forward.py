@@ -446,6 +446,44 @@ def test_separable_fast_path_pole_row_grid():
     np.testing.assert_allclose(ye_a, ye_d, atol=1e-9)
 
 
+def test_separable_tie_break_matches_host_and_single_stage_device():
+    """Obs EXACTLY equidistant between grid points: every host path and the
+    single-stage device top_k must agree on the selected flat indices
+    (ascending distance, ties at the lowest flat index).  The two-stage
+    chordal device search may legitimately differ here (fp-rounded tie
+    resolution among equidistant points — FilterConfig.taps_search note),
+    so it is checked only for equal DISTANCES."""
+    import jax.numpy as jnp
+
+    lat1 = np.arange(-10.0, 10.1, 5.0)  # 5 rows
+    lon1 = np.arange(0.0, 70.1, 10.0)  # 8 cols
+    ny, nx = len(lat1), len(lon1)
+    glat, glon = np.repeat(lat1, nx), np.tile(lon1, ny)
+    # midway between two columns (2-way tie), and midway between four
+    # diagonal neighbors on the equator row (4-way tie at npt boundary)
+    lats = np.asarray([0.0, 2.5])
+    lons = np.asarray([15.0, 15.0])
+    for npt in (1, 3, 4):
+        idx, cert = fwd._nearest_separable(lat1, lon1, lats, lons, npt)
+        assert cert.all()
+        full = fwd._host_full_search(glat, glon, lats, lons, npt)
+        np.testing.assert_array_equal(idx, full)
+        dev = np.asarray(fwd._topk_points(
+            jnp.asarray(glat), jnp.asarray(glon),
+            jnp.asarray(lats), jnp.asarray(lons), npt, "haversine"))
+        np.testing.assert_array_equal(idx, dev)
+        mapped = np.asarray(fwd._topk_points_mapped(
+            jnp.asarray(glat), jnp.asarray(glon),
+            jnp.asarray(lats), jnp.asarray(lons), npt, "haversine", 2,
+            "exact"))
+        d_host = fwd._haversine_np(lats[:, None], lons[:, None],
+                                   glat[idx], glon[idx])
+        d_map = fwd._haversine_np(lats[:, None], lons[:, None],
+                                  glat[mapped], glon[mapped])
+        np.testing.assert_allclose(np.sort(d_host, axis=1),
+                                   np.sort(d_map, axis=1), atol=1e-9)
+
+
 def test_separable_detection_rejects_non_product_grids():
     # curvilinear (rotated) grid
     y, x = np.meshgrid(np.arange(5), np.arange(6), indexing="ij")
