@@ -468,6 +468,17 @@ class CyclingHarness:
             bg_rmse = float(
                 jnp.sqrt(jnp.mean((jnp.mean(ensemble, axis=0) - truth) ** 2))
             )
+            if not np.isfinite(bg_rmse):
+                # Fail loudly instead of cycling NaNs: a non-finite
+                # background means the forecast diverged (typically a
+                # member thrown off the model attractor by too-aggressive
+                # inflation), and every later cycle would silently report
+                # NaN statistics (SURVEY.md §5.3 failure-detection stance).
+                raise RuntimeError(
+                    f"forecast diverged at cycle {c}: non-finite background "
+                    "ensemble.  Reduce inflation (adaptive_sd / inflation / "
+                    "additive_sigma) or the cycle length."
+                )
             yobs = obs_bias + np.asarray(truth)[rows] + rng.normal(
                 0,
                 np.sqrt(
