@@ -33,6 +33,10 @@ import json
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from benchmarks.breakdown import _chain_time, _make_workload, WORKLOADS
 from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl

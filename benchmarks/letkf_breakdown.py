@@ -23,6 +23,10 @@ import json
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from benchmarks.breakdown import _chain_time, _make_workload
 from efa_xray_tpu.assimilation import letkf_core as lc
 from efa_xray_tpu.observation.localization import latlon_to_unit

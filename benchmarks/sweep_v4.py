@@ -15,6 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_impl
 

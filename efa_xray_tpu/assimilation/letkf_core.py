@@ -99,8 +99,18 @@ def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096,
     pxyz = jnp.pad(patch_xyz, ((0, pad), (0, 0))).reshape(nchunks, chunk, 3)
 
     def one(pts):
+        # HIGHEST is load-bearing exactly as in the taps search
+        # (observation/forward.py:_topk_points_mapped): a default-precision
+        # f32 matmul ingests bf16 on the TPU MXU, and bf16 quantization of
+        # chord dots near 1.0 is ~sqrt(2*2^-8) rad ~ 560 km of ranking
+        # resolution — the nearest-k set then includes/excludes obs
+        # mis-ranked by hundreds of km, which (unlike the far-edge misses
+        # "approx" tolerates) carry mid-range GC weights.  The K=3
+        # contraction is noise next to the top_k that follows.
         dots = jnp.einsum(
-            "pc,oc->po", pts, obs_xyz, preferred_element_type=jnp.float32
+            "pc,oc->po", pts, obs_xyz,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         _, idx = _top_k(dots, k, topk_method)
         return idx
@@ -423,8 +433,12 @@ def _analyze_body_chunked(
 
     def one(args):
         xm_c, xp_c, px, pv = args
+        # precision=HIGHEST: bf16 MXU ingestion would mis-rank the
+        # nearest-k selection by ~560 km — see select_local_obs.
         dots = jnp.einsum(
-            "pc,oc->po", px, obs_xyz, preferred_element_type=jnp.float32
+            "pc,oc->po", px, obs_xyz,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         _, ii = _top_k(dots, k, topk_method)  # [C, K]
         yl = ye[ii]  # [C, K, M]

@@ -18,6 +18,10 @@ import argparse
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.models import lorenz96 as l96
 from efa_xray_tpu.models.cycling import CyclingHarness

@@ -16,6 +16,10 @@ import argparse
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from efa_xray_tpu import EnSRF, EnsembleState, Observation
 from efa_xray_tpu.utils.demo_data import get_ensemble_point
 

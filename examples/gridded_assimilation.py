@@ -14,6 +14,10 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from efa_xray_tpu import EnSRF, LETKF, EnsembleState, obs_assimilation_statistics
 from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.utils.demo_data import gefs_like_state, observations_from_truth

@@ -27,6 +27,10 @@ import tempfile
 import numpy as np
 import pandas as pd
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from efa_xray_tpu import EnKF, EnSRF, LETKF, obs_assimilation_statistics
 from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.observation.observation import ObservationBatch
