@@ -592,3 +592,30 @@ def test_taps_search_device_knob_end_to_end():
         post, _ = EnSRF(state, batch, config=cfg, verbose=False).update()
         posts[search] = np.asarray(post.data)
     np.testing.assert_allclose(posts["auto"], posts["device"], atol=1e-12)
+
+
+def test_taps_chord_dot_precision_is_highest():
+    """Same regression guard as the LETKF selection: the device
+    nearest-point search's chordal [chunk,3]x[3,ngrid] dot must carry
+    precision=HIGHEST — on TPU a default-precision f32 matmul ingests
+    bf16 (~560 km of ranking resolution near dot=1) and the top-m
+    candidate set misses true nearest points outright
+    (benchmarks/taps_search_ab.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_letkf import _collect_chord_dot_precisions
+    from efa_xray_tpu.observation.forward import _topk_points_mapped
+
+    glat = jnp.zeros(512, jnp.float32)
+    glon = jnp.zeros(512, jnp.float32)
+    jx = jax.make_jaxpr(
+        lambda gla, glo, la, lo: _topk_points_mapped(
+            gla, glo, la, lo, 4, "haversine", 64)
+    )(glat, glon, jnp.zeros(64, jnp.float32), jnp.zeros(64, jnp.float32))
+    precs = []
+    _collect_chord_dot_precisions(jx.jaxpr, precs)
+    assert precs, "no chord dot found in _topk_points_mapped trace"
+    for p in precs:
+        assert p is not None and all(
+            x == jax.lax.Precision.HIGHEST for x in p), p

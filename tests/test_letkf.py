@@ -338,3 +338,80 @@ def test_letkf_topk_methods_agree_on_cpu():
     np.testing.assert_array_equal(outs["exact"], outs["approx"])
     with pytest.raises(ValueError):
         FilterConfig(letkf_topk="bogus")
+
+
+def _collect_chord_dot_precisions(jaxpr, out):
+    """Every dot_general contracting over a size-3 axis (the chordal
+    [*, 3] x [3, *] dots), recursing into scan/map/cond sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            (lc, _rc), _batch = eqn.params["dimension_numbers"]
+            lshape = eqn.invars[0].aval.shape
+            if any(lshape[d] == 3 for d in lc):
+                out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            vals = v if isinstance(v, (tuple, list)) else (v,)
+            for item in vals:
+                inner = getattr(item, "jaxpr", item)
+                if hasattr(inner, "eqns"):
+                    _collect_chord_dot_precisions(inner, out)
+
+
+def test_select_local_obs_matches_f64_oracle():
+    """Nearest-k selection must equal exact float64 chord ranking (set
+    equality per patch).  On TPU this is load-bearing: a default-precision
+    f32 matmul ingests bf16 on the MXU (~560 km ranking resolution near
+    dot=1) and mis-selected 51% of patches at config-6 geometry
+    (benchmarks/letkf_select_precision_ab.py); precision=HIGHEST restores
+    the oracle set at identical cost.  Exercises the chunk-padding path
+    (npatch not a multiple of chunk)."""
+    rng = np.random.default_rng(3)
+    npatch, nobs, k = 1000, 300, 16
+    plat = np.radians(rng.uniform(-88, 88, npatch))
+    plon = np.radians(rng.uniform(0, 360, npatch))
+    olat = np.radians(rng.uniform(-88, 88, nobs))
+    olon = np.radians(rng.uniform(0, 360, nobs))
+    pxyz64 = np.stack([np.cos(plat) * np.cos(plon),
+                       np.cos(plat) * np.sin(plon), np.sin(plat)], -1)
+    oxyz64 = np.stack([np.cos(olat) * np.cos(olon),
+                       np.cos(olat) * np.sin(olon), np.sin(olat)], -1)
+    oracle = np.argsort(-(pxyz64 @ oxyz64.T), axis=1, kind="stable")[:, :k]
+    idx = np.asarray(lcore.select_local_obs(
+        jnp.asarray(pxyz64, jnp.float32), jnp.asarray(oxyz64, jnp.float32),
+        k, chunk=256))
+    assert idx.shape == (npatch, k)
+    mism = sum(frozenset(a) != frozenset(b) for a, b in zip(idx, oracle))
+    assert mism == 0
+
+
+def test_chord_dot_precision_is_highest_in_jaxprs():
+    """Regression guard for the TPU-only bf16 mis-ranking: every chordal
+    dot in the traced selection AND the full letkf_update must carry
+    precision=HIGHEST (CPU runs cannot surface the bug, so the trace is
+    the only portable assertion)."""
+    import functools
+
+    jx = jax.make_jaxpr(
+        lambda p, o: lcore.select_local_obs(p, o, 8, chunk=64)
+    )(jnp.zeros((100, 3), jnp.float32), jnp.zeros((50, 3), jnp.float32))
+    precs = []
+    _collect_chord_dot_precisions(jx.jaxpr, precs)
+    assert precs, "no chord dot found in select_local_obs trace"
+    for p in precs:
+        assert p is not None and all(
+            x == jax.lax.Precision.HIGHEST for x in p), p
+
+    t = _toy(nobs=9)
+    fn = functools.partial(
+        lcore.letkf_update, ngrid=t["ngrid"], patch_size=4, k_obs=5,
+        chunk=16)
+    jx = jax.make_jaxpr(
+        lambda bm, bp, tm, tp, glat, glon, obs: fn(
+            bm, bp, tm, tp, glat, glon, obs)
+    )(t["bm"], t["bp"], t["tm"], t["tp"], t["glat"], t["glon"], t["obs"])
+    precs = []
+    _collect_chord_dot_precisions(jx.jaxpr, precs)
+    assert precs, "no chord dot found in letkf_update trace"
+    for p in precs:
+        assert p is not None and all(
+            x == jax.lax.Precision.HIGHEST for x in p), p
