@@ -124,6 +124,8 @@ class LETKF(Assimilation):
                 vertical=vertical,
                 body_vert=body_vert,
                 unbiased=cfg.unbiased_variance,
+                topk_method=cfg.letkf_topk,
+                solve_precision=cfg.letkf_solve_precision,
             )
         else:
             bm, bp, tm, tp, diags = letkf_core.letkf_update(
@@ -145,6 +147,7 @@ class LETKF(Assimilation):
                 vertical=vertical,
                 body_vert=body_vert,
                 unbiased=cfg.unbiased_variance,
+                solve_precision=cfg.letkf_solve_precision,
             )
 
         if prior_spread is not None:

@@ -52,6 +52,25 @@ from efa_xray_tpu.observation.localization import (
 )
 
 
+def _solve_precision_obj(solve_precision: str):
+    """Resolve the ``solve_precision`` knob to a ``lax.Precision`` (or
+    None = ambient).  Governs the ensemble-SPACE solve chain only — the
+    ``C = Y^T diag(rho/R) Y`` build, the Newton–Schulz iterations, and the
+    ``wbar`` solve, all tiny ``[C, K, M]`` / ``[C, M, M]`` operands — NOT
+    the big state-apply einsums.  Rationale: at the TPU default an f32
+    matmul ingests bf16 (one MXU pass), so the NS iteration stalls at a
+    ~1e-2 weight-matrix floor (see ``_invsqrt_newton_schulz``); pinning
+    just the solve chain buys back ~7.6x of that accuracy while the
+    FLOP-heavy applies keep single-pass speed."""
+    if solve_precision in (None, "default"):
+        return None
+    if solve_precision == "high":
+        return jax.lax.Precision.HIGH
+    if solve_precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    raise ValueError(f"unknown solve_precision {solve_precision!r}")
+
+
 class PatchWeights(NamedTuple):
     """Per-patch ensemble-space analysis weights."""
 
@@ -124,7 +143,7 @@ def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096,
 # ---------------------------------------------------------------------------
 
 
-def _invsqrt_newton_schulz(a, iters: int):
+def _invsqrt_newton_schulz(a, iters: int, precision=None):
     """Batched ``(A^{-1/2}, A^{-1})`` for SPD ``A [..., M, M]`` with pure
     matmuls (MXU-native; no eigendecomposition).
 
@@ -134,6 +153,14 @@ def _invsqrt_newton_schulz(a, iters: int):
     ``Y -> (A/c)^{1/2}`` and ``Z -> (A/c)^{-1/2}``.  Converges for any SPD
     matrix since ``0 < lambda/c <= 1``; the iteration count covers the
     linear phase ~log2(condition number) plus the quadratic tail.
+
+    ``precision``: matmul precision of the iteration einsums (None =
+    ambient).  At the TPU default the iteration stalls at the bf16 floor
+    (measured: 1.49e-2 rel maxabs vs a f64 eigh oracle on body-shaped
+    amat batches); ``Precision.HIGHEST`` converges ~7.6x closer
+    (1.97e-3) at multi-pass matmul cost
+    (benchmarks/letkf_solve_precision_ab.py) — thread via
+    ``letkf_update(solve_precision=...)``.
     """
     m = a.shape[-1]
     dtype = a.dtype
@@ -171,12 +198,15 @@ def _invsqrt_newton_schulz(a, iters: int):
     def body(state):
         i, y, z, err, _ = state
         zy = jnp.einsum(
-            "...ij,...jk->...ik", z, y, preferred_element_type=dtype
+            "...ij,...jk->...ik", z, y, preferred_element_type=dtype,
+            precision=precision,
         )
         new_err = jnp.max(jnp.abs(zy - eye))
         t = 1.5 * eye - 0.5 * zy
-        y = jnp.einsum("...ij,...jk->...ik", y, t, preferred_element_type=dtype)
-        z = jnp.einsum("...ij,...jk->...ik", t, z, preferred_element_type=dtype)
+        y = jnp.einsum("...ij,...jk->...ik", y, t,
+                       preferred_element_type=dtype, precision=precision)
+        z = jnp.einsum("...ij,...jk->...ik", t, z,
+                       preferred_element_type=dtype, precision=precision)
         return i + 1, y, z, new_err, err
 
     _, y, z, _, _ = jax.lax.while_loop(
@@ -192,7 +222,8 @@ def _invsqrt_newton_schulz(a, iters: int):
     )
     inv_sqrt = z / jnp.sqrt(c)[..., None, None]
     inv = jnp.einsum(
-        "...ij,...jk->...ik", inv_sqrt, inv_sqrt, preferred_element_type=dtype
+        "...ij,...jk->...ik", inv_sqrt, inv_sqrt,
+        preferred_element_type=dtype, precision=precision,
     )
     return inv_sqrt, inv
 
@@ -232,6 +263,7 @@ def solve_patch_weights(
     patch_verts=None,  # [P] vertical coordinates (vertical mode)
     obs_verts=None,  # [No]
     obs_vert_radii=None,  # [No] vertical GC halfwidths (inf = off)
+    solve_precision: str = "default",  # see _solve_precision_obj
 ) -> PatchWeights:
     """Solve the LETKF ensemble-space analysis for every patch.
 
@@ -259,6 +291,7 @@ def solve_patch_weights(
         ).reshape(nchunks, chunk)
 
     eye = jnp.eye(nens, dtype=dtype)
+    sprec = _solve_precision_obj(solve_precision)
 
     def one(args):
         ii, pxyz, pvert = args  # [C, K], [C, 3], [C]
@@ -277,15 +310,19 @@ def solve_patch_weights(
             a = a * rho
         ya = yl * a[..., None]  # [C, K, M]
         cmat = jnp.einsum(
-            "ckm,ckn->cmn", ya, yl, preferred_element_type=dtype
+            "ckm,ckn->cmn", ya, yl, preferred_element_type=dtype,
+            precision=sprec,
         )
         amat = (nens - 1) * eye + cmat
         if sqrt_method == "eigh":
             inv_sqrt, inv = _invsqrt_eigh(amat)
         else:
-            inv_sqrt, inv = _invsqrt_newton_schulz(amat, ns_iters)
-        b = jnp.einsum("ckm,ck->cm", ya, dl, preferred_element_type=dtype)
-        wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype)
+            inv_sqrt, inv = _invsqrt_newton_schulz(amat, ns_iters,
+                                                   precision=sprec)
+        b = jnp.einsum("ckm,ck->cm", ya, dl, preferred_element_type=dtype,
+                       precision=sprec)
+        wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype,
+                          precision=sprec)
         transform = jnp.sqrt(jnp.asarray(nens - 1, dtype)) * inv_sqrt
         return wbar, transform
 
@@ -362,6 +399,7 @@ def _analyze_body_chunked(
     obs_verts=None,  # [No]
     obs_vert_radii=None,  # [No]
     topk_method: str = "exact",
+    solve_precision: str = "default",  # see _solve_precision_obj
 ):
     """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
 
@@ -430,6 +468,7 @@ def _analyze_body_chunked(
     pxyz = pxyz.reshape(nchunks, chunk, 3)
     pvert = pvert.reshape(nchunks, chunk)
     eye = jnp.eye(nens, dtype=dtype)
+    sprec = _solve_precision_obj(solve_precision)
 
     def one(args):
         xm_c, xp_c, px, pv = args
@@ -451,14 +490,18 @@ def _analyze_body_chunked(
             ).astype(dtype)
         a = rinv[ii] * rho  # [C, K]
         ya = yl * a[..., None]
-        cmat = jnp.einsum("ckm,ckn->cmn", ya, yl, preferred_element_type=dtype)
+        cmat = jnp.einsum("ckm,ckn->cmn", ya, yl,
+                          preferred_element_type=dtype, precision=sprec)
         amat = (nens - 1) * eye + cmat
         if sqrt_method == "eigh":
             inv_sqrt, inv = _invsqrt_eigh(amat)
         else:
-            inv_sqrt, inv = _invsqrt_newton_schulz(amat, ns_iters)
-        b = jnp.einsum("ckm,ck->cm", ya, innov[ii], preferred_element_type=dtype)
-        wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype)
+            inv_sqrt, inv = _invsqrt_newton_schulz(amat, ns_iters,
+                                                   precision=sprec)
+        b = jnp.einsum("ckm,ck->cm", ya, innov[ii],
+                       preferred_element_type=dtype, precision=sprec)
+        wbar = jnp.einsum("cmn,cn->cm", inv, b, preferred_element_type=dtype,
+                          precision=sprec)
         w = jnp.sqrt(jnp.asarray(nens - 1, dtype)) * inv_sqrt
         if vertical:
             pm = xm_c + jnp.einsum(
@@ -502,6 +545,7 @@ def _analyze_body_chunked(
     static_argnames=(
         "ngrid", "patch_size", "k_obs", "localize", "sqrt_method",
         "ns_iters", "chunk", "vertical", "topk_method", "unbiased",
+        "solve_precision",
     ),
 )
 def letkf_update(
@@ -524,6 +568,10 @@ def letkf_update(
     body_vert=None,  # [Ns]; each (var,time) group must sit at ONE level
     topk_method: str = "exact",
     unbiased: bool = False,
+    solve_precision: str = "default",  # ensemble-space solve matmul
+    # precision: "default" (ambient — one bf16 MXU pass on TPU, NS floor
+    # ~1e-2), "high" (3-pass) or "highest" (true f32 fixed point ~1e-5);
+    # see _solve_precision_obj
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -578,6 +626,7 @@ def letkf_update(
         chunk=chunk,
         obs_verts=overts,
         obs_vert_radii=ovrad,
+        solve_precision=solve_precision,
     )
 
     if localize:
@@ -603,6 +652,7 @@ def letkf_update(
             obs_verts=overts,
             obs_vert_radii=ovrad,
             topk_method=topk_method,
+            solve_precision=solve_precision,
         )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.

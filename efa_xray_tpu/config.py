@@ -159,6 +159,17 @@ class FilterConfig:
     # the same cost); "approx" selects 6.8x faster (0.16 s, full update
     # 1.47 s) and is the recommended production setting.
     letkf_topk: str = "exact"
+    # Matmul precision of the LETKF's ensemble-SPACE solve chain (the
+    # C = Y^T diag(rho/R) Y build, the Newton-Schulz inverse-sqrt
+    # iterations, and the wbar solve) — NOT the big state-apply einsums,
+    # which stay at the ambient/default precision.  On TPU the default
+    # bf16 MXU ingestion stalls the Newton-Schulz iteration at a ~1e-2
+    # floor vs the f64 eigh oracle; "highest" converges it ~7.6x closer
+    # (1.49e-2 -> 1.97e-3 rel maxabs) at 1.55x config-6 update cost,
+    # moving the posterior by up to 0.17x the spread (measured on-chip:
+    # benchmarks/letkf_solve_precision_ab.py).  "high" = 3-pass middle
+    # ground.  Applies only to the tiny [C, M, M] solve operands.
+    letkf_solve_precision: str = "default"
     # --- Hybrid ensemble-static background covariance (Hamill & Snyder
     # 2000).  hybrid_alpha = 1 is the pure ensemble filter (reference
     # parity); 0 is classic Optimal Interpolation with a Gaspari-Cohn
@@ -211,6 +222,11 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
         if self.letkf_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
+        if self.letkf_solve_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"Unknown letkf_solve_precision "
+                f"{self.letkf_solve_precision!r}"
+            )
         if self.taps_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown taps_topk {self.taps_topk!r}")
         if self.taps_search not in ("auto", "device"):

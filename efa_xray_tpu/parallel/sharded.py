@@ -491,6 +491,8 @@ def _letkf_sharded_impl(
     vertical: bool = False,
     body_vert=None,  # [VT, Gpad] (sharded like bm) or None
     unbiased: bool = False,
+    topk_method: str = "exact",
+    solve_precision: str = "default",
 ):
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -540,6 +542,8 @@ def _letkf_sharded_impl(
             vertical=vertical,
             body_vert=bvert_l.reshape(vt * g_local) if vertical else None,
             unbiased=unbiased,
+            topk_method=topk_method,
+            solve_precision=solve_precision,
         )
         return (
             bm2.reshape(vt, g_local),
@@ -562,6 +566,7 @@ def _letkf_sharded_impl(
 _LETKF_STATIC = (
     "mesh", "g_local", "axis_name", "patch_size", "k_obs", "localize",
     "sqrt_method", "ns_iters", "chunk", "vertical", "unbiased",
+    "topk_method", "solve_precision",
 )
 _letkf_sharded_jit = jax.jit(_letkf_sharded_impl, static_argnames=_LETKF_STATIC)
 
@@ -586,6 +591,8 @@ def letkf_update_sharded(
     vertical: bool = False,
     body_vert=None,  # [Ns] per-row vertical coordinate (vertical mode)
     unbiased: bool = False,
+    topk_method: str = "exact",
+    solve_precision: str = "default",
 ):
     """Sharded LETKF: the GRID axis (not the flat row axis) shards across
     the mesh, since rows of a column share their patch's weights.  Patches
@@ -649,6 +656,8 @@ def letkf_update_sharded(
         vertical=vertical,
         body_vert=bvert,
         unbiased=unbiased,
+        topk_method=topk_method,
+        solve_precision=solve_precision,
     )
     bm = bm[:, :ngrid].reshape(ns)
     bp = bp[:, :ngrid].reshape(ns, nens)

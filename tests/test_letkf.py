@@ -415,3 +415,43 @@ def test_chord_dot_precision_is_highest_in_jaxprs():
     for p in precs:
         assert p is not None and all(
             x == jax.lax.Precision.HIGHEST for x in p), p
+
+
+def test_letkf_solve_precision_plumbs_and_matches_on_cpu():
+    """letkf_solve_precision pins the ensemble-space solve chain's matmul
+    precision (TPU: default bf16 ingestion stalls Newton-Schulz at a
+    ~1e-2 floor; highest converges to the f32 fixed point).  On CPU all
+    precisions execute identically, so the analyses must match bitwise —
+    the knob's accuracy effect is TPU-only and measured on chip
+    (benchmarks/letkf_solve_precision_ab.py)."""
+    state = make_demo_state(ntimes=1, ny=10, nx=10, nmems=12, seed=3)
+    obs = make_demo_obs(state, nobs=15, seed=4, radius=900.0)
+    outs = {}
+    for sp in ("default", "high", "highest"):
+        cfg = FilterConfig(localization="GC", dtype="float64",
+                           letkf_k_obs=8, letkf_chunk=16,
+                           letkf_solve_precision=sp)
+        post, _ = LETKF(state, list(obs), config=cfg, verbose=False).update()
+        outs[sp] = np.asarray(post.data)
+    np.testing.assert_array_equal(outs["default"], outs["highest"])
+    np.testing.assert_array_equal(outs["default"], outs["high"])
+    with pytest.raises(ValueError):
+        FilterConfig(letkf_solve_precision="bogus")
+
+
+def test_letkf_sharded_honors_topk_and_solve_precision():
+    """The mesh path must plumb letkf_topk and letkf_solve_precision (it
+    previously ignored topk_method silently); sharded == single-device
+    for every combination on CPU."""
+    state = make_demo_state(ntimes=1, ny=8, nx=16, nmems=10, seed=5)
+    obs = make_demo_obs(state, nobs=12, seed=6, radius=1200.0)
+    for topk, sp in (("approx", "default"), ("exact", "highest")):
+        cfg = FilterConfig(localization="GC", dtype="float64",
+                           letkf_k_obs=6, letkf_chunk=8,
+                           letkf_topk=topk, letkf_solve_precision=sp)
+        p1, _ = LETKF(state, list(obs), config=cfg, verbose=False).update()
+        p2, _ = LETKF(state, list(obs), config=cfg, verbose=False,
+                      mesh=make_mesh()).update()
+        np.testing.assert_allclose(
+            np.asarray(p1.data), np.asarray(p2.data), atol=1e-10
+        )
