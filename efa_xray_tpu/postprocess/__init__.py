@@ -5,3 +5,8 @@ from efa_xray_tpu.postprocess.verification import (  # noqa: F401
     innovation_consistency,
     rank_histogram,
 )
+from efa_xray_tpu.postprocess.sensitivity import (  # noqa: F401
+    ensemble_sensitivity,
+    observation_impact,
+    region_mean_metric,
+)
