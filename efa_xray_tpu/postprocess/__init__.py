@@ -7,6 +7,7 @@ from efa_xray_tpu.postprocess.verification import (  # noqa: F401
 )
 from efa_xray_tpu.postprocess.sensitivity import (  # noqa: F401
     ensemble_sensitivity,
+    greedy_obs_selection,
     observation_impact,
     region_mean_metric,
 )

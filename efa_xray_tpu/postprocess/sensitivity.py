@@ -225,3 +225,97 @@ def observation_impact(
             "qc_ok": qc,
         }
     )
+
+
+def greedy_obs_selection(
+    state: EnsembleState,
+    obs,
+    metric: Metric,
+    nselect: int,
+    unbiased: bool = False,
+    time_weighting: str = "linear",
+) -> pd.DataFrame:
+    """Greedy sequential observation-network design: repeatedly pick the
+    candidate whose assimilation most reduces the forecast-metric
+    variance, ACCOUNTING for the obs already selected.
+
+    This is the augmented-state insight of the reference
+    (``efa_xray/assimilation/assimilation.py:146-150``) run entirely in
+    observation space: after each pick the candidate ``ye`` matrix and
+    the metric members get the exact serial square-root update
+    (``Xap = Xbp - beta K (x) ye``, ``efa_xray/assimilation/ensrf.py:
+    135-141``, restricted to the ``[No, M]`` tail), so later scores see
+    the information already harvested — naive top-n re-counts shared
+    information; greedy does not.  For unlocalized obs and a linear
+    metric the cumulative predictions are EXACT: assimilating the
+    selected set serially with the EnSRF realizes them (tested).
+
+    Obs-space only (``[No, M]`` host float64 — a planning tool, not a
+    hot path).  Returns one row per pick, in pick order: the candidate
+    index, per-step and cumulative predicted metric mean change and
+    variance reduction.  ``unbiased`` mirrors
+    ``FilterConfig.unbiased_variance``.
+    """
+    s = state.structure
+    nm = s.nmems
+    batch = ObservationBatch.coerce(obs)
+    if not 0 < nselect <= batch.nobs:
+        raise ValueError(f"nselect must be in 1..{batch.nobs}")
+    j = metric_values(state, metric)
+    jp = j - j.mean()
+
+    taps = _fwd.build_taps(
+        s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
+        time_weighting=time_weighting,
+    )
+    ye = np.asarray(_fwd.apply_taps_obj(state.to_vect(), taps),
+                    dtype=np.float64)
+    qc = np.asarray(taps.qc_ok)
+    mye = ye.mean(axis=1)
+    yep = ye - mye[:, None]
+    errors = np.asarray(batch.errors, dtype=np.float64)
+    values = np.asarray(batch.values, dtype=np.float64)
+    ddof_den = 1 if unbiased else 0
+
+    avail = qc.copy()
+    rows = []
+    cum_dj, cum_dvar = 0.0, 0.0
+    for _ in range(nselect):
+        varye = np.sum(yep * yep, axis=1) / (nm - ddof_den)
+        kdenom = varye + errors
+        covj = yep @ jp / (nm - 1)
+        score = np.where(avail, covj * covj / kdenom, -np.inf)
+        pick = int(np.argmax(score))
+        if not np.isfinite(score[pick]):
+            break  # no eligible candidates left
+        avail[pick] = False
+
+        kd, r = kdenom[pick], errors[pick]
+        innov = values[pick] - mye[pick]
+        dj_mean = covj[pick] / kd * innov
+        dj_var = -covj[pick] * covj[pick] / kd
+        cum_dj += dj_mean
+        cum_dvar += dj_var
+        rows.append(
+            {
+                "candidate": pick,
+                "obtype": batch.obtypes[pick],
+                "lat": float(batch.lats[pick]),
+                "lon": float(batch.lons[pick]),
+                "dJ_mean_step": dj_mean,
+                "dJ_var_step": dj_var,
+                "dJ_mean_cum": cum_dj,
+                "dJ_var_cum": cum_dvar,
+            }
+        )
+
+        # exact serial square-root update of the obs-space tail + metric
+        ye_p = yep[pick].copy()
+        kvec = (yep @ ye_p) / (nm - 1) / kd  # [No] gains onto candidates
+        kj = covj[pick] / kd
+        beta = 1.0 / (1.0 + math.sqrt(r / kd))
+        mye = mye + kvec * innov
+        yep = yep - beta * np.outer(kvec, ye_p)
+        jp = jp - beta * kj * ye_p
+
+    return pd.DataFrame(rows)

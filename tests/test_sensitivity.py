@@ -106,3 +106,81 @@ def test_impact_qc_and_targeting_ranking():
     assert np.isnan(df["dJ_mean_pred"].iloc[2])
     assert df["qc_ok"].iloc[0] and df["qc_ok"].iloc[1]
     assert df["dJ_var_pred"].iloc[1] <= df["dJ_var_pred"].iloc[0] + 1e-15
+
+
+@pytest.mark.parametrize("unbiased", [True, False])
+def test_greedy_selection_exact_vs_serial_ensrf(unbiased):
+    """Greedy sequential selection runs the exact serial square-root
+    update in obs space, so for unlocalized obs + a linear metric the
+    cumulative predicted dJ (and, with matched ddof, dVar(J)) equal what
+    the EnSRF realizes when assimilating the picked set in pick order."""
+    from efa_xray_tpu.postprocess.sensitivity import greedy_obs_selection
+
+    state = make_demo_state(ntimes=2, ny=6, nx=8, nmems=20, seed=7)
+    cands = make_demo_obs(state, nobs=12, seed=8)
+    metric = region_mean_metric(state.structure.var_names[0], time_index=1)
+    j0 = metric_values(state, metric)
+
+    sel = greedy_obs_selection(state, cands, metric, nselect=4,
+                               unbiased=unbiased)
+    assert len(sel) == 4
+    assert sel["candidate"].is_unique
+    # steps are sorted by diminishing-returns ONLY in var terms per step
+    assert (sel["dJ_var_step"] <= 1e-15).all()
+
+    picked = [cands[i] for i in sel["candidate"]]
+    cfg = FilterConfig(localization=None, dtype="float64",
+                       unbiased_variance=unbiased)
+    post, _ = EnSRF(state, picked, config=cfg, verbose=False).update()
+    j1 = metric_values(post, metric)
+    np.testing.assert_allclose(sel["dJ_mean_cum"].iloc[-1],
+                               j1.mean() - j0.mean(), rtol=1e-9, atol=1e-12)
+    if unbiased:
+        np.testing.assert_allclose(
+            sel["dJ_var_cum"].iloc[-1],
+            np.var(j1, ddof=1) - np.var(j0, ddof=1), rtol=1e-9, atol=1e-14)
+
+
+def test_greedy_discounts_harvested_information():
+    """A duplicate of the top-scoring ob is NOT naively redundant (two
+    independent measurements halve the effective R), but its RE-SCORED
+    step-2 impact must shrink once the first copy is in — and greedy's
+    realized pair must reduce var(J) at least as much as the naive
+    top-2 pair (greedy's second pick maximizes the pair's reduction)."""
+    from efa_xray_tpu.postprocess.sensitivity import greedy_obs_selection
+
+    state = make_demo_state(ntimes=2, ny=6, nx=8, nmems=20, seed=9)
+    cands = make_demo_obs(state, nobs=8, seed=10)
+    metric = region_mean_metric(state.structure.var_names[0], time_index=1)
+    j0 = metric_values(state, metric)
+
+    imp = observation_impact(state, cands, metric)
+    top = int(imp["dJ_var_pred"].idxmin())
+    dup = Observation(
+        value=cands[top].value, obtype=cands[top].obtype,
+        time=cands[top].time, error=cands[top].error, lat=cands[top].lat,
+        lon=cands[top].lon, assimilate_this=True, localize_radius=None,
+    )
+    cands2 = list(cands) + [dup]
+    imp2 = observation_impact(state, cands2, metric)
+    naive2 = list(imp2["dJ_var_pred"].nsmallest(2).index)
+    assert set(naive2) == {top, len(cands)}  # naive re-counts the copy
+
+    sel = greedy_obs_selection(state, cands2, metric, nselect=2)
+    assert int(sel["candidate"].iloc[0]) == top
+    second = int(sel["candidate"].iloc[1])
+    # step-2 score of ANY pick is computed against the updated ensemble,
+    # so it is smaller in magnitude than its naive (prior) score
+    assert abs(sel["dJ_var_step"].iloc[1]) < abs(
+        imp2["dJ_var_pred"].iloc[second]) - 1e-15
+
+    def realized(pair):
+        cfg = FilterConfig(localization=None, dtype="float64")
+        post, _ = EnSRF(state, [cands2[i] for i in pair], config=cfg,
+                        verbose=False).update()
+        return np.var(metric_values(post, metric)) - np.var(j0)
+
+    assert realized([int(i) for i in sel["candidate"]]) <= (
+        realized(naive2) + 1e-12)
+    with pytest.raises(ValueError):
+        greedy_obs_selection(state, cands2, metric, nselect=0)
