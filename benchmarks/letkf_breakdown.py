@@ -22,6 +22,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import os as _os
 import sys as _sys
@@ -77,8 +78,37 @@ def main():
         print(json.dumps({f"select_{method}":
                           out.get(f"select_{method}_seconds")}), flush=True)
 
+    # --- host-certified candidate build (letkf_topk="host") --------------
+    import time as _time
+
+    t0 = _time.perf_counter()
+    cand_h, mask_h, geff = lc.host_select_candidates(
+        np.asarray(blat), np.asarray(blon), ngrid, args.patch,
+        np.asarray(obs.lats), np.asarray(obs.lons), args.k,
+        chunk=args.chunk)
+    out["host_build_seconds"] = _time.perf_counter() - t0
+    out["host_cand_width"] = int(cand_h.shape[1])
+    out["host_cand_mb"] = round(cand_h.nbytes / 1e6, 2)
+    cand_d, mask_d = jnp.asarray(cand_h), jnp.asarray(mask_h)
+    print(json.dumps({"host_build_seconds": out["host_build_seconds"],
+                      "host_cand_width": out["host_cand_width"]}), flush=True)
+
     # --- full update at knob settings ------------------------------------
     def full_fn(topk, ns_iters):
+        if topk == "host":
+            # candidates enter as jit ARGUMENTS — a closure capture would
+            # embed them as HLO constants and blow the remote-compile
+            # request size at pod scale (measured: HTTP 413 at 328 MB).
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def fh(bm, bp, cand, mask):
+                r = lc.letkf_update(
+                    bm, bp, tm, tp, blat, blon, obs, ngrid=ngrid,
+                    patch_size=args.patch, k_obs=args.k, localize=True,
+                    ns_iters=ns_iters, chunk=args.chunk, topk_method="host",
+                    sel_cand=cand, sel_mask=mask, sel_group=geff)
+                return r[0], r[1]
+            return lambda a, b: fh(a, b, cand_d, mask_d)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def f(bm, bp):
             r = lc.letkf_update(
@@ -91,6 +121,7 @@ def main():
     # ns_iters settled: cap 12 vs 30 measured identical (2.389 vs 2.390 s)
     # — the stall-detection early exit already fires well before either.
     for name, topk, ns in (("full_exact", "exact", 30),
+                           ("full_host", "host", 30),
                            ("full_approx", "approx", 30)):
         try:
             bm2, bp2 = jnp.array(bm), jnp.array(bp)

@@ -44,6 +44,87 @@ from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.observation.observation import ObservationBatch
 from efa_xray_tpu.state.ensemble import EnsembleState
 
+# Host-certified selection cache (letkf_topk="host"): like the
+# forward-operator taps cache (observation/forward.py:_TAPS_CACHE), a
+# cycling workload re-observing the same network skips the host kd-tree
+# build AND the candidate upload on cycle 2+.
+import collections as _collections
+import hashlib as _hashlib
+import weakref as _weakref
+
+_SEL_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+SEL_CACHE_MAX_PER_STRUCTURE = 8
+# Diagnostic counter of actual host kd-tree builds (cache misses).
+sel_build_count = 0
+
+
+def _host_selection_cached(structure, obs_lats, obs_lons, k: int,
+                           patch_size: int, chunk: int, ndev: int = 0):
+    """(cand, mask, group) for this (grid, obs network, selection
+    geometry), built host-side on first use.
+
+    ``ndev = 0``: the single-device layout.  ``ndev > 0``: the sharded
+    layout — `letkf_update_sharded` pads the grid to ``ndev * patch_size``
+    and each shard runs its own local patch/chunk partition, so
+    candidates are built per shard (with one unified S) and stacked along
+    the group axis, which then shards like the grid.  Host candidate
+    arrays are returned (the sharded path device_puts with its specs).
+    """
+    global sel_build_count
+    h = _hashlib.sha256()
+    for a in (obs_lats, obs_lons):
+        h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+    h.update(repr((k, patch_size, chunk, ndev)).encode())
+    key = h.hexdigest()
+    per = _SEL_CACHE.get(structure)
+    if per is not None and key in per:
+        per.move_to_end(key)
+        return per[key]
+
+    glat = np.asarray(structure.lat.ravel(), np.float64)
+    glon = np.asarray(structure.lon.ravel(), np.float64)
+    ngrid = structure.ngrid
+    if ndev == 0:
+        cand, mask, geff = letkf_core.host_select_candidates(
+            glat, glon, ngrid, patch_size, obs_lats, obs_lons, k,
+            chunk=chunk,
+        )
+        entry = (jnp.asarray(cand), jnp.asarray(mask), geff)
+    else:
+        from efa_xray_tpu.parallel.mesh import pad_to_multiple
+
+        g_pad = pad_to_multiple(ngrid, ndev * patch_size)
+        if g_pad > ngrid:
+            glat = np.concatenate([glat, np.repeat(glat[-1:], g_pad - ngrid)])
+            glon = np.concatenate([glon, np.repeat(glon[-1:], g_pad - ngrid)])
+        g_local = g_pad // ndev
+        chunk_local = min(chunk, max(1, -(-g_local // patch_size)))
+        parts = []
+        for s in range(ndev):
+            sl = slice(s * g_local, (s + 1) * g_local)
+            parts.append(letkf_core.host_select_candidates(
+                glat[sl], glon[sl], g_local, patch_size,
+                obs_lats, obs_lons, k, chunk=chunk_local,
+            ))
+        geff = parts[0][2]
+        assert all(p[2] == geff for p in parts)  # uniform local geometry
+        s_max = max(p[0].shape[1] for p in parts)
+        cand = np.concatenate([
+            np.pad(p[0], ((0, 0), (0, s_max - p[0].shape[1]))) for p in parts
+        ])
+        mask = np.concatenate([
+            np.pad(p[1], ((0, 0), (0, s_max - p[1].shape[1]))) for p in parts
+        ])
+        entry = (cand, mask, geff)
+    sel_build_count += 1
+    if per is None:
+        per = _collections.OrderedDict()
+        _SEL_CACHE[structure] = per
+    per[key] = entry
+    while len(per) > SEL_CACHE_MAX_PER_STRUCTURE:
+        per.popitem(last=False)
+    return entry
+
 
 class LETKF(Assimilation):
     def __init__(
@@ -93,6 +174,23 @@ class LETKF(Assimilation):
         body_vert = (
             jnp.asarray(st.row_vert(), dtype=dtype) if vertical else None
         )
+        sel_kwargs = {}
+        if cfg.letkf_topk == "host" and cfg.localize:
+            if vertical:
+                raise ValueError(
+                    "letkf_topk='host' supports horizontal-only "
+                    "localization; use 'exact' or 'approx' with vertical "
+                    "localization"
+                )
+            from efa_xray_tpu.parallel.mesh import STATE_AXIS
+
+            ndev = 0 if self.mesh is None else self.mesh.shape[STATE_AXIS]
+            cand, mask, geff = _host_selection_cached(
+                st, self.obs.lats, self.obs.lons, cfg.letkf_k_obs,
+                cfg.letkf_patch_size, cfg.letkf_chunk, ndev=ndev,
+            )
+            sel_kwargs = dict(sel_cand=cand, sel_mask=mask, sel_group=geff)
+
         prior_spread = None
         if cfg.rtps_alpha > 0.0:
             from efa_xray_tpu.assimilation.adaptive_inflation import row_spread
@@ -126,6 +224,7 @@ class LETKF(Assimilation):
                 unbiased=cfg.unbiased_variance,
                 topk_method=cfg.letkf_topk,
                 solve_precision=cfg.letkf_solve_precision,
+                **sel_kwargs,
             )
         else:
             bm, bp, tm, tp, diags = letkf_core.letkf_update(
@@ -148,6 +247,7 @@ class LETKF(Assimilation):
                 body_vert=body_vert,
                 unbiased=cfg.unbiased_variance,
                 solve_precision=cfg.letkf_solve_precision,
+                **sel_kwargs,
             )
 
         if prior_spread is not None:

@@ -39,10 +39,12 @@ Approximation knobs (both exact at their defaults):
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from efa_xray_tpu.assimilation.ensrf_core import ObsArrays, ObsDiagnostics, _empty_diags
 from efa_xray_tpu.observation.localization import (
@@ -136,6 +138,120 @@ def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096,
 
     idx = jax.lax.map(one, pxyz).reshape(nchunks * chunk, k)
     return idx[:npatch]
+
+
+def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
+                           obs_lat, obs_lon, k: int, chunk: int = 512,
+                           group: int = 64, slack: float = 1e-5):
+    """Certified per-GROUP candidate obs sets for EXACT nearest-k
+    selection at a fraction of the device top_k cost
+    (``letkf_topk="host"``).
+
+    The device-exact selection runs ``top_k`` over ALL ``No`` obs per
+    patch — measured at 45% of the pod-slice LETKF update
+    (``benchmarks/letkf_breakdown.py``), with no faster exact on-device
+    form.  But the top-k problem has spatial structure a host kd-tree
+    exploits (the same move ``taps_search="auto"`` made for the forward
+    operator, ``observation/forward.py``): bundle ``group`` adjacent
+    patches, and compute ONE candidate set per bundle that provably
+    contains every member patch's true nearest-k.  The device then
+    rescopes its exact HIGHEST-precision dots + ``top_k`` to the
+    ``S << No`` candidates.
+
+    Certificate (chord metric; exact, not heuristic): let ``c`` be the
+    bundle centroid, ``d = max_p |p - c|`` over member patch centers, and
+    ``r_k(c)`` the k-th-nearest-ob distance from ``c``.  The k-th-NN
+    distance is 1-Lipschitz in the query point, so for any member patch
+    ``p`` and any ob ``o`` in ``p``'s true top-k:
+    ``|c - o| <= |p - o| + d <= r_k(p) + d <= r_k(c) + 2d``.
+    Hence ``ball(c, r_k(c) + 2d)`` covers every member's top-k; ``slack``
+    absorbs the f32 device patch centers vs these f64 host centers.
+    Candidate lists are sorted by obs index so tie-breaking matches the
+    device-exact path's stable ``top_k``.
+
+    Mirrors `_analyze_body_chunked`'s horizontal-mode padding exactly
+    (patch → chunk → group alignment).  Returns
+    ``(cand [Gn, S] int32, mask [Gn, S] bool, group_eff)`` with
+    ``Gn = padded_units / group_eff`` and ``group_eff = gcd(group,
+    effective chunk)`` so groups tile device chunks.
+    """
+    from scipy.spatial import cKDTree
+
+    glat = np.asarray(grid_lat, np.float64)[:ngrid]
+    glon = np.asarray(grid_lon, np.float64)[:ngrid]
+    olat = np.asarray(obs_lat, np.float64)
+    olon = np.asarray(obs_lon, np.float64)
+    nobs = olat.shape[0]
+    kk = int(min(k, nobs))
+
+    def unit(lat, lon):
+        la, lo = np.radians(lat), np.radians(lon)
+        cl = np.cos(la)
+        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], -1)
+
+    npatch = -(-ngrid // patch_size)
+    gpad = npatch * patch_size - ngrid
+    gx = unit(glat, glon)
+    if gpad:
+        gx = np.concatenate([gx, np.repeat(gx[-1:], gpad, axis=0)], axis=0)
+    px = gx.reshape(npatch, patch_size, 3).mean(axis=1)
+    px /= np.maximum(np.linalg.norm(px, axis=-1, keepdims=True), 1e-12)
+
+    chunkc = int(min(chunk, npatch))
+    nchunks = -(-npatch // chunkc)
+    padded = nchunks * chunkc
+    group_eff = math.gcd(int(group), chunkc)
+    ngroups_real = -(-npatch // group_eff)
+    ppad = ngroups_real * group_eff - npatch
+    pxg = px
+    if ppad:
+        pxg = np.concatenate([pxg, np.repeat(pxg[-1:], ppad, axis=0)], axis=0)
+    pxg = pxg.reshape(ngroups_real, group_eff, 3)
+    centers = pxg.mean(axis=1)
+    centers /= np.maximum(np.linalg.norm(centers, axis=-1, keepdims=True),
+                          1e-12)
+    d = np.linalg.norm(pxg - centers[:, None, :], axis=-1).max(axis=1)
+
+    oxyz = unit(olat, olon)
+    tree = cKDTree(oxyz)
+    rk = tree.query(centers, k=kk, workers=-1)[0]
+    rk = rk[:, -1] if kk > 1 else np.reshape(rk, (-1,))
+    radius = rk + 2.0 * d + slack
+    # Wide groups (space-curve jumps: members far from the centroid) make
+    # the centroid certificate's ball huge — ONE such group would blow the
+    # global candidate width S toward No (measured at the pod slice:
+    # 83/8192 Hilbert-jump groups with d up to 1.05 rad pushed S to No).
+    # For those, certify per member patch instead (d = 0 by construction:
+    # ball(p, r_k(p) + slack) contains p's top-k by definition) and take
+    # the union — a few clusters' worth of candidates, not the sphere.
+    wide = radius > np.minimum(2.0, rk + 2.0 * np.median(d) + 0.1)
+    lists = [None] * len(centers)
+    tight = np.nonzero(~wide)[0]
+    for g, lst in zip(tight, tree.query_ball_point(
+            centers[tight], radius[tight], workers=-1)):
+        lists[g] = lst
+    for g in np.nonzero(wide)[0]:
+        members = pxg[g]
+        rkp = tree.query(members, k=kk, workers=-1)[0]
+        rkp = rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))
+        acc: set = set()
+        for lst in tree.query_ball_point(members, rkp + slack):
+            acc.update(lst)
+        lists[g] = list(acc)
+
+    s_max = max(kk, max(len(lst) for lst in lists))
+    s_cap = int(min(-(-s_max // 8) * 8, nobs))
+    ngroups_total = padded // group_eff
+    cand = np.zeros((ngroups_total, s_cap), np.int32)
+    mask = np.zeros((ngroups_total, s_cap), np.bool_)
+    for g, lst in enumerate(lists):
+        idx = np.sort(np.asarray(lst, np.int64))[:s_cap]
+        cand[g, : idx.size] = idx
+        mask[g, : idx.size] = True
+    for g in range(ngroups_real, ngroups_total):  # device upad region
+        cand[g] = cand[ngroups_real - 1]
+        mask[g] = mask[ngroups_real - 1]
+    return cand, mask, group_eff
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +516,9 @@ def _analyze_body_chunked(
     obs_vert_radii=None,  # [No]
     topk_method: str = "exact",
     solve_precision: str = "default",  # see _solve_precision_obj
+    sel_cand=None,  # [Gn, S] host-certified candidate obs (topk "host")
+    sel_mask=None,  # [Gn, S] candidate validity
+    sel_group: int = 0,  # patches per candidate group (static)
 ):
     """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
 
@@ -470,16 +589,67 @@ def _analyze_body_chunked(
     eye = jnp.eye(nens, dtype=dtype)
     sprec = _solve_precision_obj(solve_precision)
 
+    host_sel = topk_method == "host"
+    if host_sel:
+        if vertical:
+            raise ValueError(
+                "letkf_topk='host' supports horizontal-only localization; "
+                "use 'exact' or 'approx' with vertical localization"
+            )
+        if sel_cand is None or sel_mask is None or sel_group <= 0:
+            raise ValueError(
+                "letkf_topk='host' needs sel_cand/sel_mask/sel_group from "
+                "host_select_candidates"
+            )
+        if chunk % sel_group:
+            raise ValueError(
+                f"sel_group {sel_group} must divide the effective chunk "
+                f"{chunk} (host_select_candidates guarantees this when "
+                f"given the same chunk/patch geometry)"
+            )
+        gpc = chunk // sel_group
+        nsc = sel_cand.shape[-1]
+        if sel_cand.shape[0] != nchunks * gpc:
+            raise ValueError(
+                f"sel_cand has {sel_cand.shape[0]} groups, geometry needs "
+                f"{nchunks * gpc} (stale candidates for this grid/chunk?)"
+            )
+        if nsc < k:
+            raise ValueError(f"candidate width {nsc} < k {k}")
+        sel_cand = sel_cand.reshape(nchunks, gpc, nsc)
+        sel_mask = sel_mask.reshape(nchunks, gpc, nsc)
+    else:
+        # dummies so lax.map's xs pytree is static across modes
+        sel_cand = jnp.zeros((nchunks, 1, 1), jnp.int32)
+        sel_mask = jnp.zeros((nchunks, 1, 1), jnp.bool_)
+
     def one(args):
-        xm_c, xp_c, px, pv = args
-        # precision=HIGHEST: bf16 MXU ingestion would mis-rank the
-        # nearest-k selection by ~560 km — see select_local_obs.
-        dots = jnp.einsum(
-            "pc,oc->po", px, obs_xyz,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        _, ii = _top_k(dots, k, topk_method)  # [C, K]
+        xm_c, xp_c, px, pv, cand_c, mask_c = args
+        if host_sel:
+            # Exact selection rescoped to the certified candidates: the
+            # same HIGHEST-precision chordal dots, top_k over S << No.
+            oc = obs_xyz[cand_c]  # [G, S, 3]
+            pxg = px.reshape(gpc, sel_group, 3)
+            dg = jnp.einsum(
+                "gpc,gsc->gps", pxg, oc,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dg = jnp.where(mask_c[:, None, :], dg, -jnp.inf)
+            _, pos = jax.lax.top_k(dg, k)  # [G, P, K]
+            ii = jnp.take_along_axis(
+                jnp.broadcast_to(cand_c[:, None, :], (gpc, sel_group, nsc)),
+                pos, axis=-1,
+            ).reshape(chunk, k)
+        else:
+            # precision=HIGHEST: bf16 MXU ingestion would mis-rank the
+            # nearest-k selection by ~560 km — see select_local_obs.
+            dots = jnp.einsum(
+                "pc,oc->po", px, obs_xyz,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            _, ii = _top_k(dots, k, topk_method)  # [C, K]
         yl = ye[ii]  # [C, K, M]
         rho = chordal_gc_weights(
             px[:, None, :], obs_xyz[ii], obs_radii[ii]
@@ -520,7 +690,7 @@ def _analyze_body_chunked(
         return pm, pp
 
     with jax.named_scope("letkf/body_sweep"):
-        pm, pp = jax.lax.map(one, (xm, xp, pxyz, pvert))
+        pm, pp = jax.lax.map(one, (xm, xp, pxyz, pvert, sel_cand, sel_mask))
 
     pm = pm.reshape((nchunks * chunk,) + pm.shape[2:])[:nunits]
     pp = pp.reshape((nchunks * chunk,) + pp.shape[2:])[:nunits]
@@ -545,7 +715,7 @@ def _analyze_body_chunked(
     static_argnames=(
         "ngrid", "patch_size", "k_obs", "localize", "sqrt_method",
         "ns_iters", "chunk", "vertical", "topk_method", "unbiased",
-        "solve_precision",
+        "solve_precision", "sel_group",
     ),
 )
 def letkf_update(
@@ -572,6 +742,9 @@ def letkf_update(
     # precision: "default" (ambient — one bf16 MXU pass on TPU, NS floor
     # ~1e-2), "high" (3-pass) or "highest" (true f32 fixed point ~1e-5);
     # see _solve_precision_obj
+    sel_cand=None,  # [Gn, S] topk_method="host": certified candidates
+    sel_mask=None,  # [Gn, S]
+    sel_group: int = 0,  # patches per candidate group (static)
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -653,6 +826,9 @@ def letkf_update(
             obs_vert_radii=ovrad,
             topk_method=topk_method,
             solve_precision=solve_precision,
+            sel_cand=sel_cand,
+            sel_mask=sel_mask,
+            sel_group=sel_group,
         )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.

@@ -149,15 +149,22 @@ class FilterConfig:
     # the per-step gather + solve working set near VMEM and overlap
     # better; 512 is the knee.
     letkf_chunk: int = 512
-    # Nearest-k obs selection primitive: "exact" (lax.top_k) or "approx"
-    # (lax.approx_max_k, recall >= 0.95 per patch — a missed far-edge ob
-    # carries a near-zero GC weight by construction, so the analysis
-    # impact is far below the nearest-k truncation already accepted).
-    # Measured at the pod slice (benchmarks/letkf_breakdown.py): exact
-    # selection is 45% of the whole LETKF update (1.08 of 2.39 s) and has
-    # no faster exact form (approx_max_k at recall_target=1.0 lowers to
-    # the same cost); "approx" selects 6.8x faster (0.16 s, full update
-    # 1.47 s) and is the recommended production setting.
+    # Nearest-k obs selection primitive: "exact" (lax.top_k over all
+    # obs), "approx" (lax.approx_max_k, recall >= 0.95 per patch — a
+    # missed far-edge ob carries a near-zero GC weight by construction),
+    # or "host" (EXACT: a host kd-tree emits certified per-patch-group
+    # candidate sets — ball(centroid, r_k + 2*group_radius) provably
+    # covers every member patch's true top-k — and the device rescopes
+    # its HIGHEST-precision dots + top_k to the S << No candidates;
+    # cached per (structure, obs network) like forward-operator taps, so
+    # cycling re-pays nothing.  Horizontal-only localization).
+    # Measured at the pod slice (benchmarks/letkf_breakdown.py): on-device
+    # exact selection is 45% of the whole LETKF update (1.12 of 2.44 s)
+    # with no faster exact ON-DEVICE form (approx_max_k at
+    # recall_target=1.0 lowers to the same cost); "approx" selects 6.8x
+    # faster (full update 1.50 s); "host" keeps exactness at 1.83 s pod /
+    # 0.259 s 50k-obs (vs 0.425 exact) with a one-time cached host build
+    # (pod: 4.6 s, 17 MB candidates).
     letkf_topk: str = "exact"
     # Matmul precision of the LETKF's ensemble-SPACE solve chain (the
     # C = Y^T diag(rho/R) Y build, the Newton-Schulz inverse-sqrt
@@ -220,7 +227,7 @@ class FilterConfig:
             raise ValueError("block_size must be >= 1")
         if self.letkf_sqrt not in ("newton_schulz", "eigh"):
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
-        if self.letkf_topk not in ("exact", "approx"):
+        if self.letkf_topk not in ("exact", "approx", "host"):
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
         if self.letkf_solve_precision not in ("default", "high", "highest"):
             raise ValueError(

@@ -493,6 +493,9 @@ def _letkf_sharded_impl(
     unbiased: bool = False,
     topk_method: str = "exact",
     solve_precision: str = "default",
+    sel_cand=None,  # [ndev * Gn_local, S] host-certified candidates
+    sel_mask=None,
+    sel_group: int = 0,
 ):
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -502,6 +505,11 @@ def _letkf_sharded_impl(
     rep = P()
     if body_vert is None:
         body_vert = jnp.zeros_like(bm)
+    host_sel = topk_method == "host"
+    if not host_sel:
+        # pytree-stable dummies (never read)
+        sel_cand = jnp.zeros((mesh.shape[axis_name], 1), jnp.int32)
+        sel_mask = jnp.zeros((mesh.shape[axis_name], 1), jnp.bool_)
     in_specs = (
         sharded_g,
         P(None, axis_name, None),
@@ -510,6 +518,8 @@ def _letkf_sharded_impl(
         P(axis_name),
         P(axis_name),
         sharded_g,
+        P(axis_name, None),
+        P(axis_name, None),
         core.ObsArrays(*([rep] * 8)),
     )
     out_specs = (
@@ -520,7 +530,8 @@ def _letkf_sharded_impl(
         core.ObsDiagnostics(*([rep] * 5)),
     )
 
-    def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, bvert_l, ob):
+    def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, bvert_l,
+                     cand_l, mask_l, ob):
         # Every patch's solve is grid-local; the obs-space diagnostics
         # solve runs redundantly (bit-identically) on each device.  No
         # collectives anywhere.
@@ -544,6 +555,9 @@ def _letkf_sharded_impl(
             unbiased=unbiased,
             topk_method=topk_method,
             solve_precision=solve_precision,
+            sel_cand=cand_l if host_sel else None,
+            sel_mask=mask_l if host_sel else None,
+            sel_group=sel_group,
         )
         return (
             bm2.reshape(vt, g_local),
@@ -560,13 +574,14 @@ def _letkf_sharded_impl(
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, body_vert, obs)
+    return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, body_vert,
+              sel_cand, sel_mask, obs)
 
 
 _LETKF_STATIC = (
     "mesh", "g_local", "axis_name", "patch_size", "k_obs", "localize",
     "sqrt_method", "ns_iters", "chunk", "vertical", "unbiased",
-    "topk_method", "solve_precision",
+    "topk_method", "solve_precision", "sel_group",
 )
 _letkf_sharded_jit = jax.jit(_letkf_sharded_impl, static_argnames=_LETKF_STATIC)
 
@@ -593,6 +608,10 @@ def letkf_update_sharded(
     unbiased: bool = False,
     topk_method: str = "exact",
     solve_precision: str = "default",
+    sel_cand=None,  # [ndev * Gn_local, S] host candidates (topk "host"),
+    # built per shard by letkf._host_selection_cached(ndev=...)
+    sel_mask=None,
+    sel_group: int = 0,
 ):
     """Sharded LETKF: the GRID axis (not the flat row axis) shards across
     the mesh, since rows of a column share their patch's weights.  Patches
@@ -635,6 +654,10 @@ def letkf_update_sharded(
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
+    if topk_method == "host" and sel_cand is not None:
+        shard_sel = NamedSharding(mesh, P(axis_name, None))
+        sel_cand = jax.device_put(jnp.asarray(sel_cand), shard_sel)
+        sel_mask = jax.device_put(jnp.asarray(sel_mask), shard_sel)
 
     bm, bp, tm, tp, diags = _letkf_sharded_jit(
         bm,
@@ -658,6 +681,9 @@ def letkf_update_sharded(
         unbiased=unbiased,
         topk_method=topk_method,
         solve_precision=solve_precision,
+        sel_cand=sel_cand,
+        sel_mask=sel_mask,
+        sel_group=sel_group,
     )
     bm = bm[:, :ngrid].reshape(ns)
     bp = bp[:, :ngrid].reshape(ns, nens)

@@ -455,3 +455,150 @@ def test_letkf_sharded_honors_topk_and_solve_precision():
         np.testing.assert_allclose(
             np.asarray(p1.data), np.asarray(p2.data), atol=1e-10
         )
+
+
+# ---------------------------------------------------------------------------
+# letkf_topk="host": host-certified EXACT nearest-k selection
+# ---------------------------------------------------------------------------
+
+
+def test_host_candidates_certificate_covers_true_topk():
+    """The certified property itself: every patch's brute-force f64
+    top-k obs set is contained in its group's candidate set — including
+    under adversarial clustering (most obs piled in one corner, so
+    candidate-set sizes vary wildly across groups)."""
+    from efa_xray_tpu.assimilation.letkf_core import host_select_candidates
+
+    rng = np.random.default_rng(0)
+    ny, nx = 24, 36
+    lat1 = np.linspace(-80, 80, ny)
+    lon1 = np.linspace(0, 350, nx)
+    lon, lat = np.meshgrid(lon1, lat1)
+    glat, glon = lat.ravel(), lon.ravel()
+    # clustered obs: 90% in a 10-degree box, 10% spread out
+    nobs = 400
+    olat = np.where(rng.uniform(size=nobs) < 0.9,
+                    rng.uniform(40, 50, nobs), rng.uniform(-80, 80, nobs))
+    olon = np.where(rng.uniform(size=nobs) < 0.9,
+                    rng.uniform(100, 110, nobs), rng.uniform(0, 360, nobs))
+
+    for patch, k, chunk in ((1, 8, 64), (4, 16, 96), (8, 33, 50)):
+        ngrid = glat.size
+        cand, mask, geff = host_select_candidates(
+            glat, glon, ngrid, patch, olat, olon, k, chunk=chunk)
+        npatch = -(-ngrid // patch)
+
+        def unit(la, lo):
+            la, lo = np.radians(la), np.radians(lo)
+            return np.stack([np.cos(la) * np.cos(lo),
+                             np.cos(la) * np.sin(lo), np.sin(la)], -1)
+
+        gx = unit(glat, glon)
+        pad = npatch * patch - ngrid
+        if pad:
+            gx = np.concatenate([gx, np.repeat(gx[-1:], pad, axis=0)])
+        px = gx.reshape(npatch, patch, 3).mean(1)
+        px /= np.linalg.norm(px, axis=-1, keepdims=True)
+        ox = unit(olat, olon)
+        kk = min(k, nobs)
+        for p in range(npatch):
+            d = np.linalg.norm(ox - px[p], axis=-1)
+            true_topk = set(np.argsort(d, kind="stable")[:kk])
+            grp = p // geff
+            cands = set(cand[grp][mask[grp]])
+            assert true_topk <= cands, (patch, k, chunk, p)
+
+
+def test_host_topk_matches_exact_bitwise_cpu():
+    """letkf_topk='host' is EXACT: identical posterior to the on-device
+    full top_k across patch sizes, misaligned chunk/group geometry, and
+    k > nobs."""
+    state = make_demo_state(ntimes=2, ny=18, nx=26, nmems=10, seed=11)
+    obs = make_demo_obs(state, nobs=35, seed=12, radius=1100.0)
+    for patch, k, chunk in ((1, 12, 100), (8, 16, 48), (4, 999, 64)):
+        outs = {}
+        for tk in ("exact", "host"):
+            cfg = FilterConfig(localization="GC", dtype="float64",
+                               letkf_patch_size=patch, letkf_k_obs=k,
+                               letkf_chunk=chunk, letkf_topk=tk)
+            post, _ = LETKF(state, list(obs), config=cfg,
+                            verbose=False).update()
+            outs[tk] = np.asarray(post.data)
+        np.testing.assert_array_equal(outs["exact"], outs["host"]), (patch, k)
+
+
+def test_host_topk_mesh_matches_single_device():
+    state = make_demo_state(ntimes=1, ny=16, nx=24, nmems=12, seed=13)
+    obs = make_demo_obs(state, nobs=25, seed=14, radius=1000.0)
+    cfg = FilterConfig(localization="GC", dtype="float64",
+                       letkf_patch_size=4, letkf_k_obs=12,
+                       letkf_chunk=32, letkf_topk="host")
+    p1, _ = LETKF(state, list(obs), config=cfg, verbose=False).update()
+    p2, _ = LETKF(state, list(obs), config=cfg, verbose=False,
+                  mesh=make_mesh()).update()
+    np.testing.assert_allclose(np.asarray(p1.data), np.asarray(p2.data),
+                               atol=1e-10)
+
+
+def test_host_topk_cache_reused_across_filters():
+    """Cycle 2+ with the same network skips the host kd-tree build (the
+    taps-cache contract, forward.py:build_taps_cached)."""
+    import efa_xray_tpu.assimilation.letkf as letkf_mod
+
+    state = make_demo_state(ntimes=1, ny=10, nx=12, nmems=10, seed=15)
+    obs = make_demo_obs(state, nobs=12, seed=16, radius=900.0)
+    cfg = FilterConfig(localization="GC", dtype="float64",
+                       letkf_k_obs=8, letkf_chunk=16, letkf_topk="host")
+    before = letkf_mod.sel_build_count
+    LETKF(state, list(obs), config=cfg, verbose=False).update()
+    assert letkf_mod.sel_build_count == before + 1
+    LETKF(state, list(obs), config=cfg, verbose=False).update()
+    assert letkf_mod.sel_build_count == before + 1  # cache hit
+    obs2 = make_demo_obs(state, nobs=12, seed=99, radius=900.0)
+    LETKF(state, list(obs2), config=cfg, verbose=False).update()
+    assert letkf_mod.sel_build_count == before + 2  # new network
+
+
+def test_host_topk_rejects_vertical_localization():
+    from test_vertical_localization import _ob, make_level_state
+
+    state = make_level_state()
+    ob = _ob(state, vert=500.0, vrad=300.0)
+    cfg = FilterConfig(localization="GC", dtype="float64",
+                       letkf_topk="host", letkf_k_obs=4, letkf_chunk=8)
+    with pytest.raises(ValueError, match="horizontal-only"):
+        LETKF(state, [ob], config=cfg, verbose=False).update()
+
+
+def test_host_candidates_wide_group_fallback():
+    """A grid whose row ordering JUMPS around the sphere (shuffled — the
+    worst case of a space-curve discontinuity) makes patch groups
+    non-local; the builder must fall back to per-patch certificates for
+    those groups, keep the candidate width bounded, and stay exact."""
+    from efa_xray_tpu.assimilation.letkf_core import host_select_candidates
+
+    rng = np.random.default_rng(21)
+    n = 4096
+    glat = rng.uniform(-85, 85, n)
+    glon = rng.uniform(0, 360, n)  # unsorted: every group is "wide"
+    olat = rng.uniform(-85, 85, 500)
+    olon = rng.uniform(0, 360, 500)
+    k = 16
+    cand, mask, geff = host_select_candidates(
+        glat, glon, n, 4, olat, olon, k, chunk=128)
+    assert cand.shape[1] < 500  # width stayed bounded despite the jumps
+
+    def unit(la, lo):
+        la, lo = np.radians(la), np.radians(lo)
+        return np.stack([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)], -1)
+
+    gx = unit(glat, glon)
+    px = gx.reshape(-1, 4, 3).mean(1)
+    px /= np.linalg.norm(px, axis=-1, keepdims=True)
+    ox = unit(olat, olon)
+    for p in range(px.shape[0]):
+        d = np.linalg.norm(ox - px[p], axis=-1)
+        true_topk = set(np.argsort(d, kind="stable")[:k])
+        grp = p // geff
+        assert true_topk <= set(cand[grp][mask[grp]]), p
