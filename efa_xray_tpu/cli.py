@@ -9,6 +9,10 @@ the framework ships a small CLI:
         --state prior.nc --obs obs.csv --out posterior.nc \
         [--solver ensrf|letkf] [--inflation 1.05] [--radius 2000] \
         [--stats stats.csv] [--mesh] [--fast-geometry]
+    python -m efa_xray_tpu.cli target \
+        --state prior.nc --obs candidates.csv --out impact.csv \
+        [--metric-var T2m --metric-time-index -1 \
+         --metric-lat-range 40 50] [--nselect 10]
 
 Observation CSV columns (header required): ``value, lat, lon, time,
 obtype`` plus optional ``error`` (default 1.0), ``radius`` (km GC
@@ -198,6 +202,55 @@ def cmd_assimilate(args):
     return 0
 
 
+def cmd_target(args):
+    """Observation targeting: score candidate obs by predicted impact on
+    a scalar forecast metric (Ancell & Hakim 2007), optionally designing
+    an n-ob network greedily (exact obs-space serial update between
+    picks).  The metric is the area mean of --metric-var over the
+    optional --metric-time-index / lat/lon box."""
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    from efa_xray_tpu.postprocess.sensitivity import (
+        greedy_obs_selection,
+        observation_impact,
+        region_mean_metric,
+    )
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    state = EnsembleState.from_netcdf(args.state, dtype=args.dtype)
+    if args.obs.endswith((".nc", ".h5", ".hdf5")):
+        from efa_xray_tpu.utils.ncio import read_obs
+
+        batch = read_obs(args.obs)
+    else:
+        batch = read_obs_csv(args.obs)
+
+    metric = region_mean_metric(
+        args.metric_var or state.structure.var_names[0],
+        time_index=args.metric_time_index,
+        lat_range=tuple(args.metric_lat_range) if args.metric_lat_range
+        else None,
+        lon_range=tuple(args.metric_lon_range) if args.metric_lon_range
+        else None,
+    )
+    if args.nselect:
+        df = greedy_obs_selection(state, batch, metric, args.nselect)
+        print(f"greedy network: {len(df)} picks, cumulative predicted "
+              f"dJ = {df['dJ_mean_cum'].iloc[-1]:+.4g}, "
+              f"dVar(J) = {df['dJ_var_cum'].iloc[-1]:+.4g}")
+    else:
+        df = observation_impact(state, batch, metric)
+        best = df["dJ_var_pred"].idxmin()
+        print(f"scored {len(df)} candidates; best: #{best} at "
+              f"({df['lat'][best]:.2f}, {df['lon'][best]:.2f}), "
+              f"predicted dVar(J) = {df['dJ_var_pred'][best]:+.4g}")
+    df.to_csv(args.out, index=False)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="efa-xray-tpu",
@@ -270,8 +323,10 @@ def main(argv=None):
                            "no device dispatch); device forces the full "
                            "on-device search")
     p_as.add_argument("--letkf-topk", default="exact",
-                      choices=["exact", "approx"],
-                      help="LETKF nearest-k obs selection primitive")
+                      choices=["exact", "approx", "host"],
+                      help="LETKF nearest-k obs selection primitive "
+                           "(host: exact via kd-tree-certified candidate "
+                           "sets, cached per obs network)")
     p_as.add_argument("--letkf-k-obs", type=int, default=64,
                       help="max observations per LETKF local solve")
     p_as.add_argument("--letkf-patch-size", type=int, default=1,
@@ -283,6 +338,30 @@ def main(argv=None):
                       help="shard over all visible devices")
     p_as.add_argument("--verbose", action="store_true")
     p_as.set_defaults(func=cmd_assimilate)
+
+    p_tg = sub.add_parser(
+        "target",
+        help="score candidate obs by predicted forecast-metric impact "
+             "(ensemble sensitivity / observation targeting)",
+    )
+    p_tg.add_argument("--state", required=True, help="prior state netCDF")
+    p_tg.add_argument("--obs", required=True,
+                      help="candidate obs CSV or netCDF")
+    p_tg.add_argument("--out", required=True, help="impact table CSV path")
+    p_tg.add_argument("--metric-var", default=None,
+                      help="metric variable (default: first state var)")
+    p_tg.add_argument("--metric-time-index", type=int, default=None,
+                      help="validtime index of the metric (default: all)")
+    p_tg.add_argument("--metric-lat-range", type=float, nargs=2,
+                      default=None, metavar=("LAT0", "LAT1"))
+    p_tg.add_argument("--metric-lon-range", type=float, nargs=2,
+                      default=None, metavar=("LON0", "LON1"))
+    p_tg.add_argument("--nselect", type=int, default=0,
+                      help="greedy network design: pick N obs sequentially "
+                           "(0 = rank all candidates independently)")
+    p_tg.add_argument("--dtype", default="float64",
+                      choices=["float32", "float64"])
+    p_tg.set_defaults(func=cmd_target)
 
     args = ap.parse_args(argv)
     return args.func(args)

@@ -57,7 +57,8 @@ def region_mean_metric(
         vi = s.var_names.index(var)
         data = np.asarray(state.data[vi])  # [T, Y, X, M]
         if time_index is not None:
-            data = data[time_index : time_index + 1]
+            ti = time_index % data.shape[0]  # support negative indices
+            data = data[ti : ti + 1]
         mask = np.ones((s.ny, s.nx), dtype=bool)
         if lat_range is not None:
             mask &= (s.lat >= lat_range[0]) & (s.lat <= lat_range[1])

@@ -173,3 +173,39 @@ def test_cli_method_serial_matches_blocked(tmp_path, capsys):
         outs[method] = np.asarray(EnsembleState.from_netcdf(str(out_nc)).data)
     np.testing.assert_allclose(outs["serial"], outs["blocked"],
                                atol=1e-9, rtol=0)
+
+
+def test_cli_target_rank_and_greedy(tmp_path, capsys):
+    """`target` scores a candidate CSV (rank mode) and designs a greedy
+    network (--nselect), writing both tables; greedy's first pick is the
+    rank-mode argmin of predicted dVar(J)."""
+    import pandas as pd
+
+    state = make_demo_state(ny=8, nx=10, nmems=18, seed=21)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "cands.csv"
+    _write_obs_csv(str(obs_csv), state, nobs=15, seed=22)
+
+    rank_csv = tmp_path / "rank.csv"
+    rc = cli.main([
+        "target", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(rank_csv), "--metric-time-index", "-1",
+    ])
+    assert rc == 0
+    rank = pd.read_csv(rank_csv)
+    assert {"dJ_mean_pred", "dJ_var_pred", "qc_ok"} <= set(rank.columns)
+    assert len(rank) == 15
+
+    net_csv = tmp_path / "net.csv"
+    rc = cli.main([
+        "target", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(net_csv), "--metric-time-index", "-1",
+        "--nselect", "3",
+    ])
+    assert rc == 0
+    net = pd.read_csv(net_csv)
+    assert len(net) == 3 and net["candidate"].is_unique
+    assert int(net["candidate"].iloc[0]) == int(rank["dJ_var_pred"].idxmin())
+    out = capsys.readouterr().out
+    assert "greedy network" in out
