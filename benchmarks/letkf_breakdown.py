@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--patch", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--group", type=int, default=0,
+                    help="force the host-candidate bundle size (0 = auto)")
+    ap.add_argument("--skip-select", action="store_true",
+                    help="skip the selection microbench phase")
     args = ap.parse_args()
 
     bm, bp, tm, tp, blat, blon, obs = _make_workload(
@@ -58,7 +62,7 @@ def main():
     pxyz = pxyz / jnp.linalg.norm(pxyz, axis=-1, keepdims=True)
 
     # --- select phase ----------------------------------------------------
-    for method in ("exact", "approx"):
+    for method in () if args.skip_select else ("exact", "approx"):
         sel = jax.jit(functools.partial(
             lc.select_local_obs, k=args.k, chunk=args.chunk,
             topk_method=method))
@@ -85,7 +89,9 @@ def main():
     cand_h, mask_h, geff = lc.host_select_candidates(
         np.asarray(blat), np.asarray(blon), ngrid, args.patch,
         np.asarray(obs.lats), np.asarray(obs.lons), args.k,
-        chunk=args.chunk)
+        chunk=args.chunk,
+        **({} if args.group == 0
+           else dict(group=args.group, auto_group=False)))
     out["host_build_seconds"] = _time.perf_counter() - t0
     out["host_cand_width"] = int(cand_h.shape[1])
     out["host_cand_mb"] = round(cand_h.nbytes / 1e6, 2)
@@ -120,9 +126,12 @@ def main():
 
     # ns_iters settled: cap 12 vs 30 measured identical (2.389 vs 2.390 s)
     # — the stall-detection early exit already fires well before either.
-    for name, topk, ns in (("full_exact", "exact", 30),
-                           ("full_host", "host", 30),
-                           ("full_approx", "approx", 30)):
+    variants = (("full_exact", "exact", 30),
+                ("full_host", "host", 30),
+                ("full_approx", "approx", 30))
+    if args.group != 0:  # forced-group probe: only the host variant moves
+        variants = (("full_host", "host", 30),)
+    for name, topk, ns in variants:
         try:
             bm2, bp2 = jnp.array(bm), jnp.array(bp)
             fn = full_fn(topk, ns)

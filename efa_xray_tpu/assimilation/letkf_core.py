@@ -140,9 +140,23 @@ def select_local_obs(patch_xyz, obs_xyz, k: int, chunk: int = 4096,
     return idx[:npatch]
 
 
+def _sel_cost(s: int, group: int) -> float:
+    """Device-cost model for one (candidate width S, bundle size) choice:
+    per-patch rescoring work is ~ S (dots + masked top_k), and per-GROUP
+    work (obs_xyz gather + broadcast of the candidate row) is ~ S/group
+    per patch — so shrinking the bundle shrinks S (tighter certificate)
+    but multiplies the shared-row overhead.  The relative weight is
+    fitted to on-chip A/Bs (benchmarks/letkf_breakdown.py --group):
+    pod slice g=64/16/4 -> S=512/384/296 -> 1.83/1.91/2.32 s (pick 64);
+    50k obs g=64/16/4 -> S=5296/1672/864 -> 0.259/0.130/0.151 s (pick
+    16).  cost = S*(1 + 16/g) reproduces both orderings."""
+    return s * (1.0 + 16.0 / group)
+
+
 def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
                            obs_lat, obs_lon, k: int, chunk: int = 512,
-                           group: int = 64, slack: float = 1e-5):
+                           group: int = 64, slack: float = 1e-5,
+                           auto_group: bool = True):
     """Certified per-GROUP candidate obs sets for EXACT nearest-k
     selection at a fraction of the device top_k cost
     (``letkf_topk="host"``).
@@ -200,46 +214,68 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
     chunkc = int(min(chunk, npatch))
     nchunks = -(-npatch // chunkc)
     padded = nchunks * chunkc
-    group_eff = math.gcd(int(group), chunkc)
-    ngroups_real = -(-npatch // group_eff)
-    ppad = ngroups_real * group_eff - npatch
-    pxg = px
-    if ppad:
-        pxg = np.concatenate([pxg, np.repeat(pxg[-1:], ppad, axis=0)], axis=0)
-    pxg = pxg.reshape(ngroups_real, group_eff, 3)
-    centers = pxg.mean(axis=1)
-    centers /= np.maximum(np.linalg.norm(centers, axis=-1, keepdims=True),
-                          1e-12)
-    d = np.linalg.norm(pxg - centers[:, None, :], axis=-1).max(axis=1)
-
     oxyz = unit(olat, olon)
     tree = cKDTree(oxyz)
-    rk = tree.query(centers, k=kk, workers=-1)[0]
-    rk = rk[:, -1] if kk > 1 else np.reshape(rk, (-1,))
-    radius = rk + 2.0 * d + slack
-    # Wide groups (space-curve jumps: members far from the centroid) make
-    # the centroid certificate's ball huge — ONE such group would blow the
-    # global candidate width S toward No (measured at the pod slice:
-    # 83/8192 Hilbert-jump groups with d up to 1.05 rad pushed S to No).
-    # For those, certify per member patch instead (d = 0 by construction:
-    # ball(p, r_k(p) + slack) contains p's top-k by definition) and take
-    # the union — a few clusters' worth of candidates, not the sphere.
-    wide = radius > np.minimum(2.0, rk + 2.0 * np.median(d) + 0.1)
-    lists = [None] * len(centers)
-    tight = np.nonzero(~wide)[0]
-    for g, lst in zip(tight, tree.query_ball_point(
-            centers[tight], radius[tight], workers=-1)):
-        lists[g] = lst
-    for g in np.nonzero(wide)[0]:
-        members = pxg[g]
-        rkp = tree.query(members, k=kk, workers=-1)[0]
-        rkp = rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))
-        acc: set = set()
-        for lst in tree.query_ball_point(members, rkp + slack):
-            acc.update(lst)
-        lists[g] = list(acc)
 
-    s_max = max(kk, max(len(lst) for lst in lists))
+    def build(group_try: int):
+        """Candidate lists for one bundle size; returns (lists, s_max)."""
+        ngroups_real = -(-npatch // group_try)
+        ppad = ngroups_real * group_try - npatch
+        pxg = px
+        if ppad:
+            pxg = np.concatenate(
+                [pxg, np.repeat(pxg[-1:], ppad, axis=0)], axis=0)
+        pxg = pxg.reshape(ngroups_real, group_try, 3)
+        centers = pxg.mean(axis=1)
+        centers /= np.maximum(
+            np.linalg.norm(centers, axis=-1, keepdims=True), 1e-12)
+        d = np.linalg.norm(pxg - centers[:, None, :], axis=-1).max(axis=1)
+        rk = tree.query(centers, k=kk, workers=-1)[0]
+        rk = rk[:, -1] if kk > 1 else np.reshape(rk, (-1,))
+        radius = rk + 2.0 * d + slack
+        # Wide groups (space-curve jumps: members far from the centroid)
+        # make the centroid certificate's ball huge — ONE such group would
+        # blow the global candidate width S toward No (measured at the pod
+        # slice: 83/8192 Hilbert-jump groups with d up to 1.05 rad pushed
+        # S to No).  For those, certify per member patch instead (d = 0 by
+        # construction: ball(p, r_k(p) + slack) contains p's top-k by
+        # definition) and take the union — a few clusters' worth of
+        # candidates, not the sphere.
+        wide = radius > np.minimum(2.0, rk + 2.0 * np.median(d) + 0.1)
+        lists = [None] * len(centers)
+        tight = np.nonzero(~wide)[0]
+        for g, lst in zip(tight, tree.query_ball_point(
+                centers[tight], radius[tight], workers=-1)):
+            lists[g] = lst
+        for g in np.nonzero(wide)[0]:
+            members = pxg[g]
+            rkp = tree.query(members, k=kk, workers=-1)[0]
+            rkp = rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))
+            acc: set = set()
+            for lst in tree.query_ball_point(members, rkp + slack):
+                acc.update(lst)
+            lists[g] = list(acc)
+        return lists, max(kk, max(len(lst) for lst in lists))
+
+    # Auto group size: the device rescoring cost is ~ proportional to the
+    # candidate width S, and S grows with the bundle radius's 2d term —
+    # which shrinks with smaller bundles (at the cost of more, cheaper,
+    # host queries).  Dense networks (2d >> r_k) want small bundles;
+    # sparse ones don't care.  Try group, group/4, group/16 and keep the
+    # smallest S (measured at the 50k-obs config: 64 -> 4 cuts S 5296 ->
+    # 1576 and the full update 0.259 -> 0.186 s).
+    g0 = math.gcd(int(group), chunkc)
+    cands_g = ((g0, *(g for g in (g0 // 4, g0 // 16)
+                      if g >= 1 and g0 % g == 0))
+               if auto_group else (g0,))
+    tried = []
+    for g_try in cands_g:
+        lists_t, s_t = build(g_try)
+        tried.append((_sel_cost(s_t, g_try), s_t, g_try, lists_t))
+        if s_t <= 2 * kk:  # already near the k floor; stop refining
+            break
+    _, s_max, group_eff, lists = min(tried, key=lambda t: (t[0], -t[2]))
+    ngroups_real = -(-npatch // group_eff)
     s_cap = int(min(-(-s_max // 8) * 8, nobs))
     ngroups_total = padded // group_eff
     cand = np.zeros((ngroups_total, s_cap), np.int32)

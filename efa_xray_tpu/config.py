@@ -163,8 +163,9 @@ class FilterConfig:
     # with no faster exact ON-DEVICE form (approx_max_k at
     # recall_target=1.0 lowers to the same cost); "approx" selects 6.8x
     # faster (full update 1.50 s); "host" keeps exactness at 1.83 s pod /
-    # 0.259 s 50k-obs (vs 0.425 exact) with a one-time cached host build
-    # (pod: 4.6 s, 17 MB candidates).
+    # 0.130 s 50k-obs (vs 0.422 exact — 3.2x) with a one-time cached host
+    # build (pod: 4.6 s, 17 MB candidates; bundle size auto-fitted, see
+    # letkf_core._sel_cost).
     letkf_topk: str = "exact"
     # Matmul precision of the LETKF's ensemble-SPACE solve chain (the
     # C = Y^T diag(rho/R) Y build, the Newton-Schulz inverse-sqrt
