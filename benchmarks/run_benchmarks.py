@@ -536,12 +536,20 @@ def _timed_letkf(prior, grid_lat, grid_lon, obs, ngrid, patch_size=8,
     glon = jnp.asarray(grid_lon, dtype=dtype)
     bvert = None if body_vert is None else jnp.asarray(body_vert, dtype=dtype)
 
+    sel_kwargs = {}
+    if topk_method == "host":
+        cand, mask, geff = letkf_core.host_select_candidates(
+            np.asarray(grid_lat), np.asarray(grid_lon), ngrid, patch_size,
+            np.asarray(obs.lats), np.asarray(obs.lons), k_obs, chunk=chunk)
+        sel_kwargs = dict(sel_cand=jnp.asarray(cand),
+                          sel_mask=jnp.asarray(mask), sel_group=geff)
+
     def step(bm, bp, tm, tp):
         return letkf_core.letkf_update(
             bm, bp, tm, tp, glat, glon, obs, ngrid=ngrid,
             patch_size=patch_size, k_obs=k_obs, chunk=chunk,
             vertical=vertical, body_vert=bvert, topk_method=topk_method,
-            ns_iters=ns_iters,
+            ns_iters=ns_iters, **sel_kwargs,
         )[:4]
 
     digest = jax.jit(lambda bm, bp: jnp.sum(bm) + jnp.sum(bp[:, 0]))
@@ -683,9 +691,13 @@ def bench_config8(nobs_list=(2000, 10000, 50000)):
         t_ensrf = _timed_update(prior, lat.ravel(), lon.ravel(), obs)
         t_letkf = _timed_letkf(prior, lat.ravel(), lon.ravel(), obs, ngrid,
                                patch_size=8, k_obs=64)
+        t_letkf_host = _timed_letkf(prior, lat.ravel(), lon.ravel(), obs,
+                                    ngrid, patch_size=8, k_obs=64,
+                                    topk_method="host")
         out["points"].append(
             {"nobs": nobs, "ensrf_seconds": t_ensrf,
-             "letkf_seconds": t_letkf}
+             "letkf_seconds": t_letkf,
+             "letkf_host_seconds": t_letkf_host}
         )
         print(json.dumps(out["points"][-1]), flush=True)
     return out
