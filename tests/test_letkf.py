@@ -512,7 +512,15 @@ def test_host_candidates_certificate_covers_true_topk():
 def test_host_topk_matches_exact_bitwise_cpu():
     """letkf_topk='host' is EXACT: identical posterior to the on-device
     full top_k across patch sizes, misaligned chunk/group geometry, and
-    k > nobs."""
+    k > nobs.
+
+    Caveat if this ever fails with a TINY delta: host and exact are two
+    different compiled programs; the fuzzer
+    (benchmarks/fuzz_host_select.py) found the Newton-Schulz stall exit
+    can fire one iteration apart under different XLA fusion (~1e-6 f64
+    deltas, both within NS's own accuracy — selections still identical).
+    If that starts happening here, assert selection equality + allclose
+    instead of bitwise; the SELECTION exactness is the real contract."""
     state = make_demo_state(ntimes=2, ny=18, nx=26, nmems=10, seed=11)
     obs = make_demo_obs(state, nobs=35, seed=12, radius=1100.0)
     for patch, k, chunk in ((1, 12, 100), (8, 16, 48), (4, 999, 64)):
