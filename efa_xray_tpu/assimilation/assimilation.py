@@ -340,6 +340,43 @@ class Assimilation:
         )
         return post_state, self.obs
 
+    def varloc_kwargs(self, dtype) -> dict:
+        """Cross-variable localization inputs from
+        ``FilterConfig.variable_localization`` (empty dict when off):
+        the ``[nvars+1, nvars]`` factor matrix (extra row = ones for
+        custom-operator obs, whose "observed variable" is undefined),
+        the per-row state-variable index (rows are var-major,
+        ``ensemble.py:110-114`` order), and the per-ob observed-variable
+        index."""
+        cfg = self.config
+        spec = cfg.variable_localization
+        if not spec:
+            return {}
+        st = self.prior.structure
+        names = list(st.var_names)
+        nv = len(names)
+        fac = np.ones((nv + 1, nv), dtype=np.float64)
+        for key, val in spec.items():
+            a, b = key.split(":") if isinstance(key, str) else key
+            for n in (a, b):
+                if n not in names:
+                    raise KeyError(
+                        f"variable_localization names unknown variable "
+                        f"{n!r} (state has {names})")
+            fac[names.index(a), names.index(b)] = float(val)
+        ob_var = self.obs.var_indices(st).copy()
+        custom = np.asarray(self.obs.custom_operator, dtype=bool)
+        ob_var[custom] = nv  # the all-ones row: no variable taper
+        row_var = np.repeat(np.arange(nv, dtype=np.int32),
+                            st.ntimes * st.ngrid)
+        import jax.numpy as jnp
+
+        return dict(
+            varloc=jnp.asarray(fac, dtype),
+            row_var=jnp.asarray(row_var),
+            ob_var=jnp.asarray(ob_var),
+        )
+
     def maybe_update_adaptive_inflation(self) -> None:
         """Learn the adaptive-inflation mean field from this batch's
         innovations (Anderson 2009) so the next cycle's prior inflation

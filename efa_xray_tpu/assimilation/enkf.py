@@ -85,6 +85,9 @@ def enkf_serial(
     fast_geometry: bool = False,
     body_vert=None,
     vertical: bool = False,
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors
+    row_var=None,  # [Ns] int32
+    ob_var=None,  # [No] int32
 ):
     """Serial perturbed-obs EnKF as one ``lax.scan`` over observations.
 
@@ -107,11 +110,20 @@ def enkf_serial(
     obs = obs.with_default_verts()
     tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
     bvert = body_vert.astype(dtype) if (localize and vertical) else None
+    use_vl = varloc is not None
+    if use_vl:
+        if row_var is None or ob_var is None:
+            raise ValueError("varloc needs row_var and ob_var")
+        vl = jnp.asarray(varloc, dtype)
+        rvar = jnp.asarray(row_var, jnp.int32)
+        ovar_all = jnp.asarray(ob_var, jnp.int32)
+    else:
+        ovar_all = jnp.zeros(nobs, jnp.int32)
 
     def step(carry, xs):
         bm, bp, tm, tp = carry
         (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad,
-         eps_row) = xs
+         eps_row, ov) = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
         mye = tm[i]
@@ -141,6 +153,10 @@ def enkf_serial(
         if localize:
             kcov_b = kcov_b * w_b
             kcov_t = kcov_t * w_t
+        if use_vl:
+            fr = vl[ov]
+            kcov_b = kcov_b * fr[rvar]
+            kcov_t = kcov_t * fr[ovar_all]
 
         kmat_b = kcov_b * scale
         kmat_t = kcov_t * scale
@@ -179,6 +195,7 @@ def enkf_serial(
         obs.verts.astype(dtype),
         obs.vert_radii.astype(dtype),
         eps.astype(dtype),
+        ovar_all,
     )
     with jax.named_scope("enkf/serial_scan"):
         (bm, bp, tm, tp), diags = jax.lax.scan(
@@ -193,7 +210,8 @@ def enkf_serial(
 )
 def enkf_tail_scan(tail_mean, tail_perts, obs: ObsArrays, eps,
                    localize: bool = True, unbiased: bool = False,
-                   fast_geometry: bool = False, vertical: bool = False):
+                   fast_geometry: bool = False, vertical: bool = False,
+                   varloc=None, ob_var=None):
     """Run the stochastic EnKF on the observation-space tail only.
 
     The EnKF twin of :func:`ensrf_core.tail_scan`: produces the exact
@@ -222,11 +240,19 @@ def enkf_tail_scan(tail_mean, tail_perts, obs: ObsArrays, eps,
         tail_xyz = None
     obs = obs.with_default_verts()
     tail_vert = obs.verts.astype(dtype) if (localize and vertical) else None
+    use_vl = varloc is not None
+    if use_vl:
+        if ob_var is None:
+            raise ValueError("varloc needs ob_var")
+        vl = jnp.asarray(varloc, dtype)
+        ovar_all = jnp.asarray(ob_var, jnp.int32)
+    else:
+        ovar_all = jnp.zeros(nobs, jnp.int32)
 
     def step(carry, xs):
         tm, tp = carry
         (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad,
-         eps_row) = xs
+         eps_row, ov) = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
         mye = tm[i]
@@ -248,6 +274,8 @@ def enkf_tail_scan(tail_mean, tail_perts, obs: ObsArrays, eps,
                                localize, dtype, **vkw)
         if localize:
             kcov_t = kcov_t * w_t
+        if use_vl:
+            kcov_t = kcov_t * vl[ov][ovar_all]
         kmat_t = kcov_t * scale
 
         z = ye - eps_row
@@ -280,6 +308,7 @@ def enkf_tail_scan(tail_mean, tail_perts, obs: ObsArrays, eps,
         obs.verts.astype(dtype),
         obs.vert_radii.astype(dtype),
         eps.astype(dtype),
+        ovar_all,
     )
     with jax.named_scope("enkf/tail_scan"):
         (tm, tp), (ye, z, gain, coef, pm, pv, om, ov, asm) = jax.lax.scan(
@@ -302,6 +331,7 @@ def enkf_blocked(
     localize: bool = True, unbiased: bool = False,
     fast_geometry: bool = False, body_vert=None, vertical: bool = False,
     block_size: int = 128,
+    varloc=None, row_var=None, ob_var=None,
 ):
     """Blocked two-phase stochastic EnKF: obs-space tail scan + one
     block-swept body application.
@@ -318,12 +348,14 @@ def enkf_blocked(
     tail, z = enkf_tail_scan(
         tail_mean, tail_perts, obs, eps, localize=localize,
         unbiased=unbiased, fast_geometry=fast_geometry, vertical=vertical,
+        varloc=varloc, ob_var=ob_var,
     )
     bm, bp = core.ensrf_blocked_body(
         body_mean, body_perts, body_lat, body_lon, tail, obs,
         localize=localize, block_size=block_size,
         fast_geometry=fast_geometry, body_vert=body_vert,
         vertical=vertical, apply_rows=z,
+        varloc=varloc, row_var=row_var, ob_var=ob_var,
     )
     return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
@@ -400,6 +432,7 @@ class EnKF(Assimilation):
             self.prior.structure.nmems,
             scale=self.scale_perturbations,
         )
+        vl_kwargs = self.varloc_kwargs(dtype)
         if self.mesh is not None:
             from efa_xray_tpu.parallel.sharded import enkf_update_sharded
 
@@ -420,6 +453,7 @@ class EnKF(Assimilation):
                 vertical=vertical,
                 method=cfg.method,
                 block_size=cfg.block_size,
+                **vl_kwargs,
             )
         elif cfg.method == "blocked":
             bm, bp, tm, tp, diags = enkf_blocked(
@@ -437,6 +471,7 @@ class EnKF(Assimilation):
                 body_vert=body_vert,
                 vertical=vertical,
                 block_size=cfg.block_size,
+                **vl_kwargs,
             )
         else:
             bm, bp, tm, tp, diags = enkf_serial(
@@ -453,6 +488,7 @@ class EnKF(Assimilation):
                 fast_geometry=cfg.fast_geometry,
                 body_vert=body_vert,
                 vertical=vertical,
+                **vl_kwargs,
             )
 
         if prior_spread is not None:

@@ -76,6 +76,10 @@ class EnSRF(Assimilation):
             )
         if cfg.hybrid_alpha < 1.0:
             ok = ok and (cfg.fast_geometry or not cfg.localize)
+        if cfg.variable_localization:
+            # The fused kernels have no cross-variable factor input; the
+            # exact blocked XLA body carries it (config.py docstring).
+            ok = False
         return ok
 
     def _tile(self, grid: bool = False, nrows: int = 0, nmems: int = 0) -> int:
@@ -107,6 +111,7 @@ class EnSRF(Assimilation):
         return (
             not interpret
             and cfg.hybrid_alpha >= 1.0
+            and not cfg.variable_localization
             and (cfg.fast_geometry or not cfg.localize)
         )
 
@@ -175,6 +180,7 @@ class EnSRF(Assimilation):
             )
 
         hybrid_kwargs = self._hybrid_kwargs(body_mean, dtype)
+        vl_kwargs = self.varloc_kwargs(dtype)
         if self.mesh is not None:
             from efa_xray_tpu.parallel import sharded
 
@@ -210,6 +216,7 @@ class EnSRF(Assimilation):
                 # reuse its HBM.
                 donate=True,
                 **hybrid_kwargs,
+                **vl_kwargs,
             )
         elif cfg.method == "serial":
             bm, bp, tm, tp, diags = core.ensrf_serial(
@@ -226,6 +233,7 @@ class EnSRF(Assimilation):
                 body_vert=body_vert,
                 vertical=vertical,
                 **hybrid_kwargs,
+                **vl_kwargs,
             )
         elif self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
@@ -363,6 +371,7 @@ class EnSRF(Assimilation):
                 body_vert=body_vert,
                 vertical=vertical,
                 **hybrid_kwargs,
+                **vl_kwargs,
             )
 
         if prior_spread is not None:

@@ -208,6 +208,12 @@ def ensrf_serial(
     body_sigma=None,  # [Ns] static-B std per row (hybrid_alpha < 1)
     tail_sigma=None,  # [No] static-B std at ob locations
     static_length=None,  # scalar km: GC halfwidth of the static correlation
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors:
+    # varloc[ob_var, row_var] multiplies the gain like a GC weight
+    # (DART-style variable localization; an extension — the reference
+    # localizes spatially only, efa_xray/assimilation/ensrf.py:99-115)
+    row_var=None,  # [Ns] int32 state-variable index per row
+    ob_var=None,  # [No] int32 observed-variable index per ob (row of varloc)
 ):
     """Serial EnSRF as one ``lax.scan`` over observations.
 
@@ -259,11 +265,24 @@ def ensrf_serial(
             jnp.asarray(tail_sigma, dtype), tail_mean.shape
         )
         slen = jnp.asarray(static_length, dtype)
+    use_vl = varloc is not None
+    if use_vl:
+        if row_var is None or ob_var is None:
+            raise ValueError("varloc needs row_var and ob_var")
+        if hybrid:
+            raise ValueError("varloc does not combine with hybrid "
+                             "covariance (the static column would be "
+                             "untapered)")
+        vl = jnp.asarray(varloc, dtype)
+        rvar = jnp.asarray(row_var, jnp.int32)
+        ovar_all = jnp.asarray(ob_var, jnp.int32)
+    else:
+        ovar_all = jnp.zeros(nobs, jnp.int32)
 
     def step(carry, xs):
         bm, bp, tm, tp = carry
         (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert,
-         ob_vrad) = xs
+         ob_vrad, ov) = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)  # [M]
         mye = tm[i]
@@ -297,6 +316,10 @@ def ensrf_serial(
         if localize:
             kcov_b = kcov_b * w_b
             kcov_t = kcov_t * w_t
+        if use_vl:
+            fr = vl[ov]  # [nvars] this ob's factor row
+            kcov_b = kcov_b * fr[rvar]
+            kcov_t = kcov_t * fr[ovar_all]
 
         kmat_b = kcov_b * scale
         kmat_t = kcov_t * scale
@@ -343,6 +366,7 @@ def ensrf_serial(
         obs.assim,
         obs.verts.astype(dtype),
         obs.vert_radii.astype(dtype),
+        ovar_all,
     )
     with jax.named_scope("ensrf/serial_scan"):
         (bm, bp, tm, tp), diags = jax.lax.scan(
@@ -366,7 +390,10 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
               vertical: bool = False,
               hybrid_alpha: float = 1.0,
               tail_sigma=None,  # [No] static-B std at ob locations
-              static_length=None) -> TailSolution:
+              static_length=None,
+              varloc=None,  # [nv(+1), nvars] cross-variable factors
+              ob_var=None  # [No] int32 (tail rows ARE obs rows)
+              ) -> TailSolution:
     """Run the serial filter on the observation-space tail only.
 
     Produces the exact ``ye`` sequence and scalar coefficients the full
@@ -397,6 +424,17 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
             jnp.asarray(tail_sigma, dtype), tail_mean.shape
         )
         slen = jnp.asarray(static_length, dtype)
+    use_vl = varloc is not None
+    if use_vl:
+        if ob_var is None:
+            raise ValueError("varloc needs ob_var")
+        if hybrid:
+            raise ValueError("varloc does not combine with hybrid "
+                             "covariance")
+        vl = jnp.asarray(varloc, dtype)
+        ovar_all = jnp.asarray(ob_var, jnp.int32)
+    else:
+        ovar_all = jnp.zeros(nobs, jnp.int32)
     if nobs == 0:
         z = jnp.zeros((0,), dtype=dtype)
         return TailSolution(
@@ -412,7 +450,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
 
     def step(carry, xs):
         tm, tp = carry
-        i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad = xs
+        (i, y, r_err, ob_lat, ob_lon, radius, do_assim, ob_vert, ob_vrad,
+         ov) = xs
 
         ye = jax.lax.dynamic_index_in_dim(tp, i, axis=0, keepdims=False)
         mye = tm[i]
@@ -439,6 +478,8 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
                                localize, dtype, **vkw)
         if localize:
             kcov_t = kcov_t * w_t
+        if use_vl:
+            kcov_t = kcov_t * vl[ov][ovar_all]
 
         kmat_t = kcov_t * scale
         if hybrid:
@@ -488,6 +529,7 @@ def tail_scan(tail_mean, tail_perts, obs: ObsArrays, localize: bool = True,
         obs.assim,
         obs.verts.astype(dtype),
         obs.vert_radii.astype(dtype),
+        ovar_all,
     )
     with jax.named_scope("ensrf/tail_scan"):
         (tm, tp), (ye, gain, sqrt_c, sg, ss, pm, pv, om, ov, asm) = jax.lax.scan(
@@ -552,7 +594,10 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       static_length=None,
                       pallas_apply: bool = False,
                       interpret: bool = False,
-                      pallas_tile: int = 16384) -> TailSolution:
+                      pallas_tile: int = 16384,
+                      varloc=None,  # [nv(+1), nvars] cross-variable factors
+                      ob_var=None  # [No] int32
+                      ) -> TailSolution:
     """Hierarchical (panel-blocked) phase 1 — same outputs as
     :func:`tail_scan`, exact up to fp reassociation.
 
@@ -594,10 +639,13 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     hybrid = hybrid_alpha < 1.0
     hkw = dict(hybrid_alpha=hybrid_alpha, static_length=static_length) \
         if hybrid else {}
-    if pallas_apply and (hybrid or (localize and not fast_geometry)):
+    use_vl = varloc is not None
+    vkw = dict(varloc=varloc, ob_var=ob_var) if use_vl else {}
+    if pallas_apply and (hybrid or use_vl
+                         or (localize and not fast_geometry)):
         raise ValueError(
-            "pallas_apply tail requires chordal geometry (fast_geometry) "
-            "and no hybrid static column"
+            "pallas_apply tail requires chordal geometry (fast_geometry), "
+            "no hybrid static column and no variable localization"
         )
     # The in-kernel panel solve is bounded at 1024 obs per panel (its
     # [p, p] weight slabs over-commit VMEM beyond that —
@@ -648,7 +696,8 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
             )
         return tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
-                         vertical=vertical, tail_sigma=tail_sigma, **hkw)
+                         vertical=vertical, tail_sigma=tail_sigma, **hkw,
+                         **vkw)
 
     obs = obs.with_default_verts()
     npanels = -(-nobs // panel)
@@ -670,6 +719,9 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
     verts = padded(obs.verts)
     vrads = padded(obs.vert_radii, jnp.inf)
     ntot = nobs + pad
+    if use_vl:
+        vl = jnp.asarray(varloc, dtype)
+        ovarr = jnp.pad(jnp.asarray(ob_var, jnp.int32), (0, pad))
     if hybrid:
         tsig_all = jnp.pad(
             jnp.broadcast_to(jnp.asarray(tail_sigma, dtype),
@@ -723,6 +775,8 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                 pob, localize=localize, unbiased=unbiased,
                 fast_geometry=fast_geometry, vertical=vertical,
                 tail_sigma=sl(tsig_all, base) if hybrid else None, **hkw,
+                **(dict(varloc=vl, ob_var=sl(ovarr, base)) if use_vl
+                   else {}),
             )
         # 2. blocked application to all rows outside the panel.  The
         # in-panel rows' apply results are irrelevant — they are
@@ -767,6 +821,9 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                 jnp.abs(verts[:, None] - pob.verts[None, :]),
                 pob.vert_radii[None, :],
             ).astype(dtype)
+        if use_vl:
+            # factor[r, j] = vl[panel_ob_var_j, row_ob_var_r]
+            w = w * vl[sl(ovarr, base)][:, ovarr].T
         w = w * outside[:, None]
         static_mean = static_tilde = None
         if hybrid:
@@ -942,6 +999,9 @@ def ensrf_blocked_body(
     static_length=None,  # scalar km: GC halfwidth of the static correlation
     apply_rows=None,  # [No, M] alternative apply rows (stochastic EnKF:
     # z = ye - eps; see apply_obs_block)
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors
+    row_var=None,  # [Ns] int32 state-variable index per row
+    ob_var=None,  # [No] int32 observed-variable index per ob
 ):
     """Phase 2: sweep the pre-solved observation sequence over the state
     body in blocks.  Exact (up to fp reassociation) match of the serial
@@ -976,6 +1036,19 @@ def ensrf_blocked_body(
     radii = jnp.pad(obs.radii.astype(dtype), (0, pad), constant_values=jnp.inf)
     ob_vert = jnp.pad(obs.verts.astype(dtype), (0, pad))
     ob_vrad = jnp.pad(obs.vert_radii.astype(dtype), (0, pad), constant_values=jnp.inf)
+    use_vl = varloc is not None
+    if use_vl:
+        if row_var is None or ob_var is None:
+            raise ValueError("varloc needs row_var and ob_var")
+        if hybrid:
+            raise ValueError("varloc does not combine with hybrid "
+                             "covariance")
+        vl = jnp.asarray(varloc, dtype)
+        rvar = jnp.asarray(row_var, jnp.int32)
+        ovar_b = jnp.pad(jnp.asarray(ob_var, jnp.int32), (0, pad)).reshape(
+            nblocks, block_size)
+    else:
+        ovar_b = jnp.zeros((nblocks, block_size), jnp.int32)
 
     ye_b = ye.reshape(nblocks, block_size, -1)
     # Apply rows ride the scan alongside ye; the dispatch below is
@@ -1015,7 +1088,7 @@ def ensrf_blocked_body(
 
     def step(carry, xs):
         bm, bp = carry
-        yb, ab, gb, sb, latb, lonb, radb, vertb, vradb, sgb, ssb = xs
+        yb, ab, gb, sb, latb, lonb, radb, vertb, vradb, sgb, ssb, ovb = xs
         if localize and fast_geometry:
             ob_xyz = latlon_to_unit(latb, lonb).astype(dtype)
             w = chordal_gc_weights(
@@ -1033,6 +1106,12 @@ def ensrf_blocked_body(
                 jnp.abs(body_vert.astype(dtype)[:, None] - vertb[None, :]),
                 vradb[None, :],
             ).astype(dtype)
+        if use_vl:
+            # factor[i, j] = vl[block_ob_var_j, row_var_i] — enters the
+            # recurrence exactly like a GC weight (per-(row, ob)), so
+            # blocked == serial stays exact.
+            fmat = vl[ovb][:, rvar].T  # [Ns, B]
+            w = fmat if w is None else w * fmat
         static_mean = static_tilde = None
         if hybrid:
             # Static correlation profile of the block's obs (GC at the
@@ -1056,7 +1135,7 @@ def ensrf_blocked_body(
             step,
             (body_mean, body_perts),
             (ye_b, ar_b, gain_b, sqrt_b, lat_b, lon_b, rad_b, vert_b,
-             vrad_b, sgain_b, ssqrt_b),
+             vrad_b, sgain_b, ssqrt_b, ovar_b),
         )
     return bm, bp
 
@@ -1080,26 +1159,32 @@ def ensrf_blocked(
     body_sigma=None,
     tail_sigma=None,
     static_length=None,
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors
+    row_var=None,  # [Ns] int32
+    ob_var=None,  # [No] int32
 ):
     """Full blocked update: phase-1 tail scan + phase-2 blocked body sweep.
 
     Drop-in equivalent of :func:`ensrf_serial` (same returns, including
-    the hybrid ensemble-static blend for ``hybrid_alpha < 1``).
+    the hybrid ensemble-static blend for ``hybrid_alpha < 1`` and the
+    ``varloc`` cross-variable localization factors).
     ``tail_panel``: panel size for the hierarchical phase-1 solve (None =
     plain per-ob scan; a panel only pays off beyond a few thousand obs).
     """
     hybrid = hybrid_alpha < 1.0
     hkw = dict(hybrid_alpha=hybrid_alpha, tail_sigma=tail_sigma,
                static_length=static_length) if hybrid else {}
+    vkw = dict(varloc=varloc, ob_var=ob_var) if varloc is not None else {}
     if tail_panel:
         tail = tail_scan_blocked(tail_mean, tail_perts, obs,
                                  localize=localize, unbiased=unbiased,
                                  fast_geometry=fast_geometry,
-                                 vertical=vertical, panel=tail_panel, **hkw)
+                                 vertical=vertical, panel=tail_panel,
+                                 **hkw, **vkw)
     else:
         tail = tail_scan(tail_mean, tail_perts, obs, localize=localize,
                          unbiased=unbiased, fast_geometry=fast_geometry,
-                         vertical=vertical, **hkw)
+                         vertical=vertical, **hkw, **vkw)
     bm, bp = ensrf_blocked_body(
         body_mean,
         body_perts,
@@ -1115,5 +1200,8 @@ def ensrf_blocked(
         hybrid=hybrid,
         body_sigma=body_sigma if hybrid else None,
         static_length=static_length if hybrid else None,
+        varloc=varloc,
+        row_var=row_var,
+        ob_var=ob_var,
     )
     return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags

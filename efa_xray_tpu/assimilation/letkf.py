@@ -162,6 +162,12 @@ class LETKF(Assimilation):
                 "the EnSRF solver only; the LETKF would silently ignore "
                 "the static-B blend"
             )
+        if cfg.variable_localization:
+            raise ValueError(
+                "variable_localization is implemented for the EnSRF/EnKF "
+                "solvers; the LETKF's patch solves are shared across "
+                "variables and would silently ignore the factors"
+            )
         if self.verbose:
             self.log.info("Beginning LETKF update (all obs at once)")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()

@@ -213,6 +213,23 @@ class FilterConfig:
     # the data.  The reference's AdaptiveInflation never implemented this
     # step (SURVEY.md §2/A8).
     adaptive_inflation_update: bool = True
+    # --- Cross-variable localization (DART-style "variable localization";
+    # an extension — the reference localizes spatially only,
+    # efa_xray/assimilation/ensrf.py:99-115).  Dict mapping
+    # (observed_var, state_var) pairs — tuple keys or "OBSVAR:STATEVAR"
+    # strings — to multiplicative gain factors >= 0 (unlisted pairs
+    # default to 1.0).  0 blocks the update entirely: e.g.
+    # {"T2m:PS": 0.0} stops temperature obs from ever touching surface
+    # pressure through spurious sample covariances.  The factor enters
+    # the gain exactly like a Gaspari-Cohn weight (per (row, ob)), works
+    # with or without spatial localization, and composes with vertical
+    # localization.  EnSRF + EnKF, serial and blocked methods, single
+    # device or mesh (row factors shard with the rows — zero
+    # collectives); the fused Pallas kernels are auto-disabled (blocked
+    # XLA body).  Not combinable with hybrid covariance (the static
+    # column would be untapered) and not implemented for the LETKF
+    # (whose patch solves are shared across variables).
+    variable_localization: Optional[dict] = None
     verbose: bool = False
 
     @property
@@ -235,6 +252,28 @@ class FilterConfig:
                 f"Unknown letkf_solve_precision "
                 f"{self.letkf_solve_precision!r}"
             )
+        if self.variable_localization is not None:
+            if not isinstance(self.variable_localization, dict):
+                raise ValueError("variable_localization must be a dict of "
+                                 "(obs_var, state_var) -> factor")
+            for key, val in self.variable_localization.items():
+                if isinstance(key, str):
+                    if key.count(":") != 1:
+                        raise ValueError(
+                            f"variable_localization string keys must be "
+                            f"'OBSVAR:STATEVAR', got {key!r}")
+                elif not (isinstance(key, tuple) and len(key) == 2):
+                    raise ValueError(
+                        f"variable_localization keys must be 2-tuples or "
+                        f"'A:B' strings, got {key!r}")
+                if not (isinstance(val, (int, float)) and val >= 0):
+                    raise ValueError(
+                        f"variable_localization factors must be numbers "
+                        f">= 0, got {key!r}: {val!r}")
+            if self.hybrid_alpha < 1.0:
+                raise ValueError(
+                    "variable_localization does not combine with hybrid "
+                    "covariance (the static column would be untapered)")
         if self.taps_topk not in ("exact", "approx"):
             raise ValueError(f"Unknown taps_topk {self.taps_topk!r}")
         if self.taps_search not in ("auto", "device"):

@@ -60,6 +60,9 @@ def _ensrf_sharded_impl(
     obs: core.ObsArrays,
     body_sigma,  # [Ns] static-B std, sharded with the rows (hybrid mode)
     tail_sigma,  # [No] static-B std at ob locations, replicated
+    varloc=None,  # [nv(+1), nvars] cross-variable factors, replicated
+    row_var=None,  # [Ns] int32, sharded with the rows
+    ob_var=None,  # [No] int32, replicated
     *,
     mesh: Mesh,
     localize: bool,
@@ -78,12 +81,22 @@ def _ensrf_sharded_impl(
     hybrid_alpha: float,
     static_length: float,
     mxu_bf16: bool = False,
+    use_varloc: bool = False,
 ):
     # The hybrid static column is per-row x per-ob separable, so it shards
     # exactly like the ensemble part: sigma_row rides the state axis, the
     # ob-side scalars replicate with the tail — still zero collectives.
+    # Variable-localization factors are per-(row, ob) too: the tiny factor
+    # matrix and ob_var replicate, row_var rides the state axis.
     hybrid = hybrid_alpha < 1.0
-    in_specs, out_specs = _shard_specs(axis_name, extra_in=(P(axis_name), P()))
+    if varloc is None:
+        # direct (non-wrapper) callers with varloc off: tiny traced
+        # placeholders so the shard_map pytree stays fixed
+        varloc = jnp.ones((1, 1), body_mean.dtype)
+        row_var = jnp.zeros(body_mean.shape, jnp.int32)
+        ob_var = jnp.zeros(tail_mean.shape, jnp.int32)
+    in_specs, out_specs = _shard_specs(
+        axis_name, extra_in=(P(axis_name), P(), P(), P(axis_name), P()))
     # The fully-fused v4 kernel applies whenever per-row weights are the
     # right model — which a state shard always is (rows are an arbitrary
     # slice); vertical localization is an in-kernel per-row factor.  Its
@@ -95,15 +108,18 @@ def _ensrf_sharded_impl(
         and (fast_geometry or not localize)
     )
 
-    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, bsig, tsig):
+    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, bsig, tsig,
+                     vl, rvar, ovar):
         hkw = dict(hybrid_alpha=hybrid_alpha, tail_sigma=tsig,
                    static_length=static_length) if hybrid else {}
+        vkw = (dict(varloc=vl, row_var=rvar, ob_var=ovar)
+               if use_varloc else {})
         if method == "serial":
             return core.ensrf_serial(
                 bm, bp, tm, tp, blat, blon, ob, localize=localize,
                 unbiased=unbiased, fast_geometry=fast_geometry,
                 body_vert=bvert, vertical=vertical,
-                body_sigma=bsig if hybrid else None, **hkw,
+                body_sigma=bsig if hybrid else None, **hkw, **vkw,
             )
         tail = core.tail_scan_blocked(
             tm, tp, ob, localize=localize, unbiased=unbiased,
@@ -117,6 +133,7 @@ def _ensrf_sharded_impl(
             interpret=interpret,
             pallas_tile=tile,
             **hkw,
+            **(dict(varloc=vl, ob_var=ovar) if use_varloc else {}),
         )
         if fused:
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
@@ -152,6 +169,7 @@ def _ensrf_sharded_impl(
                 hybrid=hybrid,
                 body_sigma=bsig if hybrid else None,
                 static_length=static_length if hybrid else None,
+                **vkw,
             )
         return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
 
@@ -164,7 +182,7 @@ def _ensrf_sharded_impl(
     )
     return fn(
         body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
-        body_vert, obs, body_sigma, tail_sigma,
+        body_vert, obs, body_sigma, tail_sigma, varloc, row_var, ob_var,
     )
 
 
@@ -172,7 +190,7 @@ _SHARDED_STATIC = (
     "mesh", "localize", "method", "block_size", "tile", "axis_name",
     "unbiased", "use_pallas", "interpret", "fast_geometry", "vertical",
     "tail_panel", "cull", "spatial_sort", "hybrid_alpha", "static_length",
-    "mxu_bf16",
+    "mxu_bf16", "use_varloc",
 )
 
 _ensrf_sharded_jit = jax.jit(_ensrf_sharded_impl, static_argnames=_SHARDED_STATIC)
@@ -216,6 +234,9 @@ def ensrf_update_sharded(
     static_length=None,  # km: GC halfwidth of the static covariance model
     mxu_bf16: bool = False,  # bf16 MXU inputs on the fused kernel's two
     # large matmuls (see FilterConfig.mxu_bf16)
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors
+    row_var=None,  # [Ns] int32 state-variable index per row
+    ob_var=None,  # [No] int32 observed-variable index per ob
 ):
     """Sharded EnSRF update.  Pads the state rows to a multiple of the mesh
     size (pad rows carry zero perturbations and benign coordinates, so their
@@ -236,6 +257,12 @@ def ensrf_update_sharded(
     ndev = mesh.shape[axis_name]
     ns_pad = pad_to_multiple(ns, ndev)
     hybrid = hybrid_alpha < 1.0
+    use_varloc = varloc is not None
+    if use_varloc:
+        # The fused/Pallas bodies have no factor input; keep the exact
+        # blocked XLA body (the class-level dispatch already does this —
+        # belt and braces for direct callers).
+        use_pallas = False
     if hybrid:
         if body_sigma is None or tail_sigma is None or static_length is None:
             raise ValueError(
@@ -265,6 +292,14 @@ def ensrf_update_sharded(
         # Fixed signature for the jit cache: zero-filled placeholders.
         bsig = jnp.zeros_like(blat)
         tsig = jnp.zeros_like(tail_mean)
+    if use_varloc:
+        vl = jnp.asarray(varloc, bm.dtype)
+        rvar = pad_rows(jnp.asarray(row_var, jnp.int32), ns_pad)
+        ovar = jnp.asarray(ob_var, jnp.int32)
+    else:
+        vl = jnp.ones((1, 1), bm.dtype)
+        rvar = jnp.zeros((ns_pad,), jnp.int32)
+        ovar = jnp.zeros((tail_mean.shape[0],), jnp.int32)
 
     shard1 = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
@@ -278,6 +313,9 @@ def ensrf_update_sharded(
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
     tsig = jax.device_put(tsig, rep)
+    vl = jax.device_put(vl, rep)
+    rvar = jax.device_put(rvar, shard1)
+    ovar = jax.device_put(ovar, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
 
     run = _ensrf_sharded_jit_donating if donate else _ensrf_sharded_jit
@@ -292,6 +330,9 @@ def ensrf_update_sharded(
         obs,
         bsig,
         tsig,
+        vl,
+        rvar,
+        ovar,
         mesh=mesh,
         localize=localize,
         method=method,
@@ -311,6 +352,7 @@ def ensrf_update_sharded(
             float(static_length) if static_length is not None else 0.0
         ),
         mxu_bf16=mxu_bf16,
+        use_varloc=use_varloc,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]
@@ -332,6 +374,9 @@ def _enkf_sharded_impl(
     body_vert,
     obs: core.ObsArrays,
     eps,  # [No, M] centered ob perturbations (replicated)
+    varloc=None,  # [nv(+1), nvars] cross-variable factors, replicated
+    row_var=None,  # [Ns] int32, sharded with the rows
+    ob_var=None,  # [No] int32, replicated
     *,
     mesh: Mesh,
     localize: bool,
@@ -341,13 +386,23 @@ def _enkf_sharded_impl(
     vertical: bool,
     method: str,
     block_size: int,
+    use_varloc: bool = False,
 ):
     from efa_xray_tpu.assimilation.enkf import enkf_blocked, enkf_serial
 
+    if varloc is None:
+        varloc = jnp.ones((1, 1), body_mean.dtype)
+        row_var = jnp.zeros(body_mean.shape, jnp.int32)
+        ob_var = jnp.zeros(tail_mean.shape, jnp.int32)
     in_specs, out_specs = _shard_specs(axis_name)
-    in_specs = in_specs + (P(),)  # eps replicates with the tail
+    # eps + factor matrix + ob_var replicate with the tail; row_var
+    # shards with the rows.
+    in_specs = in_specs + (P(), P(), P(axis_name), P())
 
-    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, eps_rep):
+    def local_update(bm, bp, tm, tp, blat, blon, bvert, ob, eps_rep,
+                     vl, rvar, ovar):
+        vkw = (dict(varloc=vl, row_var=rvar, ob_var=ovar)
+               if use_varloc else {})
         # The tail (and its scan) replicates per shard either way; the
         # blocked form additionally block-sweeps the LOCAL body rows
         # through the Gram-corrected recurrence (apply rows z) — still
@@ -357,12 +412,12 @@ def _enkf_sharded_impl(
                 bm, bp, tm, tp, blat, blon, ob, eps_rep,
                 localize=localize, unbiased=unbiased,
                 fast_geometry=fast_geometry, body_vert=bvert,
-                vertical=vertical, block_size=block_size,
+                vertical=vertical, block_size=block_size, **vkw,
             )
         return enkf_serial(
             bm, bp, tm, tp, blat, blon, ob, eps_rep, localize=localize,
             unbiased=unbiased, fast_geometry=fast_geometry,
-            body_vert=bvert, vertical=vertical,
+            body_vert=bvert, vertical=vertical, **vkw,
         )
 
     fn = jax.shard_map(
@@ -374,13 +429,13 @@ def _enkf_sharded_impl(
     )
     return fn(
         body_mean, body_perts, tail_mean, tail_perts, body_lat, body_lon,
-        body_vert, obs, eps,
+        body_vert, obs, eps, varloc, row_var, ob_var,
     )
 
 
 _ENKF_SHARDED_STATIC = (
     "mesh", "localize", "axis_name", "unbiased", "fast_geometry", "vertical",
-    "method", "block_size",
+    "method", "block_size", "use_varloc",
 )
 
 _enkf_sharded_jit = jax.jit(
@@ -406,6 +461,9 @@ def enkf_update_sharded(
     vertical: bool = False,
     method: str = "blocked",
     block_size: int = 128,
+    varloc=None,
+    row_var=None,
+    ob_var=None,
 ):
     """Sharded stochastic EnKF (same layout/communication design as
     :func:`ensrf_update_sharded`): state body sharded along the state axis,
@@ -427,6 +485,15 @@ def enkf_update_sharded(
     if body_vert is None:
         body_vert = jnp.zeros_like(body_lat[:ns])
     bvert = pad_rows(body_vert, ns_pad)
+    use_varloc = varloc is not None
+    if use_varloc:
+        vl = jnp.asarray(varloc, bm.dtype)
+        rvar = pad_rows(jnp.asarray(row_var, jnp.int32), ns_pad)
+        ovar = jnp.asarray(ob_var, jnp.int32)
+    else:
+        vl = jnp.ones((1, 1), bm.dtype)
+        rvar = jnp.zeros((ns_pad,), jnp.int32)
+        ovar = jnp.zeros((tail_mean.shape[0],), jnp.int32)
 
     shard1 = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
@@ -439,6 +506,9 @@ def enkf_update_sharded(
     tail_mean = jax.device_put(tail_mean, rep)
     tail_perts = jax.device_put(tail_perts, rep)
     eps = jax.device_put(eps, rep)
+    vl = jax.device_put(vl, rep)
+    rvar = jax.device_put(rvar, shard1)
+    ovar = jax.device_put(ovar, rep)
     obs = jax.tree.map(lambda x: jax.device_put(x, rep), obs.with_default_verts())
 
     bm, bp, tm, tp, diags = _enkf_sharded_jit(
@@ -451,6 +521,9 @@ def enkf_update_sharded(
         bvert,
         obs,
         eps,
+        vl,
+        rvar,
+        ovar,
         mesh=mesh,
         localize=localize,
         axis_name=axis_name,
@@ -459,6 +532,7 @@ def enkf_update_sharded(
         vertical=vertical,
         method=method,
         block_size=block_size,
+        use_varloc=use_varloc,
     )
     if ns != ns_pad:
         bm, bp = bm[:ns], bp[:ns]

@@ -53,6 +53,9 @@ def serial_ensrf(
     assim,  # bool [No]
     localize: bool,
     unbiased: bool = False,
+    varloc=None,  # [nv(+1), nvars] cross-variable factors (extension)
+    row_var=None,  # [Ns] int state-variable index per row
+    ob_var=None,  # [No] int observed-variable index per ob
 ):
     """Returns (posterior_vect [Ns, M], diagnostics dict of [No] arrays)."""
     prior_vect = np.asarray(prior_vect, dtype=np.float64)
@@ -93,6 +96,11 @@ def serial_ensrf(
         if localize:
             d = haversine_np(aug_lats, aug_lons, ob_lats[i], ob_lons[i])
             kcov = kcov * gc_weights(d, radii[i])
+        if varloc is not None:
+            # Cross-variable factor on both the state rows and the
+            # augmented obs tail (mirrors the library's extension).
+            fr = np.asarray(varloc, np.float64)[ob_var[i]]
+            kcov = kcov * np.concatenate([fr[row_var], fr[ob_var]])
         kmat = kcov / kdenom
         xam = xam + kmat * innov
         beta = 1.0 / (1.0 + np.sqrt(r_err / kdenom))
