@@ -101,6 +101,10 @@ def cmd_info(args):
 
 
 def cmd_assimilate(args):
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     from efa_xray_tpu.config import FilterConfig
     from efa_xray_tpu.state.ensemble import EnsembleState
 
@@ -133,8 +137,19 @@ def cmd_assimilate(args):
 
         batch = sort_spatially(batch)
 
+    var_loc = None
+    if args.var_loc:
+        var_loc = {}
+        for spec in args.var_loc:
+            key, sep, val = spec.rpartition("=")
+            if not sep:
+                raise SystemExit(f"--var-loc needs OBSVAR:STATEVAR=F, "
+                                 f"got {spec!r}")
+            var_loc[key] = float(val)
+
     cfg = FilterConfig(
         localization=None if args.no_localization else "GC",
+        variable_localization=var_loc,
         method=args.method,
         dtype=args.dtype,
         fast_geometry=args.fast_geometry,
@@ -291,6 +306,10 @@ def main(argv=None):
                       help="thin obs to a minimum pairwise separation (km)")
     p_as.add_argument("--superob-deg", type=float, default=None,
                       help="average obs per lat/lon cell of this size (deg)")
+    p_as.add_argument("--var-loc", action="append", default=None,
+                      metavar="OBSVAR:STATEVAR=F",
+                      help="cross-variable localization factor "
+                           "(repeatable; e.g. --var-loc T2m:PS=0.0)")
     p_as.add_argument("--rtps", type=float, default=0.0,
                       help="RTPS posterior relaxation alpha (Whitaker & "
                            "Hamill 2012)")

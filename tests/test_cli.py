@@ -209,3 +209,36 @@ def test_cli_target_rank_and_greedy(tmp_path, capsys):
     assert int(net["candidate"].iloc[0]) == int(rank["dJ_var_pred"].idxmin())
     out = capsys.readouterr().out
     assert "greedy network" in out
+
+
+def test_cli_var_loc_flag(tmp_path):
+    """--var-loc T0:T1=0 keeps variable T1 bitwise at its prior while T0
+    updates (the cross-variable localization CLI surface)."""
+    state = make_demo_state(nvars=2, ny=6, nx=8, nmems=14, seed=31)
+    names = state.structure.var_names
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "obs.csv"
+    _write_obs_csv(str(obs_csv), state, nobs=8, seed=32)
+    # _write_obs_csv alternates obtypes; force all to var 0 for isolation
+    import pandas as pd
+
+    df = pd.read_csv(obs_csv)
+    df["obtype"] = names[0]
+    df["assimilate"] = 1
+    df.to_csv(obs_csv, index=False)
+    out_nc = tmp_path / "post.nc"
+    rc = cli.main([
+        "assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(out_nc), "--radius", "2000", "--dtype", "float64",
+        "--var-loc", f"{names[0]}:{names[1]}=0.0",
+    ])
+    assert rc == 0
+    post = EnsembleState.from_netcdf(str(out_nc))
+    prior = np.asarray(state.data)
+    got = np.asarray(post.data)
+    np.testing.assert_array_equal(got[1], prior[1])
+    assert np.abs(got[0] - prior[0]).max() > 1e-8
+    with pytest.raises(SystemExit):
+        cli.main(["assimilate", "--state", str(prior_nc), "--obs",
+                  str(obs_csv), "--out", str(out_nc), "--var-loc", "junk"])
