@@ -56,6 +56,21 @@ class EnSRF(Assimilation):
         )
         self.loc = loc if loc not in (None, False) else (config.localization or False)
 
+    def _grid_kernel_ok(self) -> bool:
+        """Eligibility of the v4-GRID kernel (rows tile one spatial grid
+        over vt > 1 groups, chordal localization, no hybrid)."""
+        cfg = self.config
+        st = self.prior.structure
+        vt = st.nvars * st.ntimes
+        return (
+            cfg.localize
+            and cfg.fast_geometry
+            and vt > 1
+            and st.ngrid > 0
+            and st.nstate == vt * st.ngrid
+            and cfg.hybrid_alpha >= 1.0
+        )
+
     def _use_pallas(self) -> bool:
         """Auto-select the fused Pallas kernel: TPU backend + blocked method
         + float32 (the kernel is written for the MXU's f32 path).  Hybrid
@@ -77,9 +92,11 @@ class EnSRF(Assimilation):
         if cfg.hybrid_alpha < 1.0:
             ok = ok and (cfg.fast_geometry or not cfg.localize)
         if cfg.variable_localization:
-            # The fused kernels have no cross-variable factor input; the
-            # exact blocked XLA body carries it (config.py docstring).
-            ok = False
+            # The flat kernels have no cross-variable factor input, but
+            # the v4-GRID kernel streams the factor through the same
+            # per-(group, ob) scalar table as vertical localization —
+            # gridded states keep the fused path.
+            ok = ok and self._grid_kernel_ok()
         return ok
 
     def _tile(self, grid: bool = False, nrows: int = 0, nmems: int = 0) -> int:
@@ -247,6 +264,10 @@ class EnSRF(Assimilation):
             tail_hkw = {
                 k: v for k, v in hybrid_kwargs.items() if k != "body_sigma"
             }
+            tail_vkw = (
+                {"varloc": vl_kwargs["varloc"], "ob_var": vl_kwargs["ob_var"]}
+                if vl_kwargs else {}
+            )
             tail = core.tail_scan_blocked(
                 tail_mean,
                 tail_perts,
@@ -260,25 +281,24 @@ class EnSRF(Assimilation):
                 interpret=interpret,
                 pallas_tile=self._tile(),
                 **tail_hkw,
+                **tail_vkw,
             )
             st = self.prior.structure
             vt = st.nvars * st.ntimes
             nrows = int(body_mean.shape[0])
-            if (
-                cfg.localize
-                and cfg.fast_geometry
-                and vt > 1
-                and st.ngrid > 0
-                and nrows == vt * st.ngrid
-                # the grid kernel has no static column: hybrid gridded
-                # states use the flat v4 kernel's per-row weights instead
-                and cfg.hybrid_alpha >= 1.0
-            ):
+            if self._grid_kernel_ok() and nrows == vt * st.ngrid:
                 # Gridded state: v4-grid — same one-HBM-pass loop nest,
                 # horizontal weights computed ONCE per grid point by XLA
                 # and streamed in (removes the vt-fold trig redundancy;
                 # measured 0.29 s -> see PARITY.md config 3), vertical
-                # localization as a per-(group, ob) scalar table.
+                # localization — and the cross-variable localization
+                # factor — as a per-(group, ob) scalar table.
+                group_factor = None
+                if vl_kwargs:
+                    varg = jnp.arange(vt, dtype=jnp.int32) // st.ntimes
+                    group_factor = (
+                        vl_kwargs["varloc"][vl_kwargs["ob_var"]][:, varg].T
+                    )
                 bm, bp = ensrf_blocked_body_pallas_fused_grid_donating(
                     body_mean,
                     body_perts,
@@ -294,8 +314,13 @@ class EnSRF(Assimilation):
                     vertical=vertical,
                     ngrid=st.ngrid,
                     mxu_bf16=cfg.mxu_bf16,
+                    group_factor=group_factor,
                 )
             elif cfg.fast_geometry or not cfg.localize:
+                # varloc reaches the Pallas branch only via the grid
+                # kernel (_use_pallas); the flat kernels have no factor
+                # input and must never be selected with it.
+                assert not vl_kwargs
                 # Geometry-only row permutation for the kernel's cull:
                 # computed once per structure, two gathers per update.
                 row_order = inv_order = None
@@ -335,6 +360,7 @@ class EnSRF(Assimilation):
                     mxu_bf16=cfg.mxu_bf16,
                 )
             else:
+                assert not vl_kwargs  # see the flat-kernel guard above
                 bm, bp = ensrf_blocked_body_pallas(
                     body_mean,
                     body_perts,

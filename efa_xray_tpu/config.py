@@ -225,10 +225,13 @@ class FilterConfig:
     # with or without spatial localization, and composes with vertical
     # localization.  EnSRF + EnKF, serial and blocked methods, single
     # device or mesh (row factors shard with the rows — zero
-    # collectives); the fused Pallas kernels are auto-disabled (blocked
-    # XLA body).  Not combinable with hybrid covariance (the static
-    # column would be untapered) and not implemented for the LETKF
-    # (whose patch solves are shared across variables).
+    # collectives).  Gridded multi-group states keep the fused v4-GRID
+    # kernel (the factor streams through the same per-(group, ob) scalar
+    # table as vertical localization); flat/single-group states fall
+    # back to the exact blocked XLA body.  Not combinable with hybrid
+    # covariance (the static column would be untapered) and not
+    # implemented for the LETKF (whose patch solves are shared across
+    # variables).
     variable_localization: Optional[dict] = None
     verbose: bool = False
 

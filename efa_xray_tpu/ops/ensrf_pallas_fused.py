@@ -818,15 +818,21 @@ def _fused_grid_impl(
     vertical: bool = False,
     ngrid: int = 0,
     mxu_bf16: bool = False,  # bf16 MXU inputs on the two large matmuls
+    group_factor=None,  # [VT, No] extra per-(group, ob) gain factors
+    # (cross-variable localization: factor = varloc[ob_var, var(group)]);
+    # rides the SAME streamed scalar table as vertical localization, so
+    # variable localization keeps the fused kernel on gridded states.
 ):
     """v4-grid phase 2 for states whose rows tile one spatial grid over
     VT = nrows/ngrid groups (``StateStructure.row_latlon`` ordering).
 
     Horizontal GC weights are computed ONCE per grid point by XLA (one
     fused streaming pass over ``[nobs, ngrid]``) and streamed into the
-    kernel per (group, grid-tile, block); vertical localization is a tiny
-    per-(group, ob) scalar table.  The state still crosses HBM exactly
-    once (v4 loop nest).  Weight-array HBM cost: nobs x ngrid floats."""
+    kernel per (group, grid-tile, block); vertical localization — and the
+    cross-variable localization factor, which has exactly the same
+    per-(group, ob) scalar shape — is a tiny streamed table.  The state
+    still crosses HBM exactly once (v4 loop nest).  Weight-array HBM
+    cost: nobs x ngrid floats."""
     from efa_xray_tpu.observation.localization import chordal_gc_weights
 
     nobs = tail.ye.shape[0]
@@ -882,8 +888,27 @@ def _fused_grid_impl(
         ).reshape(vt, nblocks, 1, bsz).astype(dtype)
     else:
         wvt = jnp.ones((vt, nblocks, 1, bsz), dtype=dtype)
+    use_gf = group_factor is not None
+    if use_gf:
+        if not localize:
+            raise ValueError("group_factor needs localize=True (the "
+                             "kernel applies the scalar table inside the "
+                             "localization branch)")
+        gf = jnp.pad(
+            jnp.asarray(group_factor, dtype), ((0, 0), (0, pad)),
+            constant_values=1.0,
+        ).reshape(vt, nblocks, 1, bsz)
+        wvt = wvt * gf
 
-    tile = max(8, min(-(-tile // 8) * 8, -(-ngrid // 8) * 8))
+    g8 = -(-ngrid // 8) * 8
+    if tile >= ngrid:
+        tile = g8  # whole grid: block == array dim, any 8-multiple legal
+    else:
+        # Partial tiles are a Mosaic block last-dimension: must be
+        # divisible by 128 (see ops/tiling.auto_grid_tile).
+        tile = max(128, (tile // 128) * 128)
+        if tile >= ngrid:
+            tile = g8
     gtiles = max(1, -(-ngrid // tile))
     # Unit sublane axis on the mean: Mosaic requires block[-2] % 8 == 0 or
     # block[-2] == array.shape[-2]; (1, 1, tile) on [VT, 1, G] satisfies it
@@ -903,7 +928,8 @@ def _fused_grid_impl(
     )
 
     out_mean, out_perts = pl.pallas_call(
-        _make_fused_grid_kernel(bsz, localize, vertical, mxu_bf16),
+        _make_fused_grid_kernel(bsz, localize, vertical or use_gf,
+                                mxu_bf16),
         grid=(vt, gtiles, nblocks),
         in_specs=[
             pl.BlockSpec((1, 1, tile), lambda v, t, b: (v, 0, t),

@@ -32,18 +32,21 @@ FLAT_TILE_DEFAULT = 8192
 
 
 def auto_grid_tile(block_size: int, nmems: int) -> int:
-    """VMEM-capped tile for the grid-mode kernels (multiple of 8).
+    """VMEM-capped tile for the grid-mode kernels.
 
     Per tile row the kernels hold ``2 + 2*nmems + block_size`` f32 in
     double-buffered input/output blocks plus ``2*block_size`` f32 of
     scratch; the cap keeps that under :data:`GRID_VMEM_BUDGET`.  Callers
     still clamp to the actual (padded) grid size, so small grids run
-    whole-grid.
+    whole-grid.  Quantized to 128: a PARTIAL grid tile is a Mosaic block
+    last-dimension, which must be divisible by 128 (whole-grid tiles are
+    exempt — block == array dim; surfaced at ngrid = 260k where the
+    8-quantized cap 24816 failed to lower).
     """
     b = int(block_size)
     m = int(nmems) if nmems else 80
     per_row = 8 * (2 + 2 * m + b) + 8 * b  # dbl-buffered io + scratch
-    cap = max(8, (GRID_VMEM_BUDGET // per_row) // 8 * 8)
+    cap = max(128, (GRID_VMEM_BUDGET // per_row) // 128 * 128)
     return int(min(1 << 22, cap))
 
 

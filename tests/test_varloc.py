@@ -189,3 +189,37 @@ def test_varloc_composes_with_spatial_and_no_localization():
         got = np.asarray(post.data)
         np.testing.assert_array_equal(got[1], prior[1])
         assert np.abs(got[0] - prior[0]).max() > 1e-8
+
+
+def test_grid_kernel_carries_varloc_factor():
+    """The v4-GRID Pallas kernel streams the cross-variable factor
+    through the same per-(group, ob) scalar table as vertical
+    localization, so gridded states keep the fused path: interpret-mode
+    kernel == XLA blocked body with the same factors."""
+    state, obs = _two_var_setup(nobs=16, seed=13)
+    names = state.structure.var_names
+    spec = {f"{names[0]}:{names[1]}": 0.0, f"{names[1]}:{names[0]}": 0.4}
+    kw = dict(method="blocked", fast_geometry=True)
+    xla, _ = EnSRF(state, list(obs), verbose=False,
+                   config=_cfg(spec, **kw)).update()
+    filt = EnSRF(state, list(obs), verbose=False,
+                 config=_cfg(spec, use_pallas=True, **kw))
+    assert filt._use_pallas()  # varloc + gridded state keeps the kernel
+    pal, _ = filt.update()
+    np.testing.assert_allclose(np.asarray(pal.data), np.asarray(xla.data),
+                               atol=1e-9)
+    # isolation property survives the kernel path: make all obs var-0
+    for ob in obs:
+        ob.obtype = names[0]
+    prior = np.asarray(state.data)
+    pal2, _ = EnSRF(state, list(obs), verbose=False,
+                    config=_cfg(spec, use_pallas=True, **kw)).update()
+    np.testing.assert_allclose(np.asarray(pal2.data)[1], prior[1],
+                               atol=1e-12)
+    # a FLAT (single-var) state with varloc must refuse the flat kernel
+    flat_state = make_demo_state(nvars=1, ntimes=1, ny=6, nx=8, nmems=12,
+                                 seed=14)
+    f2 = EnSRF(flat_state, make_demo_obs(flat_state, nobs=5, seed=15),
+               verbose=False,
+               config=_cfg({"T2m:T2m": 0.5}, use_pallas=True, **kw))
+    assert not f2._use_pallas()
