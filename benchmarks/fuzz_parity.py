@@ -69,7 +69,10 @@ def draw_trial(rng):
                        if rng.random() < 0.3 else None),
         "mesh_n": int(rng.choice([2, 4, 8])),
         "enkf": bool(rng.random() < 0.3),
+        "varloc": bool(rng.random() < 0.3),
     }
+    if t["varloc"]:
+        t["hybrid"] = False  # library forbids the combination
     return t
 
 
@@ -103,6 +106,16 @@ def build_workload(rng, t):
         w["hybrid_alpha"] = float(rng.uniform(0.0, 1.0))
         w["body_sigma"] = rng.uniform(0.5, 3.0, ns)
         w["static_length"] = float(rng.uniform(300.0, 2000.0))
+    if t["varloc"]:
+        # Cross-variable localization: the core contract is ARBITRARY
+        # per-row / per-ob variable indices (no var-major block
+        # requirement), so fuzz exactly that, with hard zeros mixed in.
+        nv = int(rng.integers(1, 4))
+        fac = rng.uniform(0.0, 1.0, (nv, nv))
+        fac[rng.random((nv, nv)) < 0.3] = 0.0
+        w["varloc"] = fac
+        w["row_var"] = rng.integers(0, nv, ns).astype(np.int32)
+        w["ob_var"] = rng.integers(0, nv, no).astype(np.int32)
     return w
 
 
@@ -131,6 +144,10 @@ def knob_kwargs(w, t):
               vertical=t["vertical"])
     if t["vertical"]:
         kw["body_vert"] = jnp.asarray(w["body_vert"])
+    if t["varloc"]:
+        kw.update(varloc=jnp.asarray(w["varloc"]),
+                  row_var=jnp.asarray(w["row_var"]),
+                  ob_var=jnp.asarray(w["ob_var"]))
     if t["hybrid"]:
         rows_sigma = jnp.asarray(w["body_sigma"])
         kw.update(
@@ -169,7 +186,8 @@ def run_trial(seed, idx):
         eps = enkf_mod.draw_ob_perturbations(
             jax.random.PRNGKey(idx), obs.errors, t["nm"])
         ekw = {k: v for k, v in kw.items()
-               if k in ("localize", "unbiased", "vertical", "body_vert")}
+               if k in ("localize", "unbiased", "vertical", "body_vert",
+                        "varloc", "row_var", "ob_var")}
         s = enkf_mod.enkf_serial(*args, eps, **ekw)
         b = enkf_mod.enkf_blocked(*args, eps,
                                   block_size=t["block_size"], **ekw)
@@ -185,11 +203,13 @@ def run_trial(seed, idx):
 
         plain = not (t["vertical"] or t["hybrid"])
         if plain:
+            okw = (dict(varloc=w["varloc"], row_var=w["row_var"],
+                        ob_var=w["ob_var"]) if t["varloc"] else {})
             want, _ = oracle.serial_ensrf(
                 w["prior"], w["ye"], w["values"], w["errors"],
                 w["ob_lat"], w["ob_lon"], w["radii"],
                 w["row_lat"], w["row_lon"], w["assim"],
-                localize=t["localize"], unbiased=t["unbiased"],
+                localize=t["localize"], unbiased=t["unbiased"], **okw,
             )
             checks["serial vs oracle"] = rmse(post_serial, want)
 
