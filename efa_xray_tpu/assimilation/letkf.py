@@ -162,11 +162,11 @@ class LETKF(Assimilation):
                 "the EnSRF solver only; the LETKF would silently ignore "
                 "the static-B blend"
             )
-        if cfg.variable_localization:
+        if cfg.variable_localization and cfg.letkf_topk == "host":
             raise ValueError(
-                "variable_localization is implemented for the EnSRF/EnKF "
-                "solvers; the LETKF's patch solves are shared across "
-                "variables and would silently ignore the factors"
+                "variable_localization forces the per-(group, patch) "
+                "solve layout, which letkf_topk='host' does not support; "
+                "use letkf_topk='exact' or 'approx'"
             )
         if self.verbose:
             self.log.info("Beginning LETKF update (all obs at once)")
@@ -180,6 +180,23 @@ class LETKF(Assimilation):
         body_vert = (
             jnp.asarray(st.row_vert(), dtype=dtype) if vertical else None
         )
+        letkf_vl = {}
+        if cfg.variable_localization:
+            # R-localization analog of the EnSRF factor: multiplies rho
+            # per (analyzed variable, observed variable).  Costs VT-fold
+            # solves (the vertical-mode unit layout) since a
+            # variable-dependent rho breaks the shared-solve-per-column
+            # trick.
+            base_vl = self.varloc_kwargs(dtype)
+            group_var = np.repeat(
+                np.arange(st.nvars, dtype=np.int32), st.ntimes
+            )
+            letkf_vl = dict(
+                varloc=base_vl["varloc"],
+                ob_var=base_vl["ob_var"],
+                group_var=jnp.asarray(group_var),
+            )
+
         sel_kwargs = {}
         if cfg.letkf_topk == "host" and cfg.localize:
             if vertical:
@@ -231,6 +248,7 @@ class LETKF(Assimilation):
                 topk_method=cfg.letkf_topk,
                 solve_precision=cfg.letkf_solve_precision,
                 **sel_kwargs,
+                **letkf_vl,
             )
         else:
             bm, bp, tm, tp, diags = letkf_core.letkf_update(
@@ -254,6 +272,7 @@ class LETKF(Assimilation):
                 unbiased=cfg.unbiased_variance,
                 solve_precision=cfg.letkf_solve_precision,
                 **sel_kwargs,
+                **letkf_vl,
             )
 
         if prior_spread is not None:

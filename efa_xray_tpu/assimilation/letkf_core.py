@@ -416,6 +416,9 @@ def solve_patch_weights(
     obs_verts=None,  # [No]
     obs_vert_radii=None,  # [No] vertical GC halfwidths (inf = off)
     solve_precision: str = "default",  # see _solve_precision_obj
+    varloc=None,  # [nv(+1), nvars] cross-variable factors on rho
+    obs_var=None,  # [No] int32 observed-variable index
+    patch_var=None,  # [P] int32 analyzed-variable index per patch
 ) -> PatchWeights:
     """Solve the LETKF ensemble-space analysis for every patch.
 
@@ -441,12 +444,21 @@ def solve_patch_weights(
         pvert_c = jnp.pad(
             patch_verts.astype(dtype), (0, pad)
         ).reshape(nchunks, chunk)
+    use_vl = varloc is not None
+    if use_vl:
+        vl = jnp.asarray(varloc, dtype)
+        ovar = jnp.asarray(obs_var, jnp.int32)
+        pvar_c = jnp.pad(
+            jnp.asarray(patch_var, jnp.int32), (0, pad)
+        ).reshape(nchunks, chunk)
+    else:
+        pvar_c = jnp.zeros((nchunks, chunk), jnp.int32)
 
     eye = jnp.eye(nens, dtype=dtype)
     sprec = _solve_precision_obj(solve_precision)
 
     def one(args):
-        ii, pxyz, pvert = args  # [C, K], [C, 3], [C]
+        ii, pxyz, pvert, pvar = args  # [C, K], [C, 3], [C], [C]
         yl = ye[ii]  # [C, K, M]
         dl = innov[ii]  # [C, K]
         a = rinv[ii]  # [C, K]
@@ -460,6 +472,10 @@ def solve_patch_weights(
                     obs_vert_radii[ii],
                 ).astype(dtype)
             a = a * rho
+        if use_vl:
+            # factor[c, k] = varloc[obs_var[ii[c,k]], patch_var[c]] — the
+            # R-localization analog of the EnSRF's per-(row, ob) factor.
+            a = a * jnp.take_along_axis(vl.T[pvar], ovar[ii], axis=1)
         ya = yl * a[..., None]  # [C, K, M]
         cmat = jnp.einsum(
             "ckm,ckn->cmn", ya, yl, preferred_element_type=dtype,
@@ -479,7 +495,7 @@ def solve_patch_weights(
         return wbar, transform
 
     with jax.named_scope("letkf/solve"):
-        wbar, transform = jax.lax.map(one, (idx_c, pxyz_c, pvert_c))
+        wbar, transform = jax.lax.map(one, (idx_c, pxyz_c, pvert_c, pvar_c))
     wbar = wbar.reshape(nchunks * chunk, nens)[:npatch]
     transform = transform.reshape(nchunks * chunk, nens, nens)[:npatch]
     return PatchWeights(wbar=wbar, transform=transform)
@@ -555,6 +571,10 @@ def _analyze_body_chunked(
     sel_cand=None,  # [Gn, S] host-certified candidate obs (topk "host")
     sel_mask=None,  # [Gn, S] candidate validity
     sel_group: int = 0,  # patches per candidate group (static)
+    varloc=None,  # [nv(+1), nvars] cross-variable factors on rho
+    obs_var=None,  # [No] int32
+    group_var=None,  # [VT] int32 state-variable index per group (vertical
+    # mode only — variable-dependent rho needs per-group solves)
 ):
     """Localized LETKF body analysis, one ``lax.map`` over patch chunks.
 
@@ -593,6 +613,13 @@ def _analyze_body_chunked(
         jnp.linalg.norm(pxyz, axis=-1, keepdims=True), 1e-12
     )
 
+    use_vl = varloc is not None
+    if use_vl and not vertical:
+        raise ValueError(
+            "varloc needs the per-(group, patch) unit layout; callers set "
+            "vertical=True with zero group verticals when only variable "
+            "localization is active (letkf_update does this)"
+        )
     if vertical:
         # One analysis unit per (group, patch): [U = VT*P, S(, M)] slabs.
         nunits = vt * npatch
@@ -600,12 +627,15 @@ def _analyze_body_chunked(
         xp = xp.reshape(nunits, patch_size, nens)
         pxyz = jnp.tile(pxyz, (vt, 1))
         pvert = jnp.repeat(group_vert.astype(dtype), npatch)
+        uvar = (jnp.repeat(jnp.asarray(group_var, jnp.int32), npatch)
+                if use_vl else jnp.zeros(nunits, jnp.int32))
     else:
         # One unit per spatial patch, applied across all VT groups.
         nunits = npatch
         xm = xm.reshape(vt, npatch, patch_size).transpose(1, 0, 2)
         xp = xp.reshape(vt, npatch, patch_size, nens).transpose(1, 0, 2, 3)
         pvert = jnp.zeros(nunits, dtype=dtype)
+        uvar = jnp.zeros(nunits, jnp.int32)
 
     chunk = int(min(chunk, nunits))
     nchunks = -(-nunits // chunk)
@@ -617,13 +647,18 @@ def _analyze_body_chunked(
         xp = jnp.pad(xp, pad2)
         pxyz = jnp.pad(pxyz, ((0, upad), (0, 0)))
         pvert = jnp.pad(pvert, (0, upad))
+        uvar = jnp.pad(uvar, (0, upad))
 
     xm = xm.reshape((nchunks, chunk) + xm.shape[1:])
     xp = xp.reshape((nchunks, chunk) + xp.shape[1:])
     pxyz = pxyz.reshape(nchunks, chunk, 3)
     pvert = pvert.reshape(nchunks, chunk)
+    uvar = uvar.reshape(nchunks, chunk)
     eye = jnp.eye(nens, dtype=dtype)
     sprec = _solve_precision_obj(solve_precision)
+    if use_vl:
+        vlm = jnp.asarray(varloc, dtype)
+        ovar_arr = jnp.asarray(obs_var, jnp.int32)
 
     host_sel = topk_method == "host"
     if host_sel:
@@ -660,7 +695,7 @@ def _analyze_body_chunked(
         sel_mask = jnp.zeros((nchunks, 1, 1), jnp.bool_)
 
     def one(args):
-        xm_c, xp_c, px, pv, cand_c, mask_c = args
+        xm_c, xp_c, px, pv, uv, cand_c, mask_c = args
         if host_sel:
             # Exact selection rescoped to the certified candidates: the
             # same HIGHEST-precision chordal dots, top_k over S << No.
@@ -695,6 +730,9 @@ def _analyze_body_chunked(
                 jnp.abs(pv[:, None] - obs_verts[ii]), obs_vert_radii[ii]
             ).astype(dtype)
         a = rinv[ii] * rho  # [C, K]
+        if use_vl:
+            # factor[c, k] = varloc[obs_var[ii[c,k]], unit_var[c]]
+            a = a * jnp.take_along_axis(vlm.T[uv], ovar_arr[ii], axis=1)
         ya = yl * a[..., None]
         cmat = jnp.einsum("ckm,ckn->cmn", ya, yl,
                           preferred_element_type=dtype, precision=sprec)
@@ -726,7 +764,8 @@ def _analyze_body_chunked(
         return pm, pp
 
     with jax.named_scope("letkf/body_sweep"):
-        pm, pp = jax.lax.map(one, (xm, xp, pxyz, pvert, sel_cand, sel_mask))
+        pm, pp = jax.lax.map(
+            one, (xm, xp, pxyz, pvert, uvar, sel_cand, sel_mask))
 
     pm = pm.reshape((nchunks * chunk,) + pm.shape[2:])[:nunits]
     pp = pp.reshape((nchunks * chunk,) + pp.shape[2:])[:nunits]
@@ -781,6 +820,13 @@ def letkf_update(
     sel_cand=None,  # [Gn, S] topk_method="host": certified candidates
     sel_mask=None,  # [Gn, S]
     sel_group: int = 0,  # patches per candidate group (static)
+    varloc=None,  # [nv(+1), nvars] cross-variable localization factors —
+    # multiplies rho per (analyzed variable, observed variable); the
+    # R-localization analog of the EnSRF's gain factor.  Forces
+    # per-(group, patch) solves (the vertical-mode unit layout), since a
+    # variable-dependent rho breaks the shared-solve-per-column trick.
+    ob_var=None,  # [No] int32
+    group_var=None,  # [VT] int32 variable index per (var, time) group
 ):
     """One simultaneous LETKF analysis of all observations.
 
@@ -822,6 +868,32 @@ def letkf_update(
     else:
         overts = ovrad = group_vert = None
 
+    use_vl = varloc is not None
+    if use_vl:
+        if not localize:
+            raise ValueError(
+                "varloc needs localization (the unlocalized global ETKF "
+                "is one shared solve — a variable-dependent rho cannot "
+                "apply)"
+            )
+        if topk_method == "host":
+            raise ValueError(
+                "letkf_topk='host' does not combine with varloc (the "
+                "per-(group, patch) unit layout); use 'exact' or 'approx'"
+            )
+        if ob_var is None or group_var is None:
+            raise ValueError("varloc needs ob_var and group_var")
+        if not vertical:
+            # Variable-dependent rho needs per-group solves: activate the
+            # vertical unit layout with zero verticals (vert radii default
+            # to inf, so the vertical GC factor is exactly 1).
+            vertical = True
+            obs = obs.with_default_verts()
+            overts = obs.verts.astype(dtype)
+            ovrad = obs.vert_radii.astype(dtype)
+            vt = body_mean.shape[0] // ngrid
+            group_vert = jnp.zeros(vt, dtype)
+
     solve = functools.partial(
         solve_patch_weights,
         tail_perts,
@@ -836,6 +908,8 @@ def letkf_update(
         obs_verts=overts,
         obs_vert_radii=ovrad,
         solve_precision=solve_precision,
+        varloc=varloc,
+        obs_var=ob_var,
     )
 
     if localize:
@@ -865,6 +939,9 @@ def letkf_update(
             sel_cand=sel_cand,
             sel_mask=sel_mask,
             sel_group=sel_group,
+            varloc=varloc,
+            obs_var=ob_var,
+            group_var=group_var,
         )
     else:
         # Global ETKF: one patch covering the whole grid, all obs, rho = 1.
@@ -883,6 +960,8 @@ def letkf_update(
         ob_weights = solve(
             obs_xyz, ob_idx,
             patch_verts=overts if vertical else None,
+            # each ob's own patch analyzes its OWN observed variable
+            patch_var=ob_var if use_vl else None,
         )
     else:
         ob_weights = PatchWeights(

@@ -228,10 +228,12 @@ class FilterConfig:
     # collectives).  Gridded multi-group states keep the fused v4-GRID
     # kernel (the factor streams through the same per-(group, ob) scalar
     # table as vertical localization); flat/single-group states fall
-    # back to the exact blocked XLA body.  Not combinable with hybrid
-    # covariance (the static column would be untapered) and not
-    # implemented for the LETKF (whose patch solves are shared across
-    # variables).
+    # back to the exact blocked XLA body.  The LETKF applies the factor
+    # to rho (the R-localization analog), at the cost of per-(group,
+    # patch) solves — the same VT-fold layout vertical localization uses
+    # — and requires letkf_topk "exact"/"approx" and spatial
+    # localization on.  Not combinable with hybrid covariance (the
+    # static column would be untapered).
     variable_localization: Optional[dict] = None
     verbose: bool = False
 

@@ -570,6 +570,9 @@ def _letkf_sharded_impl(
     sel_cand=None,  # [ndev * Gn_local, S] host-certified candidates
     sel_mask=None,
     sel_group: int = 0,
+    varloc=None,  # [nv(+1), nvars] cross-variable factors, replicated
+    ob_var=None,  # [No] int32, replicated
+    group_var=None,  # [VT] int32, replicated
 ):
     from efa_xray_tpu.assimilation import letkf_core
 
@@ -584,6 +587,11 @@ def _letkf_sharded_impl(
         # pytree-stable dummies (never read)
         sel_cand = jnp.zeros((mesh.shape[axis_name], 1), jnp.int32)
         sel_mask = jnp.zeros((mesh.shape[axis_name], 1), jnp.bool_)
+    use_varloc = varloc is not None
+    if not use_varloc:
+        varloc = jnp.ones((1, 1), bm.dtype)
+        ob_var = jnp.zeros((tail_mean.shape[0],), jnp.int32)
+        group_var = jnp.zeros((vt,), jnp.int32)
     in_specs = (
         sharded_g,
         P(None, axis_name, None),
@@ -594,6 +602,9 @@ def _letkf_sharded_impl(
         sharded_g,
         P(axis_name, None),
         P(axis_name, None),
+        rep,
+        rep,
+        rep,
         core.ObsArrays(*([rep] * 8)),
     )
     out_specs = (
@@ -605,7 +616,7 @@ def _letkf_sharded_impl(
     )
 
     def local_update(bm_l, bp_l, tm, tp, glat_l, glon_l, bvert_l,
-                     cand_l, mask_l, ob):
+                     cand_l, mask_l, vl, ovar, gvar, ob):
         # Every patch's solve is grid-local; the obs-space diagnostics
         # solve runs redundantly (bit-identically) on each device.  No
         # collectives anywhere.
@@ -632,6 +643,9 @@ def _letkf_sharded_impl(
             sel_cand=cand_l if host_sel else None,
             sel_mask=mask_l if host_sel else None,
             sel_group=sel_group,
+            varloc=vl if use_varloc else None,
+            ob_var=ovar if use_varloc else None,
+            group_var=gvar if use_varloc else None,
         )
         return (
             bm2.reshape(vt, g_local),
@@ -649,7 +663,7 @@ def _letkf_sharded_impl(
         check_vma=False,
     )
     return fn(bm, bp, tail_mean, tail_perts, grid_lat, grid_lon, body_vert,
-              sel_cand, sel_mask, obs)
+              sel_cand, sel_mask, varloc, ob_var, group_var, obs)
 
 
 _LETKF_STATIC = (
@@ -686,6 +700,9 @@ def letkf_update_sharded(
     # built per shard by letkf._host_selection_cached(ndev=...)
     sel_mask=None,
     sel_group: int = 0,
+    varloc=None,  # [nv(+1), nvars] cross-variable factors
+    ob_var=None,  # [No] int32
+    group_var=None,  # [VT] int32
 ):
     """Sharded LETKF: the GRID axis (not the flat row axis) shards across
     the mesh, since rows of a column share their patch's weights.  Patches
@@ -758,6 +775,9 @@ def letkf_update_sharded(
         sel_cand=sel_cand,
         sel_mask=sel_mask,
         sel_group=sel_group,
+        varloc=varloc,
+        ob_var=ob_var,
+        group_var=group_var,
     )
     bm = bm[:, :ngrid].reshape(ns)
     bp = bp[:, :ngrid].reshape(ns, nens)

@@ -161,12 +161,55 @@ def test_validation_and_solver_guards():
         FilterConfig(variable_localization={"A:B": 0.5}, hybrid_alpha=0.5,
                      static_b_sigma=1.0, static_b_length=1000.0)
     state, obs = _two_var_setup()
-    with pytest.raises(ValueError, match="LETKF"):
+    with pytest.raises(ValueError, match="letkf_topk"):
         LETKF(state, list(obs), verbose=False,
-              config=_cfg({"T2m:T2m": 1.0})).update()
+              config=_cfg({"T2m:T2m": 1.0}, letkf_topk="host")).update()
     with pytest.raises(KeyError, match="unknown variable"):
         EnSRF(state, list(obs), verbose=False,
               config=_cfg({"NOPE:T2m": 0.5})).update()
+
+
+def test_letkf_varloc_isolation_ones_and_mesh():
+    """LETKF variable localization (rho factor, per-(group, patch)
+    solves): zero cross factor isolates the untargeted variable exactly,
+    F = ones reproduces the shared-solve horizontal baseline, and the
+    mesh matches single-device."""
+    state, obs = _two_var_setup(seed=23)
+    names = state.structure.var_names
+    kw = dict(letkf_k_obs=8, letkf_chunk=16)
+
+    base, _ = LETKF(state, list(obs), verbose=False,
+                    config=_cfg(None, **kw)).update()
+    ones, _ = LETKF(state, list(obs), verbose=False,
+                    config=_cfg({f"{names[0]}:{names[0]}": 1.0},
+                                **kw)).update()
+    np.testing.assert_allclose(np.asarray(ones.data), np.asarray(base.data),
+                               atol=1e-10)
+
+    for ob in obs:
+        ob.obtype = names[0]
+    spec = {f"{names[0]}:{names[1]}": 0.0}
+    prior = np.asarray(state.data)
+    post, _ = LETKF(state, list(obs), verbose=False,
+                    config=_cfg(spec, **kw)).update()
+    got = np.asarray(post.data)
+    np.testing.assert_allclose(got[1], prior[1], atol=1e-12)
+    assert np.abs(got[0] - prior[0]).max() > 1e-8
+    post_m, _ = LETKF(state, list(obs), verbose=False,
+                      config=_cfg(spec, **kw), mesh=make_mesh()).update()
+    np.testing.assert_allclose(np.asarray(post_m.data), got, atol=1e-10)
+    # composes with true vertical localization too
+    from test_vertical_localization import _ob, make_level_state
+
+    vstate = make_level_state()
+    vob = _ob(vstate, vert=500.0, vrad=300.0)
+    vspec = {"T_500:T_850": 0.0}
+    vpost, _ = LETKF(vstate, [vob], verbose=False,
+                     config=_cfg(vspec, letkf_k_obs=4,
+                                 letkf_chunk=8)).update()
+    vprior = np.asarray(vstate.data)
+    np.testing.assert_allclose(np.asarray(vpost.data)[1], vprior[1],
+                               atol=1e-12)
 
 
 def test_varloc_composes_with_spatial_and_no_localization():
