@@ -1,5 +1,6 @@
 from efa_xray_tpu.postprocess.postprocess import obs_assimilation_statistics  # noqa: F401
 from efa_xray_tpu.postprocess.verification import (  # noqa: F401
+    crps,
     desroziers_diagnostics,
     field_verification,
     innovation_consistency,

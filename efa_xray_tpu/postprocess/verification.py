@@ -8,6 +8,7 @@ ones:
 * field RMSE / bias / spread against a truth field (spread-skill: a
   calibrated ensemble has RMSE ~ spread * sqrt((M+1)/M));
 * observation-space rank histograms (flat for a reliable ensemble);
+* observation-space CRPS (exact kernel form, plain or fair);
 * innovation consistency: E[d^2] vs (prior_var + R), the statistic that
   drives adaptive inflation (Anderson 2009).
 """
@@ -68,6 +69,50 @@ def rank_histogram(state: EnsembleState, obs, time_weighting: str = "linear"):
     ok = np.asarray(taps.qc_ok)
     ranks = (ye[ok] < batch.values[ok, None]).sum(axis=1)
     return np.bincount(ranks, minlength=s.nmems + 1)
+
+
+def crps(state: EnsembleState, obs, time_weighting: str = "linear",
+         fair: bool = False):
+    """Observation-space continuous ranked probability score.
+
+    For each ob, the exact ensemble (kernel) CRPS of the member estimates
+    ``ye`` against the observed value (Gneiting & Raftery 2007, eq. 21):
+
+        CRPS_i = mean_j |ye_ij - y_i|  -  0.5 c * mean_jk |ye_ij - ye_ik|
+
+    with ``c = 1`` for the plain score of the empirical ensemble CDF and
+    ``c = M/(M-1)`` for the FAIR score (Ferro et al. 2008) — the unbiased
+    estimate of the CRPS the underlying distribution would achieve with
+    infinite members, the right choice when comparing ensembles of
+    different sizes.  Lower is better; reduces to ``|mean - y|`` (MAE)
+    for a spread-less ensemble.  QC-failing obs (outside the state's
+    space/time domain) are skipped.
+
+    Returns ``(per_ob, mean)``: a length-``nobs`` float array (NaN where
+    QC failed) and the mean over QC-passing obs.
+    """
+    batch = ObservationBatch.coerce(obs)
+    s = state.structure
+    taps = _fwd.build_taps(
+        s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
+        time_weighting=time_weighting,
+    )
+    ye = np.asarray(_fwd.apply_taps_obj(state.to_vect(), taps),
+                    dtype=np.float64)
+    m = ye.shape[1]
+    if fair and m < 2:
+        raise ValueError("fair CRPS needs at least 2 members")
+    mae = np.mean(np.abs(ye - batch.values[:, None]), axis=1)
+    # E|X - X'| via the sorted-ensemble identity (O(M log M) per ob):
+    # mean_jk |x_j - x_k| = (2/M^2) * sum_j ((2j + 1 - M) * x_(j))
+    srt = np.sort(ye, axis=1)
+    w = 2.0 * np.arange(m) + 1.0 - m
+    spread_term = 2.0 * (srt @ w) / (m * m)
+    c = m / (m - 1.0) if fair else 1.0
+    per_ob = mae - 0.5 * c * spread_term
+    ok = np.asarray(taps.qc_ok)
+    per_ob = np.where(ok, per_ob, np.nan)
+    return per_ob, float(np.mean(per_ob[ok]))
 
 
 def innovation_consistency(batch: ObservationBatch) -> Dict[str, float]:

@@ -82,6 +82,55 @@ def test_rank_histogram_reliability():
     assert counts.max() < 6 * expected
 
 
+def test_crps_matches_bruteforce_and_calibration():
+    from efa_xray_tpu.postprocess.verification import crps
+    from efa_xray_tpu.utils.demo_data import gefs_like_state, observations_from_truth
+
+    state, truth = gefs_like_state(ny=12, nx=16, nmems=20, ntimes=3, seed=5)
+    obs = observations_from_truth(state, truth, 100, ob_error=0.3, seed=6)
+    per_ob, mean = crps(state, obs)
+    assert per_ob.shape == (100,)
+    assert np.isfinite(mean) and mean > 0
+    # brute-force pairwise oracle on the first few obs
+    from efa_xray_tpu.observation import forward as _fwd
+    from efa_xray_tpu.observation.observation import ObservationBatch
+
+    batch = ObservationBatch.coerce(obs)
+    s = state.structure
+    taps = _fwd.build_taps(
+        s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s)
+    )
+    ye = np.asarray(_fwd.apply_taps_obj(state.to_vect(), taps), np.float64)
+    for i in range(5):
+        mae = np.mean(np.abs(ye[i] - batch.values[i]))
+        pair = np.mean(np.abs(ye[i][:, None] - ye[i][None, :]))
+        np.testing.assert_allclose(per_ob[i], mae - 0.5 * pair, rtol=1e-12)
+    # fair variant: same formula with M/(M-1) on the spread term
+    per_fair, mean_fair = crps(state, obs, fair=True)
+    m = state.nmems()
+    i = 3
+    mae = np.mean(np.abs(ye[i] - batch.values[i]))
+    pair = np.mean(np.abs(ye[i][:, None] - ye[i][None, :]))
+    np.testing.assert_allclose(
+        per_fair[i], mae - 0.5 * (m / (m - 1.0)) * pair, rtol=1e-12
+    )
+    assert mean_fair < mean  # fair score is strictly smaller for spread>0
+    # spread-less ensemble: CRPS == MAE of the mean
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    collapsed = EnsembleState.from_vect(
+        np.repeat(np.asarray(state.to_vect())[:, :1], m, axis=1),
+        state.structure,
+    )
+    per_c, mean_c = crps(collapsed, obs)
+    ye_c = np.asarray(
+        _fwd.apply_taps_obj(collapsed.to_vect(), taps), np.float64
+    )
+    np.testing.assert_allclose(
+        per_c, np.abs(ye_c[:, 0] - batch.values), rtol=1e-10
+    )
+
+
 def test_innovation_consistency_after_update():
     from efa_xray_tpu.assimilation.ensrf import EnSRF
     from efa_xray_tpu.postprocess.verification import innovation_consistency
