@@ -128,6 +128,94 @@ def test_swe_height_obs_correct_winds(spun_up):
     assert post_spread < prior_spread
 
 
+def test_swe_analysis_improves_forecast(spun_up):
+    """The EFA payoff (Madaus & Hakim 2015): the analysis must improve
+    not just the fit at analysis time but the subsequent FORECAST — the
+    increment projects onto the attractor (near-balanced, via ensemble
+    covariances), so it survives integration instead of radiating away
+    as gravity waves."""
+    truth, _, flat_ens, flat_truth = spun_up
+    post = _height_obs_update(flat_ens, flat_truth)
+    nfc = 200
+    tr_fc = swe.integrate(truth, NY, nsteps=nfc)
+    prior_fc = swe.integrate(swe.unpack(jnp.asarray(flat_ens), NY, NX),
+                             NY, nsteps=nfc)
+    post_fc = swe.integrate(swe.unpack(jnp.asarray(post), NY, NX),
+                            NY, nsteps=nfc)
+
+    def total_rmse(fc):
+        sq = sum(
+            float(jnp.mean((fc[k].mean(axis=0) - tr_fc[k]) ** 2))
+            for k in swe.VAR_ORDER
+        )
+        return np.sqrt(sq / 3.0)
+
+    r_prior, r_post = total_rmse(prior_fc), total_rmse(post_fc)
+    assert np.isfinite(r_post)
+    # measured per-variable ratios at 200 steps: eta 0.56, u 0.71, v 0.78
+    assert r_post < 0.9 * r_prior
+
+
+def _div_rms(flat):
+    """RMS horizontal divergence du/dx + dv/dy — the gravity-wave proxy
+    (balanced flow is quasi-nondivergent; insertion shock shows up as a
+    divergence burst)."""
+    s = swe.unpack(jnp.asarray(flat), NY, NX)
+    d = swe._ddx(s["u"]) + swe._ddy(s["v"], -1)
+    return float(jnp.sqrt(jnp.mean(d**2)))
+
+
+def test_swe_iau_suppresses_insertion_shock(spun_up):
+    """Physical validation of ``iau_steps`` (Bloom et al. 1996) on a
+    model that actually supports gravity waves: direct insertion of the
+    analysis increment bursts the ensemble's RMS divergence ~2.7x on the
+    first post-analysis forecast step, while spreading the same
+    increment over 4 IAU substeps leaves the first substep unshocked
+    (~1.0x) and cuts the mean post-analysis divergence ~30%.  Windows
+    are matched: direct runs one 8-step forecast per cycle, IAU four
+    2-step substeps.  (The L96 IAU test checks linear exactness; this
+    one checks the thing IAU exists for.)"""
+    _, _, flat_ens, flat_truth = spun_up
+    lat, lon = swe.grid_latlon(NY, NX)
+    rows = swe.var_rows("eta", NY, NX, stride=2)
+
+    def run(iau_steps, steps_per_call):
+        ens_div = []
+        base_fc = swe.make_flat_forecast(NY, NX, nsteps=steps_per_call)
+
+        def probe_fc(x):
+            a = np.asarray(x)
+            if a.ndim == 2 and a.shape[0] == NM:  # ensemble calls only
+                ens_div.append(_div_rms(a))
+            return base_fc(x)
+
+        h = CyclingHarness(
+            forecast=probe_fc,
+            state_lats=lat,
+            state_lons=lon,
+            ob_error=1e-5,
+            localize_radius=4000.0,
+            obs_operator_rows=rows,
+            config=FilterConfig(rtps_alpha=0.5),
+            iau_steps=iau_steps,
+        )
+        h.run(flat_ens.copy(), flat_truth.copy(), 3, seed=3)
+        return ens_div
+
+    d_direct = run(0, 8)
+    d_iau = run(4, 2)
+    prior_div = d_direct[0]  # forecast of the untouched prior ensemble
+    assert abs(d_iau[0] - prior_div) < 1e-12  # same first input
+    # direct insertion: immediate divergence burst (measured 2.7x)
+    assert d_direct[1] > 2.0 * prior_div
+    # IAU: the first post-analysis substep carries only inc/4 — no burst
+    # (measured 1.004x)
+    assert d_iau[1] < 1.25 * prior_div
+    # and the shock integrated over the experiment is clearly smaller
+    # (measured 0.72x)
+    assert np.mean(d_iau[1:]) < 0.85 * np.mean(d_direct[1:])
+
+
 def test_swe_scrambled_members_null(spun_up):
     """Causality check: permuting the MEMBER correspondence of the wind
     blocks relative to eta destroys the eta<->wind sample covariance, so
