@@ -22,6 +22,18 @@ from efa_xray_tpu.assimilation import ensrf_core as core
 from efa_xray_tpu.config import FilterConfig
 
 
+def _crps_mean(ens: np.ndarray, truth: np.ndarray) -> float:
+    """Mean exact ensemble CRPS of ``ens [M, nvars]`` against ``truth
+    [nvars]`` (sorted-pair identity; same math as
+    :func:`efa_xray_tpu.postprocess.verification.crps`)."""
+    m = ens.shape[0]
+    mae = np.mean(np.abs(ens - truth[None, :]))
+    srt = np.sort(ens, axis=0)
+    w = 2.0 * np.arange(m) + 1.0 - m
+    pair = 2.0 * np.mean(w @ srt) / (m * m)
+    return float(mae - 0.5 * pair)
+
+
 @dataclasses.dataclass
 class CycleStats:
     cycle: int
@@ -30,6 +42,10 @@ class CycleStats:
     mean_spread: float
     obs_prior_rmse: float
     obs_post_rmse: float
+    # state-space mean ensemble CRPS of the analysis vs truth (exact
+    # kernel form, same identity as postprocess.verification.crps);
+    # lower is better, and unlike RMSE it also scores the spread.
+    analysis_crps: float = float("nan")
 
 
 @dataclasses.dataclass
@@ -545,6 +561,7 @@ class CyclingHarness:
             an_rmse = float(
                 jnp.sqrt(jnp.mean((jnp.mean(analysis, axis=0) - truth) ** 2))
             )
+            an_crps = _crps_mean(np.asarray(analysis), np.asarray(truth))
             spread = float(jnp.mean(jnp.std(analysis, axis=0)))
             pm = np.asarray(diags.prior_mean)
             om = np.asarray(diags.post_mean)
@@ -556,6 +573,7 @@ class CyclingHarness:
                     mean_spread=spread,
                     obs_prior_rmse=float(np.sqrt(np.mean((yobs - pm) ** 2))),
                     obs_post_rmse=float(np.sqrt(np.mean((yobs - om) ** 2))),
+                    analysis_crps=an_crps,
                 )
             )
         self._final_ensemble = ensemble

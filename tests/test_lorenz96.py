@@ -132,6 +132,23 @@ def test_cycling_harness_api():
     assert gain > 0
     # obs-space posterior closer to obs than prior
     assert stats[-1].obs_post_rmse < stats[-1].obs_prior_rmse
+    # per-cycle CRPS: finite, positive, and bounded by the deterministic
+    # limit |mean - truth| <= CRPS <= mean|member - truth| per row means
+    # the MEAN CRPS of a converged system sits below the analysis RMSE
+    crps_tail = np.mean([s.analysis_crps for s in stats[-8:]])
+    assert 0 < crps_tail < tail
+    # brute-force oracle on the final ensemble
+    ens_f = np.asarray(harness._final_ensemble)
+    tr_f = np.asarray(harness._final_truth)
+    mae = np.mean(np.abs(ens_f - tr_f[None, :]))
+    pair = np.mean(
+        np.abs(ens_f[:, None, :] - ens_f[None, :, :])
+    )
+    from efa_xray_tpu.models.cycling import _crps_mean
+
+    np.testing.assert_allclose(
+        _crps_mean(ens_f, tr_f), mae - 0.5 * pair, rtol=1e-12
+    )
 
 
 def test_l96_cycling_with_letkf_solver():
