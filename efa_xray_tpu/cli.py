@@ -266,6 +266,73 @@ def cmd_target(args):
     return 0
 
 
+def cmd_verify(args):
+    """Observation-space verification of an assimilation run: the per-ob
+    statistics table (reference postprocess.py:8-39) plus the ensemble-
+    quality diagnostics the reference never had — Desroziers R/HBH^T
+    consistency, rank histogram, CRPS, innovation consistency."""
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    from efa_xray_tpu.postprocess import (
+        crps,
+        desroziers_diagnostics,
+        obs_assimilation_statistics,
+        rank_histogram,
+    )
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    prior = EnsembleState.from_netcdf(args.prior, dtype=args.dtype)
+    post = EnsembleState.from_netcdf(args.post, dtype=args.dtype)
+    if args.obs.endswith((".nc", ".h5", ".hdf5")):
+        from efa_xray_tpu.utils.ncio import read_obs
+
+        batch = read_obs(args.obs)
+    else:
+        batch = read_obs_csv(args.obs)
+    if batch.assimilated is None or not np.any(batch.assimilated):
+        # raw (pre-assimilation) obs file: score the obs that were
+        # FLAGGED for assimilation (the posterior obs file from
+        # `assimilate --obs-out` carries the real per-ob outcome)
+        print("note: no per-ob assimilated outcomes in the obs file; "
+              "using the assimilate_this flags")
+        batch.assimilated = np.asarray(batch.assimilate_flags, dtype=bool)
+
+    df = obs_assimilation_statistics(prior, post, batch)
+    vals = df["value"].to_numpy()
+    pm = df["prior mean"].to_numpy()
+    om = df["post mean"].to_numpy()
+    ok = np.isfinite(pm) & np.isfinite(om)
+    print(f"{len(df)} obs ({int(df['assimilated'].sum())} assimilated); "
+          f"obs-space RMSE prior={np.sqrt(np.mean((vals[ok]-pm[ok])**2)):.4g}"
+          f" posterior={np.sqrt(np.mean((vals[ok]-om[ok])**2)):.4g}")
+
+    _, crps_prior = crps(prior, batch)
+    _, crps_post = crps(post, batch)
+    print(f"obs-space CRPS prior={crps_prior:.4g} posterior={crps_post:.4g}")
+
+    counts = rank_histogram(prior, batch)
+    print(f"prior rank histogram (flat = reliable): {counts.tolist()}")
+
+    try:
+        dd = desroziers_diagnostics(df)
+        print("Desroziers consistency (per obtype):")
+        print(dd.to_string(
+            float_format=lambda v: f"{v:.4g}",
+            columns=["nobs", "R_assigned", "R_estimated", "R_ratio",
+                     "HBHT_estimated", "prior_var_ensemble",
+                     "innov_consistency"],
+        ))
+    except ValueError as e:
+        print(f"Desroziers diagnostics skipped: {e}")
+
+    if args.stats:
+        df.to_csv(args.stats, index=False)
+        print(f"wrote per-ob table -> {args.stats}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="efa-xray-tpu",
@@ -381,6 +448,23 @@ def main(argv=None):
     p_tg.add_argument("--dtype", default="float64",
                       choices=["float32", "float64"])
     p_tg.set_defaults(func=cmd_target)
+
+    p_vf = sub.add_parser(
+        "verify",
+        help="observation-space verification of a prior/posterior pair "
+             "(per-ob table, Desroziers, rank histogram, CRPS)",
+    )
+    p_vf.add_argument("--prior", required=True, help="prior state netCDF")
+    p_vf.add_argument("--post", required=True, help="posterior state netCDF")
+    p_vf.add_argument("--obs", required=True,
+                      help="obs CSV or netCDF (ideally the --obs-out file "
+                           "from `assimilate`, which carries per-ob "
+                           "outcomes)")
+    p_vf.add_argument("--stats", default=None,
+                      help="write the per-ob table to this CSV")
+    p_vf.add_argument("--dtype", default="float64",
+                      choices=["float32", "float64"])
+    p_vf.set_defaults(func=cmd_verify)
 
     args = ap.parse_args(argv)
     return args.func(args)

@@ -152,6 +152,57 @@ def test_cli_nc_obs_enkf_and_obs_out(tmp_path, capsys):
     assert back.post_mean is not None and np.isfinite(back.post_mean).all()
 
 
+def test_cli_verify_subcommand(tmp_path, capsys):
+    """assimilate -> verify pipeline: the verify subcommand consumes the
+    prior/posterior pair + the posterior obs file and prints the
+    verification battery (obs-space RMSE, CRPS, rank histogram,
+    Desroziers table)."""
+    state = make_demo_state(ny=6, nx=8, nmems=16, seed=8)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+    obs_csv = tmp_path / "obs.csv"
+    _write_obs_csv(str(obs_csv), state, nobs=8)
+    rc = cli.main([
+        "assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+        "--out", str(tmp_path / "post.nc"),
+        "--obs-out", str(tmp_path / "obs_post.nc"),
+        "--radius", "2000", "--dtype", "float64",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main([
+        "verify", "--prior", str(prior_nc),
+        "--post", str(tmp_path / "post.nc"),
+        "--obs", str(tmp_path / "obs_post.nc"),
+        "--stats", str(tmp_path / "verify.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "obs-space RMSE prior=" in out
+    assert "CRPS prior=" in out
+    assert "rank histogram" in out
+    assert "Desroziers" in out
+    # posterior must fit the obs at least as well as the prior
+    import re
+
+    m = re.search(r"RMSE prior=([\d.eE+-]+) posterior=([\d.eE+-]+)", out)
+    assert float(m.group(2)) <= float(m.group(1)) + 1e-12
+    m = re.search(r"CRPS prior=([\d.eE+-]+) posterior=([\d.eE+-]+)", out)
+    assert float(m.group(2)) <= float(m.group(1)) + 1e-12
+    with open(tmp_path / "verify.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 8
+
+    # raw-CSV obs path: falls back to assimilate_this flags with a note
+    rc = cli.main([
+        "verify", "--prior", str(prior_nc),
+        "--post", str(tmp_path / "post.nc"), "--obs", str(obs_csv),
+    ])
+    assert rc == 0
+    assert "using the assimilate_this flags" in capsys.readouterr().out
+
+
 def test_cli_method_serial_matches_blocked(tmp_path, capsys):
     """--method picks the execution path without changing the analysis
     (blocked and serial are algebraically identical at float64)."""
