@@ -39,10 +39,16 @@ def field_verification(state: EnsembleState, truth) -> pd.DataFrame:
         raise ValueError(f"truth shape {tr.shape} does not match state {s.shape[:-1]}")
     mean = np.asarray(state.ensemble_mean())
     spread = np.asarray(state.ensemble_spread())
+    full = np.asarray(state.data, dtype=np.float64)  # [V, T, Y, X, M]
+    m = full.shape[-1]
+    w = 2.0 * np.arange(m) + 1.0 - m
     rows = []
     for vi, name in enumerate(s.var_names):
         for ti, t in enumerate(s.times64()):
             err = mean[vi, ti] - tr[vi, ti]
+            ens = full[vi, ti].reshape(-1, m)
+            mae = np.mean(np.abs(ens - tr[vi, ti].reshape(-1, 1)))
+            pair = 2.0 * np.mean(np.sort(ens, axis=1) @ w) / (m * m)
             rows.append(
                 {
                     "variable": name,
@@ -50,6 +56,9 @@ def field_verification(state: EnsembleState, truth) -> pd.DataFrame:
                     "rmse": float(np.sqrt(np.mean(err**2))),
                     "bias": float(np.mean(err)),
                     "spread": float(np.mean(spread[vi, ti])),
+                    # grid-mean exact ensemble CRPS vs truth (scores the
+                    # full predictive distribution, not just the mean)
+                    "crps": float(mae - 0.5 * pair),
                 }
             )
     return pd.DataFrame(rows)

@@ -63,6 +63,10 @@ def test_field_verification_statistics():
     assert len(df) == state.nvars() * state.ntimes()
     assert (df["rmse"] > 0).all()
     assert (df["spread"] > 0).all()
+    # CRPS column: positive, below the per-row MAE bound ~ rmse, and
+    # above the half-spread lower regime for a calibrated Gaussian
+    assert (df["crps"] > 0).all()
+    assert (df["crps"] < df["rmse"] * 1.5).all()
     # Calibrated generator: spread should track rmse within a factor ~2
     ratio = df["rmse"] / df["spread"]
     assert ratio.between(0.4, 2.5).all(), ratio
