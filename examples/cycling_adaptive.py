@@ -30,7 +30,11 @@ def main():
     ap.add_argument("--nvars", type=int, default=40)
     ap.add_argument("--nmems", type=int, default=20)
     ap.add_argument("--ob-error", type=float, default=1.0)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     truth, ens = l96.spinup_ensemble(nvars=args.nvars, nmems=args.nmems, seed=7)
     lats, lons = l96.fake_latlon(args.nvars)

@@ -35,7 +35,11 @@ def main():
                     help="IAU substeps per window (0 = direct insertion)")
     ap.add_argument("--nvars", type=int, default=40)
     ap.add_argument("--nmems", type=int, default=20)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     truth, ens = l96.spinup_ensemble(nvars=args.nvars, nmems=args.nmems,
                                      seed=13)

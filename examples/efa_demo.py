@@ -46,7 +46,11 @@ def main():
     ap.add_argument("--n-obs", type=int, default=5)
     ap.add_argument("--ob-error", type=float, default=1.0)
     ap.add_argument("--inflation", type=float, default=1.0)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     var = "Temperature_height_above_ground_ens"
     data = get_ensemble_point(variables=[var], seed=3)

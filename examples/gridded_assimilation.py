@@ -39,7 +39,11 @@ def main():
     ap.add_argument("--plot", default=None,
                     help="save a localization-footprint map (with the "
                          "built-in coastline overlay) to this PNG path")
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     state, truth = gefs_like_state(ny=args.ny, nx=args.nx, nmems=args.nmems)
     obs = observations_from_truth(state, truth, args.nobs, radius=args.radius)

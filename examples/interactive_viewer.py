@@ -10,6 +10,10 @@ Run: ``python examples/interactive_viewer.py [--save viewer.png]``
 """
 
 import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def main():
@@ -18,7 +22,11 @@ def main():
     ap.add_argument("--n-obs", type=int, default=5)
     ap.add_argument("--ob-error", type=float, default=1.0)
     ap.add_argument("--inflation", type=float, default=1.0)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     import matplotlib
 

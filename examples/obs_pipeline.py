@@ -75,7 +75,11 @@ def main():
                     default="ensrf")
     ap.add_argument("--nobs", type=int, default=600)
     ap.add_argument("--nmems", type=int, default=30)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     state, truth = gefs_like_state(ny=40, nx=60, nmems=args.nmems, ntimes=1)
     df = synthetic_obs_dataframe(state, truth, args.nobs)

@@ -24,6 +24,10 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -117,7 +121,11 @@ def main(argv=None) -> int:
     ap.add_argument("--state", default=None,
                     help="existing GEFS-like netCDF (default: synthesize)")
     ap.add_argument("--inflation", type=float, default=1.05)
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args(argv)
+    apply_platform(args)
 
     os.makedirs(args.workdir, exist_ok=True)
     prior_nc = args.state or os.path.join(args.workdir, "gefs_like_prior.nc")

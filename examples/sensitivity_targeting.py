@@ -41,7 +41,19 @@ def main():
     ap.add_argument("--ncand", type=int, default=200)
     ap.add_argument("--plot", action="store_true",
                     help="save sensitivity_map.png (matplotlib)")
+    from efa_xray_tpu.utils.demo import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args)
+
+    # the realized-vs-predicted identity check below is exact only in
+    # f64; enable x64 on CPU (TPU would silently run f32 — tolerance
+    # adapts below)
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
     state, _truth = gefs_like_state(ntimes=8, nmems=21, seed=3,
                                     dtype="float64")
@@ -89,7 +101,8 @@ def main():
           f"(predicted {row['dJ_mean_pred']:+.3f}); metric variance "
           f"{np.var(j0, ddof=1):.4f} -> {np.var(j1, ddof=1):.4f} "
           f"(predicted change {row['dJ_var_pred']:+.4f})")
-    assert abs(j1.mean() - j0.mean() - row["dJ_mean_pred"]) < 1e-9
+    tol = 1e-9 if np.asarray(j1).dtype == np.float64 else 1e-3
+    assert abs(j1.mean() - j0.mean() - row["dJ_mean_pred"]) < tol
 
     if args.plot:
         import matplotlib
