@@ -219,6 +219,57 @@ class Assimilation:
             vert_radii=jnp.asarray(vrad, dtype=dtype),
         )
 
+    def apply_outlier_check(self, oa, tail_mean, tail_perts):
+        """Innovation-based gross-error QC (``FilterConfig.outlier_threshold``).
+
+        Rejects observations whose squared innovation exceeds
+        ``t^2 * (var(ye) + R)`` under the FORECAST prior (the obs-space
+        tail stats computed before any ob of the batch is assimilated —
+        DART's ``outlier_threshold`` semantics), AND-ing the rejection
+        into the ``assim`` mask so every solver and execution path skips
+        them identically.  Rejected obs keep their prior diagnostics
+        (the reference's ``assimilate_this`` skip semantics,
+        ``efa_xray/assimilation/ensrf.py:74-76``) and are flagged in
+        ``ObservationBatch.qc_outlier`` for postprocess/writeback.
+
+        Variance convention follows ``cfg.unbiased_variance`` — the same
+        ddof the gain denominator uses — so "t sigmas" means the same
+        sigma the filter itself sees.
+
+        ``cfg.outlier_action="inflate"`` assimilates flagged obs anyway
+        with R raised to ``innov^2/t^2 - var(ye)`` (adaptive observation
+        error inflation, Minamide & Zhang 2017 MWR), putting the
+        innovation at exactly t sigma instead of discarding the ob.
+        """
+        t = self.config.outlier_threshold
+        if t is None:
+            return oa
+        ddof = 1 if self.config.unbiased_variance else 0
+        m = tail_perts.shape[1]
+        varye = jnp.sum(tail_perts * tail_perts, axis=1) / (m - ddof)
+        innov = oa.values - tail_mean
+        bad = innov * innov > (t * t) * (varye + oa.errors)
+        # Flag only obs that would otherwise have been assimilated.
+        flagged = np.asarray(jax.device_get(oa.assim & bad), dtype=bool)
+        self.obs.qc_outlier = flagged
+        n = int(flagged.sum())
+        action = self.config.outlier_action
+        if n and self.verbose:
+            self.log.info(
+                "Outlier check (t=%.2f) %s %d/%d obs",
+                t,
+                "rejected" if action == "reject" else "R-inflated",
+                n,
+                len(flagged),
+            )
+        if action == "inflate":
+            # innov^2/t^2 - varye > R exactly where `bad` is True, so the
+            # maximum never lowers an error; where ~bad the original R
+            # passes through untouched.
+            r_infl = jnp.maximum(oa.errors, innov * innov / (t * t) - varye)
+            return oa._replace(errors=jnp.where(bad, r_infl, oa.errors))
+        return oa._replace(assim=oa.assim & ~bad)
+
     def _vertical_active(self) -> bool:
         """Vertical localization is on when the state declares per-variable
         vertical coordinates and at least one ob requests a finite vertical

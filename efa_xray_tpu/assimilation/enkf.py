@@ -405,6 +405,7 @@ class EnKF(Assimilation):
             self.log.info("Beginning stochastic EnKF update sequence")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
         obs = self.obs_arrays()
+        obs = self.apply_outlier_check(obs, tail_mean, tail_perts)
 
         row_lat, row_lon = self.prior.structure.row_latlon()
         dtype = jnp.dtype(cfg.dtype)

@@ -172,6 +172,7 @@ class LETKF(Assimilation):
             self.log.info("Beginning LETKF update (all obs at once)")
         body_mean, body_perts, tail_mean, tail_perts = self.format_prior_state()
         obs = self.obs_arrays()
+        obs = self.apply_outlier_check(obs, tail_mean, tail_perts)
 
         st = self.prior.structure
         dtype = jnp.dtype(cfg.dtype)

@@ -147,7 +147,7 @@ def cmd_assimilate(args):
                                  f"got {spec!r}")
             var_loc[key] = float(val)
 
-    cfg = FilterConfig(
+    cli_kwargs = dict(
         localization=None if args.no_localization else "GC",
         variable_localization=var_loc,
         method=args.method,
@@ -158,6 +158,8 @@ def cmd_assimilate(args):
         spatial_sort=args.sort_spatial,
         rtps_alpha=args.rtps,
         rtpp_alpha=args.rtpp,
+        outlier_threshold=args.outlier_threshold,
+        outlier_action=args.outlier_action,
         taps_topk=args.taps_topk,
         taps_search=args.taps_search,
         letkf_topk=args.letkf_topk,
@@ -165,6 +167,19 @@ def cmd_assimilate(args):
         letkf_patch_size=args.letkf_patch_size,
         verbose=args.verbose,
     )
+    if args.config:
+        import dataclasses
+
+        # The file is the base; explicit CLI flags win.  "Explicit" is
+        # detected as differing from the FilterConfig default (CLI
+        # defaults mirror the dataclass defaults field for field).
+        defaults = {f.name: f.default for f in dataclasses.fields(FilterConfig)}
+        cfg = FilterConfig.load(
+            args.config,
+            **{k: v for k, v in cli_kwargs.items() if v != defaults[k]},
+        )
+    else:
+        cfg = FilterConfig(**cli_kwargs)
     mesh = None
     if args.mesh:
         from efa_xray_tpu.parallel import make_mesh
@@ -192,6 +207,10 @@ def cmd_assimilate(args):
     post.save_to_disk(args.out)
     nassim = int(np.sum(out_batch.assimilated))
     print(f"assimilated {nassim}/{len(out_batch)} obs -> {args.out}")
+    if out_batch.qc_outlier is not None and np.any(out_batch.qc_outlier):
+        verb = "rejected" if cfg.outlier_action == "reject" else "R-inflated"
+        print(f"outlier check (t={cfg.outlier_threshold}) {verb} "
+              f"{int(np.sum(out_batch.qc_outlier))} obs")
     if args.obs_out:
         from efa_xray_tpu.utils.ncio import write_obs
 
@@ -353,6 +372,10 @@ def main(argv=None):
                       help="write the posterior obs batch (with per-ob "
                            "diagnostics) to this netCDF path")
     p_as.add_argument("--stats", default=None, help="per-ob stats CSV path")
+    p_as.add_argument("--config", default=None,
+                      help="FilterConfig JSON file (FilterConfig.save / "
+                           "hand-written; only non-default fields needed). "
+                           "Explicit CLI tuning flags override the file.")
     p_as.add_argument("--method", choices=["blocked", "serial"],
                       default="blocked",
                       help="execution strategy for the EnSRF/EnKF solvers "
@@ -371,6 +394,16 @@ def main(argv=None):
     p_as.add_argument("--no-localization", action="store_true")
     p_as.add_argument("--thin-km", type=float, default=None,
                       help="thin obs to a minimum pairwise separation (km)")
+    p_as.add_argument("--outlier-threshold", type=float, default=None,
+                      help="innovation-based gross-error QC: reject obs "
+                           "with |y - mean(ye)| > t*sqrt(var(ye) + R) "
+                           "(DART's outlier_threshold; typical 3-4)")
+    p_as.add_argument("--outlier-action", default="reject",
+                      choices=["reject", "inflate"],
+                      help="flagged-outlier treatment: reject (skip the "
+                           "ob; DART) or inflate (raise R so the "
+                           "innovation sits at t sigma and assimilate "
+                           "anyway; Minamide & Zhang 2017 AOEI)")
     p_as.add_argument("--superob-deg", type=float, default=None,
                       help="average obs per lat/lon cell of this size (deg)")
     p_as.add_argument("--var-loc", action="append", default=None,

@@ -213,6 +213,31 @@ class FilterConfig:
     # the data.  The reference's AdaptiveInflation never implemented this
     # step (SURVEY.md §2/A8).
     adaptive_inflation_update: bool = True
+    # Innovation-based gross-error QC ("background check" / first-guess
+    # check; DART's ``outlier_threshold``, GSI's gross check — standard
+    # operational-DA QC the reference never had: its only gate is the
+    # user-set ``assimilate_this``, efa_xray/assimilation/ensrf.py:74-76).
+    # When set to ``t``, an observation is rejected — not assimilated,
+    # prior stats still recorded, flagged in
+    # ``ObservationBatch.qc_outlier`` — when its squared innovation
+    # exceeds ``t**2`` times the expected innovation variance under the
+    # prior: ``(y - mean(ye))^2 > t^2 * (var(ye) + R)``.  The test uses
+    # the FORECAST prior ye statistics (before any ob of the batch is
+    # assimilated), matching DART's definition, so the mask is identical
+    # across serial/blocked/Pallas/mesh paths and all three solvers.
+    # Typical operational values: 3-4.  None = off (reference parity).
+    outlier_threshold: Optional[float] = None
+    # What to do with a flagged outlier: "reject" (DART semantics — the ob
+    # is skipped entirely) or "inflate" (adaptive observation error
+    # inflation, Minamide & Zhang 2017 MWR: R is raised to exactly
+    # ``innov^2 / t^2 - var(ye)`` so the innovation sits at t sigma and
+    # the ob is still assimilated with proportionally weakened impact —
+    # the all-sky-radiance treatment where rejecting every cloud-affected
+    # ob would discard the most informative data).  Flagged obs are
+    # recorded in ``qc_outlier`` either way; the batch keeps the ORIGINAL
+    # measurement R (the inflation is an assimilation-time treatment, not
+    # a revised error estimate).
+    outlier_action: str = "reject"
     # --- Cross-variable localization (DART-style "variable localization";
     # an extension — the reference localizes spatially only,
     # efa_xray/assimilation/ensrf.py:99-115).  Dict mapping
@@ -240,6 +265,69 @@ class FilterConfig:
     @property
     def localize(self) -> bool:
         return self.localization not in (None, False)
+
+    # -- persistence (reproducible-run config files; the reference has no
+    # config system at all — loose kwargs, SURVEY.md §5.6) ----------------
+    def to_dict(self, full: bool = False) -> dict:
+        """JSON-ready dict.  ``full=False`` (default) keeps only fields
+        that differ from the dataclass defaults, so saved configs stay
+        readable and forward-compatible (new knobs keep their defaults on
+        load).  Non-JSON values are converted: array ``static_b_sigma``
+        becomes a list, tuple ``variable_localization`` keys become
+        ``"OBSVAR:STATEVAR"`` strings."""
+        out = {}
+        for f in dataclasses.fields(self):
+            val = getattr(self, f.name)
+            if not full:
+                try:
+                    is_default = val is f.default or (
+                        type(val) is type(f.default) and val == f.default
+                    )
+                except Exception:
+                    is_default = False
+                if is_default:
+                    continue
+            if f.name == "static_b_sigma" and val is not None and not isinstance(
+                val, (int, float)
+            ):
+                import numpy as _np
+
+                val = _np.asarray(val, dtype=float).tolist()
+            if f.name == "variable_localization" and isinstance(val, dict):
+                val = {
+                    (k if isinstance(k, str) else f"{k[0]}:{k[1]}"): float(v)
+                    for k, v in val.items()
+                }
+            out[f.name] = val
+        return out
+
+    def save(self, path: str) -> None:
+        """Write the config as JSON (only non-default fields)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh, indent=2, sort_keys=True)
+            fh.write("\n")
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "FilterConfig":
+        """Read a JSON config written by :meth:`save` (or by hand).
+        Unknown keys raise (typo safety); ``overrides`` are applied on
+        top.  Validation runs through the normal constructor."""
+        import json
+
+        with open(path) as fh:
+            data = json.load(fh)
+        if not isinstance(data, dict):
+            raise ValueError(f"{path}: expected a JSON object")
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(data) - known)
+        if unknown:
+            raise ValueError(
+                f"{path}: unknown FilterConfig field(s): {', '.join(unknown)}"
+            )
+        data.update(overrides)
+        return cls(**data)
 
     def __post_init__(self):
         if self.localization not in (None, False, "GC"):
@@ -292,6 +380,16 @@ class FilterConfig:
             )
         if self.letkf_patch_size < 1 or self.letkf_k_obs < 1:
             raise ValueError("letkf_patch_size and letkf_k_obs must be >= 1")
+        if self.outlier_threshold is not None and not (
+            isinstance(self.outlier_threshold, (int, float))
+            and self.outlier_threshold > 0
+        ):
+            raise ValueError("outlier_threshold must be a number > 0 or None")
+        if self.outlier_action not in ("reject", "inflate"):
+            raise ValueError(
+                f"Unknown outlier_action {self.outlier_action!r} "
+                "(expected 'reject' or 'inflate')"
+            )
         if not 0.0 <= self.rtps_alpha <= 1.0:
             raise ValueError("rtps_alpha must be in [0, 1]")
         if not 0.0 <= self.rtpp_alpha <= 1.0:

@@ -59,6 +59,9 @@ class Observation:
         self.post_var = post_var
         self.assimilate_this = assimilate_this
         self.assimilated = False
+        # Set True by the filter when FilterConfig.outlier_threshold
+        # rejects this ob (innovation-based gross-error QC).
+        self.outlier = False
         self.description = description
         self.localize_radius = localize_radius
         # Vertical GC halfwidth in the same units as ``vert`` (extension;
@@ -221,6 +224,9 @@ class ObservationBatch:
     post_mean: Optional[np.ndarray] = None
     post_var: Optional[np.ndarray] = None
     assimilated: Optional[np.ndarray] = None
+    # True where FilterConfig.outlier_threshold rejected an otherwise-
+    # assimilable ob (innovation-based gross-error QC / background check).
+    qc_outlier: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.vert_radius is None:
@@ -298,6 +304,9 @@ class ObservationBatch:
         for i, ob in enumerate(obs):
             ob.prior_mean = None if self.prior_mean is None else float(self.prior_mean[i])
             ob.prior_var = None if self.prior_var is None else float(self.prior_var[i])
+            ob.outlier = (
+                False if self.qc_outlier is None else bool(self.qc_outlier[i])
+            )
             if self.assimilated is not None and self.assimilated[i]:
                 ob.post_mean = float(self.post_mean[i])
                 ob.post_var = float(self.post_var[i])
@@ -355,7 +364,7 @@ class ObservationBatch:
             "description": list(self.descriptions),
         }
         for name in ("prior_mean", "prior_var", "post_mean", "post_var",
-                     "assimilated"):
+                     "assimilated", "qc_outlier"):
             val = getattr(self, name)
             if val is not None:
                 cols[name] = np.asarray(val)

@@ -61,4 +61,8 @@ def obs_assimilation_statistics(
             "post variance": post_ye.var(axis=1),
         }
     )
+    # Extension column (absent in the reference): innovation-outlier QC
+    # outcome, when the filter ran with FilterConfig.outlier_threshold.
+    if batch.qc_outlier is not None:
+        df["outlier"] = np.asarray(batch.qc_outlier, dtype=bool)
     return df

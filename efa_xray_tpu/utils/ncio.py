@@ -347,6 +347,10 @@ def write_obs(filename: str, batch) -> None:
         variables["assimilated"] = (
             ("obs",), np.asarray(batch.assimilated, dtype=np.int8)
         )
+    if batch.qc_outlier is not None:
+        variables["qc_outlier"] = (
+            ("obs",), np.asarray(batch.qc_outlier, dtype=np.int8)
+        )
     write_dataset(filename, NcDataset(dims=dims, variables=variables))
 
 
@@ -379,4 +383,6 @@ def read_obs(filename: str):
             kwargs[name] = np.asarray(ds[name], dtype=np.float64)
     if "assimilated" in ds.variables:
         kwargs["assimilated"] = np.asarray(ds["assimilated"], dtype=bool)
+    if "qc_outlier" in ds.variables:
+        kwargs["qc_outlier"] = np.asarray(ds["qc_outlier"], dtype=bool)
     return ObservationBatch(**kwargs)
