@@ -202,6 +202,39 @@ def cmd_assimilate(args):
 
         filt = EnSRF(state, batch, inflation=args.inflation,
                      verbose=args.verbose, config=cfg, mesh=mesh)
+
+    if args.bias_file:
+        # Cycle-persistent per-obtype bias correction: learn this batch's
+        # forecast O-B mean per type (EMA across invocations via the JSON
+        # file), subtract the updated estimate from the values, assimilate
+        # the corrected obs.  observation/bias.py documents the scheme.
+        import os
+
+        from efa_xray_tpu.observation.bias import BiasCorrection
+
+        bias = (
+            BiasCorrection.load(args.bias_file)
+            if os.path.exists(args.bias_file)
+            else BiasCorrection(alpha=args.bias_alpha)
+        )
+        tm, _ = filt.compute_ob_priors()
+        batch.prior_mean = np.asarray(tm, dtype=np.float64)
+        bias.update(batch)
+        batch.prior_mean = None  # the filter writes its own diagnostics
+        offsets = np.asarray(
+            [bias.offset_for(t) for t in batch.obtypes], dtype=np.float64
+        )
+        batch.values = np.asarray(batch.values, dtype=np.float64) - offsets
+        bias.save(args.bias_file)
+        print(
+            "bias correction: "
+            + ", ".join(
+                f"{t}={bias.offset_for(t):+.4g}"
+                for t in dict.fromkeys(batch.obtypes)
+            )
+            + f" -> {args.bias_file}"
+        )
+
     post, out_batch = filt.update()
 
     post.save_to_disk(args.out)
@@ -404,6 +437,12 @@ def main(argv=None):
                            "ob; DART) or inflate (raise R so the "
                            "innovation sits at t sigma and assimilate "
                            "anyway; Minamide & Zhang 2017 AOEI)")
+    p_as.add_argument("--bias-file", default=None,
+                      help="per-obtype bias-correction state (JSON): loaded "
+                           "if present, O-B-updated from this batch, applied "
+                           "to the values, saved back (cycle-persistent)")
+    p_as.add_argument("--bias-alpha", type=float, default=0.2,
+                      help="EMA rate for a NEW --bias-file (default 0.2)")
     p_as.add_argument("--superob-deg", type=float, default=None,
                       help="average obs per lat/lon cell of this size (deg)")
     p_as.add_argument("--var-loc", action="append", default=None,

@@ -23,7 +23,10 @@ itself has no bias handling at all — every ob is taken at face value
 
 Everything here is host-side preprocessing on the struct-of-arrays batch:
 it touches no solver path, so serial/blocked/sharded parity invariants are
-untouched.
+untouched.  For twin experiments with a FIXED identity-pick network,
+:class:`efa_xray_tpu.models.cycling.CyclingHarness` has the per-row
+variant (``adaptive_bias``); this module is the per-obtype form for real
+heterogeneous networks where stations come and go between cycles.
 """
 
 from __future__ import annotations

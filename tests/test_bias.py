@@ -172,3 +172,60 @@ def test_corrected_assimilation_moves_state_less():
     d_fix = np.abs(np.asarray(post_fix.ensemble_mean()) - prior_mean).max()
     # corrected innovations are ~noise, so the mean pull collapses
     assert d_fix < 0.2 * d_raw
+
+
+def test_cli_bias_file_cycles(tmp_path, capsys):
+    """--bias-file: first invocation learns the O-B offset and saves it;
+    a second invocation loads it, so the corrected innovations (and the
+    posterior mean pull) collapse."""
+    import csv
+
+    from efa_xray_tpu import cli
+    from efa_xray_tpu.utils import timeutil
+
+    true_bias = 3.0
+    state = make_demo_state(ny=6, nx=8, nmems=16, seed=8)
+    prior_nc = tmp_path / "prior.nc"
+    state.save_to_disk(str(prior_nc))
+
+    # obs AT the interpolated forecast estimate + bias (near-zero noise)
+    obs = _biased_obs(state, true_bias, nobs=8, seed=7, noise=0.01)
+    obs_csv = tmp_path / "obs.csv"
+    with open(obs_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["value", "lat", "lon", "time", "obtype", "error"])
+        for ob in obs:
+            w.writerow([f"{ob.value:.5f}", f"{ob.lat:.5f}", f"{ob.lon:.5f}",
+                        str(timeutil.to_datetime64(
+                            timeutil.to_epoch_seconds([ob.time])[0])),
+                        ob.obtype, "1.0"])
+
+    bias_json = tmp_path / "bias.json"
+    common = ["assimilate", "--state", str(prior_nc), "--obs", str(obs_csv),
+              "--radius", "2000", "--dtype", "float64",
+              "--bias-file", str(bias_json), "--bias-alpha", "0.5"]
+
+    rc = cli.main(common + ["--out", str(tmp_path / "post1.nc")])
+    assert rc == 0
+    assert "bias correction: T2m=" in capsys.readouterr().out
+
+    bc = BiasCorrection.load(str(bias_json))
+    # first sighting = the full sample-mean O-B
+    assert bc.offset_for("T2m") == pytest.approx(true_bias, abs=0.05)
+
+    # second cycle: the loaded estimate corrects the obs, so the posterior
+    # mean barely moves
+    rc = cli.main(common + ["--out", str(tmp_path / "post2.nc")])
+    assert rc == 0
+    from efa_xray_tpu.state.ensemble import EnsembleState
+
+    post2 = EnsembleState.from_netcdf(str(tmp_path / "post2.nc"),
+                                      dtype="float64")
+    pm = np.asarray(state.ensemble_mean(), dtype=np.float64)
+    d2 = np.abs(np.asarray(post2.ensemble_mean()) - pm).max()
+    post_raw, _ = EnSRF(
+        state, ObservationBatch.from_observations(obs), verbose=False,
+        config=FilterConfig(dtype="float64"),
+    ).update()
+    d_raw = np.abs(np.asarray(post_raw.ensemble_mean()) - pm).max()
+    assert d2 < 0.2 * d_raw
