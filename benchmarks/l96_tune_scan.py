@@ -11,8 +11,12 @@ line per combo and a final "best" line; the winner goes into
 
 import itertools
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
