@@ -184,7 +184,7 @@ def bench_config0():
     }
 
 
-def bench_config1(ncycles=30, warmup=10):
+def bench_config1(ncycles=60, warmup=20):
     """Lorenz-96 cycling DA with TUNED assimilation (production recipe:
     Anderson-2009 adaptive inflation, docs/recipes.md) through the
     CyclingHarness — not the raw untuned filter.  Canonical bar for a
@@ -197,15 +197,26 @@ def bench_config1(ncycles=30, warmup=10):
     nvars, nmems = 40, 20
     truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=1)
     lats, lons = l96.fake_latlon(nvars)
+    # Operating point from benchmarks/l96_tune_scan.py (24-combo grid x 3
+    # seeds x 60 cycles, CPU): radius 8000 km / adaptive_sd 0.3 scores
+    # mean analysis RMSE 0.655 (seed spread 0.650-0.660); the old
+    # 4000/0.6 point scores 0.750 on the same protocol.  RTPS on top of
+    # adaptive inflation always hurt (over-dispersion).  On-chip float32
+    # verification (80 cycles x 4 seeds): UNCAPPED inflation at this point
+    # diverged on 1 of 3 seeds (runaway lambda -> non-finite forecast);
+    # with the DART-style cap adaptive_max=2.0 all seeds are stable at
+    # last-40 RMSE 0.69-0.93 vs 0.85-1.00 for the old 4000/0.6 point.
     h = CyclingHarness(
         forecast=lambda x: l96.integrate(x, nsteps=4),
         state_lats=lats,
         state_lons=lons,
         ob_error=1.0,
-        localize_radius=4000.0,
+        localize_radius=8000.0,
         config=FilterConfig(localization="GC", dtype="float32", block_size=8),
         obs_operator_rows=np.arange(0, nvars, 2),
         adaptive_inflation=True,
+        adaptive_sd=0.3,
+        adaptive_max=2.0,
     )
     # Warmup cycles: compile the forecast/analysis jits AND spin the
     # adaptive-inflation field up before the timed window.
@@ -221,8 +232,14 @@ def bench_config1(ncycles=30, warmup=10):
         "seconds": dt,
         "cycles_per_sec": ncycles / dt,
         "mean_analysis_rmse_last10": float(np.mean(rmse[-10:])),
+        # The 10-cycle window is noisy (L96 RMSE is bursty); the last-30
+        # mean is the statistically meaningful published number.
+        "mean_analysis_rmse_last30": float(np.mean(rmse[-30:])),
         "mean_spread_last10": float(
             np.mean([s.mean_spread for s in stats[-10:]])
+        ),
+        "mean_spread_last30": float(
+            np.mean([s.mean_spread for s in stats[-30:]])
         ),
     }
 

@@ -92,6 +92,7 @@ def update_inflation_rows(
     ob_err_vars,  # [No]
     assim,  # bool [No]
     lambda_min: float = 1.0,
+    lambda_max: float = 1e6,
 ):
     """Anderson (2009) update of an inflation field from an obs batch.
 
@@ -107,7 +108,8 @@ def update_inflation_rows(
             haversine((row_lats, row_lons), (ob_lat, ob_lon)), radius
         )
         new = _anderson_update(
-            lam, lam_sd, gamma, d2, sp2, so2, lambda_min=lambda_min
+            lam, lam_sd, gamma, d2, sp2, so2,
+            lambda_min=lambda_min, lambda_max=lambda_max,
         )
         return jnp.where(use, new, lam), None
 
@@ -201,6 +203,7 @@ class AdaptiveInflation:
         ob_err_vars,
         assimilated=None,
         lambda_min: float = 1.0,
+        lambda_max: float = 1e6,
         lambda_sd_floor: float = 1e-4,
     ) -> None:
         """Anderson (2009) Bayesian update of the inflation mean fields from
@@ -247,6 +250,7 @@ class AdaptiveInflation:
             jnp.asarray(ob_err_vars, dtype=lam.dtype),
             jnp.asarray(mask),
             lambda_min=lambda_min,
+            lambda_max=lambda_max,
         )
         out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
         for i, v in enumerate(s.var_names):

@@ -80,6 +80,11 @@ class CyclingHarness:
     adaptive_inflation: bool = False
     adaptive_sd: float = 0.6
     adaptive_min: float = 1.0
+    # Upper clamp on the inflation field (DART runs with a cap, typically
+    # 2-5): an unbounded field can run away on a burst of large innovations
+    # and amplify the perturbations until the forecast model blows up.
+    # Default keeps the historical unbounded behavior.
+    adaptive_max: float = 1e6
     # Additive inflation (Mitchell & Houtekamer 2000; Whitaker et al. 2008
     # used it operationally for the NCEP GFS hybrid): before each analysis,
     # add zero-mean Gaussian noise of standard deviation ``additive_sigma``
@@ -335,6 +340,7 @@ class CyclingHarness:
                 obs.errors,
                 obs.assim,
                 lambda_min=self.adaptive_min,
+                lambda_max=self.adaptive_max,
             )
         if self.adaptive_r:
             # Desroziers: E[d_a d_b] estimates R when B and R are correctly

@@ -158,6 +158,60 @@ def test_anderson_update_raises_inflation_for_large_innovations():
     assert (adapt2.mean[v] >= 1.0 - 1e-12).all()
 
 
+def test_anderson_update_lambda_max_caps_the_field():
+    """``lambda_max`` clamps the learned inflation (DART runs capped;
+    an unbounded field can run away on a burst of large innovations and
+    blow up the forecast model)."""
+    state = make_demo_state(ny=10, nx=10, nmems=10)
+    nobs = 64
+    lats = np.full(nobs, 46.0)
+    lons = np.full(nobs, 237.0)
+    radii = np.full(nobs, 200.0)
+    prior_vars = np.full(nobs, 1.0)
+    errs = np.full(nobs, 1.0)
+    # Innovations large enough to drive inflation up each ob, but small
+    # enough that the Gaussian likelihood does not underflow (which makes
+    # the update a no-op through the safe-guard in _anderson_update).
+    huge = np.full(nobs, 4.0)
+
+    free = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.8)))
+    free.update_inflation(lats, lons, radii, huge, prior_vars, errs)
+    capped = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.8)))
+    capped.update_inflation(
+        lats, lons, radii, huge, prior_vars, errs, lambda_max=2.0
+    )
+    v = state.vars()[0]
+    assert free.mean[v].max() > 2.0  # the burst really does exceed the cap
+    assert capped.mean[v].max() <= 2.0 + 1e-9
+    assert capped.mean[v].min() >= 1.0 - 1e-12
+
+
+def test_cycling_adaptive_max_bounds_the_field():
+    """The harness plumbs ``adaptive_max`` through to the Anderson update."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models import lorenz96 as l96
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    truth, ens = l96.spinup_ensemble(nvars=40, nmems=10, seed=3)
+    lats, lons = l96.fake_latlon(40)
+    h = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=0.01,  # tiny R + model error -> inflation wants to grow
+        localize_radius=8000.0,
+        config=FilterConfig(localization="GC", dtype="float64", block_size=8),
+        obs_operator_rows=np.arange(0, 40, 2),
+        adaptive_inflation=True,
+        adaptive_sd=0.8,
+        adaptive_max=1.5,
+    )
+    h.run(ens, truth, ncycles=10, seed=5)
+    lam = np.asarray(h._lam)
+    assert lam.max() <= 1.5 + 1e-9
+    assert lam.min() >= 1.0 - 1e-12
+
+
 def test_adaptive_inflation_instance_as_spec():
     """EnSRF(inflation=AdaptiveInflation(...)) applies the mean field
     (the reference class existed but was never wired into the filter)."""
