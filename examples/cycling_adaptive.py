@@ -48,6 +48,7 @@ def main():
         config=FilterConfig(localization="GC", dtype="float64", block_size=8),
         obs_operator_rows=np.arange(0, args.nvars, 2),
         adaptive_inflation=True,  # Anderson-2009 variance inflation, learned
+        adaptive_max=2.0,  # always cap in production (docs/recipes.md)
     )
     stats = harness.run(ens, truth, ncycles=args.cycles, seed=107)
 
