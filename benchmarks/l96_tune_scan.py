@@ -44,6 +44,10 @@ def run_combo(radius, adaptive_sd, rtps, seed, ncycles=60, warmup=10):
         obs_operator_rows=np.arange(0, nvars, 2),
         adaptive_inflation=True,
         adaptive_sd=adaptive_sd,
+        # Scan under the same production cap the published benchmark runs
+        # (uncapped, the scan's best point can diverge on some seeds —
+        # see bench_config1's comment in run_benchmarks.py).
+        adaptive_max=2.0,
     )
     h.run(ens, truth, ncycles=warmup, seed=100 + seed)
     stats = h.run(None, None, ncycles=ncycles, resume=True)
