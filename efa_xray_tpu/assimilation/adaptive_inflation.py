@@ -40,7 +40,7 @@ from efa_xray_tpu.state.ensemble import EnsembleState
 from efa_xray_tpu.utils import ncio, timeutil
 
 
-@functools.partial(jax.jit, static_argnames=("lambda_min", "lambda_max"))
+@jax.jit
 def _anderson_update(
     lam_mean,  # [rows] current inflation mean per state row
     lam_sd,  # scalar inflation std (held fixed)
@@ -48,10 +48,15 @@ def _anderson_update(
     innov2,  # scalar d^2
     sigma_p2,  # scalar prior obs-space ensemble variance s^2
     sigma_o2,  # scalar ob error variance r^2
-    lambda_min: float = 1.0,
-    lambda_max: float = 1e6,
+    lambda_min=1.0,
+    lambda_max=1e6,
 ):
-    """One observation's Bayesian update of the inflation mean field."""
+    """One observation's Bayesian update of the inflation mean field.
+
+    ``lambda_min``/``lambda_max`` are traced operands (plain ``jnp.clip``
+    bounds), NOT static jit arguments — callers like
+    :func:`update_inflation_rows` pass them through from their own traced
+    context, and a tracer in a static slot poisons the jit cache."""
     sqrt_lam = jnp.sqrt(jnp.maximum(lam_mean, 1e-12))
     lam_loc = (1.0 + gamma * (sqrt_lam - 1.0)) ** 2
     theta2 = lam_loc * sigma_p2 + sigma_o2
@@ -78,7 +83,7 @@ def _anderson_update(
     return jnp.clip(new_lam, lambda_min, lambda_max)
 
 
-@functools.partial(jax.jit, static_argnames=("lambda_min",))
+@jax.jit
 def update_inflation_rows(
     lam,  # [..., rows] inflation mean field(s); last axis matches row coords
     lam_sd,  # scalar or broadcastable [..., 1] inflation std (held fixed)
@@ -91,8 +96,8 @@ def update_inflation_rows(
     prior_vars,  # [No] prior obs-space ensemble variance
     ob_err_vars,  # [No]
     assim,  # bool [No]
-    lambda_min: float = 1.0,
-    lambda_max: float = 1e6,
+    lambda_min=1.0,
+    lambda_max=1e6,
 ):
     """Anderson (2009) update of an inflation field from an obs batch.
 
