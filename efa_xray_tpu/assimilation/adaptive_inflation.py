@@ -22,8 +22,18 @@ Gaussian-likelihood scheme used by DART's ``adaptive_inflate_mod``):
         posterior mode = root of λ² + bλ + c closest to λ̄, with
         b = l/l' − 2λ̄,  c = λ̄² − σ_λ² − l λ̄ / l'
 
-    (σ_λ, the inflation standard deviation, is held fixed per Anderson's
-    recommendation for stability; a lower bound keeps λ ≥ λ_min.)
+    σ_λ, the inflation standard deviation, may be held fixed (the default,
+    matching the moment fields the reference stores but never updates) or
+    evolved per Anderson (2009) §4 with ``evolve_sd=True``: fit a Gaussian
+    to the posterior by evaluating the posterior density ratio
+
+        R = p(λ_u + σ_λ | d) / p(λ_u | d)          (log space)
+        σ_λ,u² = −σ_λ² / (2 ln R)
+
+    clipped to never grow and floored at ``sd_min`` so inflation never
+    freezes entirely (the El Gharamti 2018 lower-bound refinement).  The
+    shrinking σ_λ is the principled damping that removes the need for a
+    hand-tuned fixed sd or a hard λ_max cap.
 """
 
 from __future__ import annotations
@@ -83,10 +93,52 @@ def _anderson_update(
     return jnp.clip(new_lam, lambda_min, lambda_max)
 
 
+def _log_posterior(lam, lam_prior, lam_sd, gamma, innov2, sigma_p2, sigma_o2):
+    """Unnormalized log posterior density of the inflation λ given one
+    innovation: log N(d; 0, θ²(λ)) + log N(λ; λ̄_p, σ_λ²).  Log space keeps
+    the Anderson §4 density RATIO well-defined where the float32 likelihood
+    would underflow (large d²/θ²)."""
+    sqrt_lam = jnp.sqrt(jnp.maximum(lam, 1e-12))
+    theta2 = (1.0 + gamma * (sqrt_lam - 1.0)) ** 2 * sigma_p2 + sigma_o2
+    log_l = -0.5 * (jnp.log(theta2) + innov2 / theta2)
+    sd2 = jnp.maximum(lam_sd, 1e-12) ** 2
+    return log_l - 0.5 * (lam - lam_prior) ** 2 / sd2
+
+
 @jax.jit
+def _anderson_sd_update(
+    lam_post,  # [rows] posterior inflation mean (this ob already applied)
+    lam_prior,  # [rows] prior inflation mean
+    lam_sd,  # [rows] prior inflation std
+    gamma,  # [rows] localization weight
+    innov2,  # scalar d^2
+    sigma_p2,  # scalar prior obs-space ensemble variance
+    sigma_o2,  # scalar ob error variance
+    sd_min=0.0,
+):
+    """Anderson (2009) §4 Gaussian refit of the inflation std.
+
+    Evaluate the posterior density at the mode λ_u and one prior-sd above
+    it; matching the log-ratio to a Gaussian gives σ_u² = −σ²/(2 ln R).
+    The refit never grows σ (the posterior is at least as sharp as the
+    prior) and is floored at ``sd_min`` so the inflation stays adaptive
+    (El Gharamti 2018's lower bound)."""
+    log_r = _log_posterior(
+        lam_post + lam_sd, lam_prior, lam_sd, gamma, innov2, sigma_p2, sigma_o2
+    ) - _log_posterior(
+        lam_post, lam_prior, lam_sd, gamma, innov2, sigma_p2, sigma_o2
+    )
+    shrinking = log_r < -1e-12
+    denom = jnp.where(shrinking, -2.0 * log_r, 1.0)
+    sd_new = lam_sd * jnp.sqrt(1.0 / denom)
+    sd_new = jnp.where(shrinking & (gamma > 0.0), sd_new, lam_sd)
+    return jnp.clip(sd_new, sd_min, lam_sd)
+
+
+@functools.partial(jax.jit, static_argnames=("evolve_sd",))
 def update_inflation_rows(
     lam,  # [..., rows] inflation mean field(s); last axis matches row coords
-    lam_sd,  # scalar or broadcastable [..., 1] inflation std (held fixed)
+    lam_sd,  # scalar or broadcastable [..., 1] inflation std
     row_lats,  # [rows]
     row_lons,  # [rows]
     obs_lats,  # [No]
@@ -98,6 +150,8 @@ def update_inflation_rows(
     assim,  # bool [No]
     lambda_min=1.0,
     lambda_max=1e6,
+    evolve_sd: bool = False,
+    sd_min=0.0,
 ):
     """Anderson (2009) update of an inflation field from an obs batch.
 
@@ -105,23 +159,59 @@ def update_inflation_rows(
     ``gamma [rows]`` broadcasts against any leading lam axes, so the same
     kernel serves flat per-row fields (``lam [rows]``, cycling harness) and
     stacked grid fields (``lam [V, T, G]`` with per-variable
-    ``lam_sd [V, 1, 1]``, :class:`AdaptiveInflation`)."""
+    ``lam_sd [V, 1, 1]``, :class:`AdaptiveInflation`).
 
-    def step(lam, xs):
+    With ``evolve_sd=True`` the inflation std is carried per element and
+    refit after every observation (Anderson §4, :func:`_anderson_sd_update`)
+    — the principled damping — and the return value is ``(lam, lam_sd)``
+    with ``lam_sd`` broadcast to ``lam``'s shape.  Default returns ``lam``
+    only (historical fixed-sd behavior)."""
+
+    if not evolve_sd:
+
+        def step(lam, xs):
+            ob_lat, ob_lon, radius, d2, sp2, so2, use = xs
+            gamma = gaspari_cohn(
+                haversine((row_lats, row_lons), (ob_lat, ob_lon)), radius
+            )
+            new = _anderson_update(
+                lam, lam_sd, gamma, d2, sp2, so2,
+                lambda_min=lambda_min, lambda_max=lambda_max,
+            )
+            return jnp.where(use, new, lam), None
+
+        xs = (obs_lats, obs_lons, radii, innovations**2, prior_vars,
+              ob_err_vars, assim)
+        lam, _ = jax.lax.scan(step, lam, xs)
+        return lam
+
+    sd0 = jnp.broadcast_to(
+        jnp.asarray(lam_sd, dtype=lam.dtype), lam.shape
+    ).astype(lam.dtype)
+
+    def step(carry, xs):
+        lam, sd = carry
         ob_lat, ob_lon, radius, d2, sp2, so2, use = xs
         gamma = gaspari_cohn(
             haversine((row_lats, row_lons), (ob_lat, ob_lon)), radius
         )
         new = _anderson_update(
-            lam, lam_sd, gamma, d2, sp2, so2,
+            lam, sd, gamma, d2, sp2, so2,
             lambda_min=lambda_min, lambda_max=lambda_max,
         )
-        return jnp.where(use, new, lam), None
+        new_sd = _anderson_sd_update(
+            new, lam, sd, gamma, d2, sp2, so2, sd_min=sd_min
+        )
+        return (
+            jnp.where(use, new, lam),
+            jnp.where(use, new_sd, sd),
+        ), None
 
-    xs = (obs_lats, obs_lons, radii, innovations**2, prior_vars, ob_err_vars,
-          assim)
-    lam, _ = jax.lax.scan(step, lam, xs)
-    return lam
+    (lam, sd), _ = jax.lax.scan(step, (lam, sd0), xs=(
+        obs_lats, obs_lons, radii, innovations**2, prior_vars, ob_err_vars,
+        assim,
+    ))
+    return lam, sd
 
 
 class AdaptiveInflation:
@@ -210,6 +300,8 @@ class AdaptiveInflation:
         lambda_min: float = 1.0,
         lambda_max: float = 1e6,
         lambda_sd_floor: float = 1e-4,
+        evolve_sd: bool = False,
+        sd_min: float = 0.05,
     ) -> None:
         """Anderson (2009) Bayesian update of the inflation mean fields from
         a batch of observation innovations.
@@ -220,6 +312,12 @@ class AdaptiveInflation:
         diagnostics), and the error variances.  ``obs_radii`` give the GC
         localization halfwidth used to spread each update spatially
         (``inf`` -> uniform weight 1).
+
+        ``evolve_sd=True`` also evolves the per-element std fields
+        (Anderson 2009 §4 refit, floored at ``sd_min``) and writes them
+        back to ``self.std`` — the reference stores the (mean, std) moment
+        pair but never updates either
+        (``efa_xray/assimilation/adaptive_inflation.py:42-56``).
         """
         s = self.structure
         glat = jnp.asarray(s.lat.ravel())
@@ -237,12 +335,23 @@ class AdaptiveInflation:
         lam = jnp.asarray(
             self.mean_field().reshape(nvars, s.ntimes, s.ny * s.nx)
         )
-        lam_sd = jnp.asarray(
-            [max(float(np.mean(self.std[v])), lambda_sd_floor)
-             for v in s.var_names]
-        ).reshape(nvars, 1, 1).astype(lam.dtype)
+        if evolve_sd:
+            # Full per-element std fields ride along and get refit per ob.
+            lam_sd = jnp.asarray(
+                np.maximum(
+                    np.stack(
+                        [self.std[v] for v in s.var_names], axis=0
+                    ).reshape(nvars, s.ntimes, s.ny * s.nx),
+                    lambda_sd_floor,
+                )
+            ).astype(lam.dtype)
+        else:
+            lam_sd = jnp.asarray(
+                [max(float(np.mean(self.std[v])), lambda_sd_floor)
+                 for v in s.var_names]
+            ).reshape(nvars, 1, 1).astype(lam.dtype)
 
-        lam = update_inflation_rows(
+        out = update_inflation_rows(
             lam,
             lam_sd,
             glat.astype(lam.dtype),
@@ -256,10 +365,17 @@ class AdaptiveInflation:
             jnp.asarray(mask),
             lambda_min=lambda_min,
             lambda_max=lambda_max,
+            evolve_sd=evolve_sd,
+            sd_min=sd_min,
         )
-        out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
+        lam, sd = out if evolve_sd else (out, None)
+        mean_out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
         for i, v in enumerate(s.var_names):
-            self.mean[v] = out[i]
+            self.mean[v] = mean_out[i]
+        if sd is not None:
+            sd_out = np.asarray(sd).reshape(nvars, s.ntimes, s.ny, s.nx)
+            for i, v in enumerate(s.var_names):
+                self.std[v] = sd_out[i]
 
 
 @jax.jit

@@ -455,6 +455,8 @@ class Assimilation:
                 b.prior_var,
                 b.errors,
                 assimilated=b.assimilated,
+                evolve_sd=self.config.adaptive_sd_evolve,
+                sd_min=self.config.adaptive_sd_min,
             )
 
     # -- diagnostics write-back -------------------------------------------

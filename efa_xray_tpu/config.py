@@ -213,6 +213,13 @@ class FilterConfig:
     # the data.  The reference's AdaptiveInflation never implemented this
     # step (SURVEY.md §2/A8).
     adaptive_inflation_update: bool = True
+    # Evolve the inflation std alongside the mean (Anderson 2009 §4
+    # posterior-density refit, floored at ``adaptive_sd_min``): the
+    # principled self-damping that removes the need for a hand-tuned fixed
+    # sd.  Off = historical fixed-sd behavior (the reference stores the
+    # std moment field but never updates it, adaptive_inflation.py:42-56).
+    adaptive_sd_evolve: bool = False
+    adaptive_sd_min: float = 0.05
     # Innovation-based gross-error QC ("background check" / first-guess
     # check; DART's ``outlier_threshold``, GSI's gross check — standard
     # operational-DA QC the reference never had: its only gate is the

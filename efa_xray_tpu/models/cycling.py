@@ -80,6 +80,20 @@ class CyclingHarness:
     adaptive_inflation: bool = False
     adaptive_sd: float = 0.6
     adaptive_min: float = 1.0
+    # Evolve the inflation std per Anderson (2009) §4 instead of holding it
+    # fixed: each observation refits sigma_lambda from the posterior density
+    # ratio, so the inflation self-damps as it converges — the principled
+    # replacement for hand-tuning adaptive_sd and capping with adaptive_max.
+    # ``adaptive_sd`` becomes the INITIAL std; ``adaptive_sd_min`` keeps the
+    # field adaptive forever (El Gharamti 2018 lower bound).
+    adaptive_sd_evolve: bool = False
+    adaptive_sd_min: float = 0.05
+    # Per-cycle inflation damping toward 1 (DART's inf_damping): after each
+    # analysis, lambda <- 1 + damp * (lambda - 1).  With the evolved sd this
+    # is the principled stability mechanism — a transient burst of large
+    # innovations decays geometrically instead of ratcheting the field up —
+    # replacing the hard adaptive_max cap.  1.0 = off.
+    adaptive_damp: float = 1.0
     # Upper clamp on the inflation field (DART runs with a cap, typically
     # 2-5): an unbounded field can run away on a burst of large innovations
     # and amplify the perturbations until the forecast model blows up.
@@ -327,9 +341,16 @@ class CyclingHarness:
                 update_inflation_rows,
             )
 
-            self._lam = update_inflation_rows(
+            lam_sd = (
+                getattr(self, "_lam_sd", None)
+                if self.adaptive_sd_evolve
+                else None
+            )
+            if lam_sd is None:
+                lam_sd = jnp.asarray(self.adaptive_sd, dtype=dtype)
+            out = update_inflation_rows(
                 lam,
-                jnp.asarray(self.adaptive_sd, dtype=dtype),
+                lam_sd,
                 jnp.asarray(self.state_lats, dtype=dtype),
                 jnp.asarray(self.state_lons, dtype=dtype),
                 obs.lats,
@@ -341,7 +362,15 @@ class CyclingHarness:
                 obs.assim,
                 lambda_min=self.adaptive_min,
                 lambda_max=self.adaptive_max,
+                evolve_sd=self.adaptive_sd_evolve,
+                sd_min=self.adaptive_sd_min,
             )
+            if self.adaptive_sd_evolve:
+                self._lam, self._lam_sd = out
+            else:
+                self._lam = out
+            if self.adaptive_damp < 1.0:
+                self._lam = 1.0 + self.adaptive_damp * (self._lam - 1.0)
         if self.adaptive_r:
             # Desroziers: E[d_a d_b] estimates R when B and R are correctly
             # specified; blend it in with a per-cycle relaxation so one
@@ -364,7 +393,8 @@ class CyclingHarness:
     # Transient per-run state, reset by a fresh ``run()`` and persisted by
     # ``save_checkpoint``/``load_checkpoint``.
     _TRANSIENT = (
-        "_lam", "_r_work", "_bias_work", "_enkf_cycle", "_iau_increment",
+        "_lam", "_lam_sd", "_r_work", "_bias_work", "_enkf_cycle",
+        "_iau_increment",
         "_lag_buffer", "_truth_history", "_smoothed_rmse", "_cycle_offset",
         "_final_ensemble", "_final_truth",
     )
@@ -393,6 +423,8 @@ class CyclingHarness:
             state["_iau_increment"] = np.asarray(state["_iau_increment"])
         if "_lam" in state and state["_lam"] is not None:
             state["_lam"] = np.asarray(state["_lam"])
+        if "_lam_sd" in state and state["_lam_sd"] is not None:
+            state["_lam_sd"] = np.asarray(state["_lam_sd"])
         with open(path, "wb") as f:
             pickle.dump(state, f)
 

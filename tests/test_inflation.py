@@ -289,6 +289,222 @@ def test_every_solver_learns_adaptive_inflation_in_the_loop():
 
 
 # ---------------------------------------------------------------------------
+# Evolved inflation std (Anderson 2009 §4 posterior-density refit)
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_sd_rows_shrinks_near_obs_and_floors():
+    """update_inflation_rows(evolve_sd=True) returns (lam, sd); the std
+    shrinks where observations constrain the inflation (gamma > 0), never
+    grows, stays above sd_min, and is untouched outside the localization
+    support."""
+    import jax.numpy as jnp
+
+    from efa_xray_tpu.assimilation.adaptive_inflation import (
+        update_inflation_rows,
+    )
+
+    nrows, nobs = 50, 12
+    row_lats = np.linspace(30.0, 60.0, nrows)
+    row_lons = np.full(nrows, 237.0)
+    lam0 = jnp.ones(nrows, dtype=jnp.float64)
+    sd0 = 0.6
+    out = update_inflation_rows(
+        lam0,
+        jnp.asarray(sd0, dtype=jnp.float64),
+        jnp.asarray(row_lats),
+        jnp.asarray(row_lons),
+        jnp.full(nobs, 45.0),
+        jnp.full(nobs, 237.0),
+        jnp.full(nobs, 200.0),  # support 400 km
+        jnp.full(nobs, 4.0),    # innovations >> sqrt(varye + R)
+        jnp.ones(nobs),
+        jnp.ones(nobs),
+        jnp.ones(nobs, dtype=bool),
+        evolve_sd=True,
+        sd_min=0.05,
+    )
+    assert isinstance(out, tuple) and len(out) == 2
+    lam, sd = np.asarray(out[0]), np.asarray(out[1])
+    assert lam.shape == sd.shape == (nrows,)
+    # never grows, floored
+    assert (sd <= sd0 + 1e-12).all()
+    assert (sd >= 0.05 - 1e-12).all()
+    # shrinks at the row nearest the obs cluster
+    near = np.abs(row_lats - 45.0).argmin()
+    assert sd[near] < sd0 - 1e-3
+    # untouched far outside the 400 km support (rows at 30N / 60N are
+    # >1500 km from 45N)
+    assert sd[0] == pytest.approx(sd0, abs=1e-12)
+    assert sd[-1] == pytest.approx(sd0, abs=1e-12)
+    # and the mean field still grew near the obs
+    assert lam[near] > 1.05
+
+
+def test_evolve_sd_self_damps_the_mean_update():
+    """The evolved (shrinking) std is the principled damping: after many
+    consistent observation batches the same discordant ob moves the
+    inflation mean LESS than under the fixed-sd scheme."""
+    import jax.numpy as jnp
+
+    from efa_xray_tpu.assimilation.adaptive_inflation import (
+        update_inflation_rows,
+    )
+
+    def batch(lam, sd, innov, evolve):
+        kw = dict(evolve_sd=evolve)
+        if evolve:
+            kw["sd_min"] = 0.01
+        return update_inflation_rows(
+            lam,
+            sd,
+            jnp.asarray([45.0]),
+            jnp.asarray([237.0]),
+            jnp.asarray([45.0]),
+            jnp.asarray([237.0]),
+            jnp.asarray([200.0]),
+            jnp.asarray([innov]),
+            jnp.asarray([1.0]),
+            jnp.asarray([1.0]),
+            jnp.asarray([True]),
+            **kw,
+        )
+
+    lam_e = jnp.asarray([1.0], dtype=jnp.float64)
+    sd_e = jnp.asarray([0.6], dtype=jnp.float64)
+    lam_f = jnp.asarray([1.0], dtype=jnp.float64)
+    # 20 perfectly consistent batches: evolved sd sharpens the prior
+    for _ in range(20):
+        lam_e, sd_e = batch(lam_e, sd_e, 1.4, evolve=True)
+        lam_f = batch(lam_f, jnp.asarray(0.6), 1.4, evolve=False)
+    assert float(sd_e[0]) < 0.6
+    # now one large shock: the sharpened prior must damp the jump
+    lam_e2, _ = batch(lam_e, sd_e, 5.0, evolve=True)
+    lam_f2 = batch(lam_f, jnp.asarray(0.6), 5.0, evolve=False)
+    jump_e = float(lam_e2[0] - lam_e[0])
+    jump_f = float(lam_f2[0] - lam_f[0])
+    assert 0.0 <= jump_e < jump_f
+
+
+def test_adaptive_inflation_evolve_sd_writes_back_std():
+    """AdaptiveInflation.update_inflation(evolve_sd=True) refits the std
+    fields in place; without the flag they stay at their initial value."""
+    state = make_demo_state(ny=10, nx=10, nmems=10)
+    v = state.vars()[0]
+    nobs = 8
+    args = (
+        np.full(nobs, 46.0),
+        np.full(nobs, 237.0),
+        np.full(nobs, 200.0),
+        np.full(nobs, 4.0),
+        np.full(nobs, 1.0),
+        np.full(nobs, 1.0),
+    )
+
+    fixed = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    fixed.update_inflation(*args)
+    np.testing.assert_allclose(fixed.std[v], 0.6)
+
+    evolved = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    evolved.update_inflation(*args, evolve_sd=True, sd_min=0.05)
+    d = np.asarray(state.distance_to_point(46.0, 237.0))
+    iy, ix = np.unravel_index(d.argmin(), d.shape)
+    assert evolved.std[v][0, iy, ix] < 0.6 - 1e-3
+    assert (evolved.std[v] <= 0.6 + 1e-12).all()
+    assert (evolved.std[v] >= 0.05 - 1e-12).all()
+    far = np.unravel_index(d.argmax(), d.shape)
+    assert evolved.std[v][0, far[0], far[1]] == pytest.approx(0.6, abs=1e-12)
+    # the mean update itself still happened
+    assert evolved.mean[v][0, iy, ix] > 1.05
+
+
+def test_cycling_evolve_sd_runs_uncapped_and_checkpoints(tmp_path):
+    """The harness with adaptive_sd_evolve=True (a) stays bounded WITHOUT
+    the adaptive_max cap, (b) carries the per-row _lam_sd field, and (c)
+    checkpoint round-trips it bit-exactly."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models import lorenz96 as l96
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    truth, ens = l96.spinup_ensemble(nvars=40, nmems=10, seed=3)
+    lats, lons = l96.fake_latlon(40)
+
+    def make():
+        return CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats,
+            state_lons=lons,
+            ob_error=0.5,
+            localize_radius=8000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, 40, 2),
+            adaptive_inflation=True,
+            adaptive_sd=0.8,
+            adaptive_sd_evolve=True,
+            adaptive_sd_min=0.1,
+        )
+
+    h = make()
+    h.run(ens, truth, ncycles=10, seed=5)
+    lam = np.asarray(h._lam)
+    sd = np.asarray(h._lam_sd)
+    assert lam.shape == sd.shape == (40,)
+    assert np.isfinite(lam).all() and lam.min() >= 1.0 - 1e-12
+    assert (sd <= 0.8 + 1e-12).all() and (sd >= 0.1 - 1e-12).all()
+    assert sd.min() < 0.8 - 1e-3  # the refit actually engaged
+
+    # checkpoint resume reproduces an uninterrupted run bit-for-bit,
+    # including the evolved sd field
+    path = str(tmp_path / "ck.pkl")
+    h.save_checkpoint(path)
+    h2 = make()
+    h2.load_checkpoint(path)
+    stats_a = h.run(None, None, 3, resume=True)
+    stats_b = h2.run(None, None, 3, resume=True)
+    np.testing.assert_array_equal(np.asarray(h._lam), np.asarray(h2._lam))
+    np.testing.assert_array_equal(
+        np.asarray(h._lam_sd), np.asarray(h2._lam_sd)
+    )
+    assert [s.analysis_rmse for s in stats_a] == [
+        s.analysis_rmse for s in stats_b
+    ]
+
+
+def test_cycling_adaptive_damp_pulls_toward_one():
+    """adaptive_damp < 1 geometrically relaxes the learned field toward 1
+    after each analysis (DART's inf_damping)."""
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.models import lorenz96 as l96
+    from efa_xray_tpu.models.cycling import CyclingHarness
+
+    truth, ens = l96.spinup_ensemble(nvars=40, nmems=10, seed=3)
+    lats, lons = l96.fake_latlon(40)
+
+    def run(damp):
+        h = CyclingHarness(
+            forecast=lambda x: l96.integrate(x, nsteps=4),
+            state_lats=lats,
+            state_lons=lons,
+            ob_error=0.5,
+            localize_radius=8000.0,
+            config=FilterConfig(localization="GC", dtype="float64",
+                                block_size=8),
+            obs_operator_rows=np.arange(0, 40, 2),
+            adaptive_inflation=True,
+            adaptive_sd=0.8,
+            adaptive_damp=damp,
+        )
+        h.run(ens, truth, ncycles=8, seed=5)
+        return np.asarray(h._lam)
+
+    lam_free = run(1.0)
+    lam_damped = run(0.6)
+    assert (lam_damped >= 1.0 - 1e-12).all()
+    assert lam_damped.mean() < lam_free.mean()
+
+
+# ---------------------------------------------------------------------------
 # RTPS posterior inflation (extension: Whitaker & Hamill 2012)
 # ---------------------------------------------------------------------------
 
