@@ -287,6 +287,166 @@ class EnsembleState:
         gx, gy = m(lons, np.asarray(self.structure.lat))
         return gx, gy
 
+    # --- subsetting (xarray .sel/.isel analog) ---------------------------------
+    @staticmethod
+    def _as_index(sel, n, name: str) -> Optional[np.ndarray]:
+        """Normalize an isel-style selection (int / slice / sequence / bool
+        mask / None) to a 1-D integer ndarray (None = keep all)."""
+        if sel is None:
+            return None
+        if isinstance(sel, slice):
+            return np.arange(n)[sel]
+        arr = np.asarray(sel)
+        if arr.dtype == bool:
+            if arr.shape != (n,):
+                raise IndexError(
+                    f"boolean mask for {name} has shape {arr.shape}, "
+                    f"want ({n},)"
+                )
+            return np.flatnonzero(arr)
+        arr = np.atleast_1d(arr).astype(np.int64)
+        if arr.size == 0:
+            raise IndexError(f"empty selection along {name}")
+        if (arr < -n).any() or (arr >= n).any():
+            raise IndexError(f"{name} index out of range [0, {n})")
+        return arr % n
+
+    def isel(
+        self,
+        vars=None,
+        validtime=None,
+        y=None,
+        x=None,
+        mem=None,
+    ) -> "EnsembleState":
+        """Integer-position subsetting, xarray's ``Dataset.isel`` analog.
+
+        Each argument is an int, slice, integer sequence, or boolean mask
+        along that axis (``vars`` also accepts variable name(s)).  Returns
+        a new EnsembleState with the metadata (times, grid, attrs, extra
+        coords) subset to match.  Unlike xarray, scalar selections KEEP the
+        dimension at size 1 — the dense ``[V,T,Y,X,M]`` layout is the
+        framework's invariant.  The reference gets this for free from its
+        xarray.Dataset inheritance (``efa_xray/state/ensemble.py:15``).
+        """
+        s = self.structure
+        if vars is not None and not isinstance(vars, (int, np.integer, slice)):
+            seq = [vars] if isinstance(vars, str) else list(vars)
+            if all(isinstance(v, str) for v in seq):
+                vars = [s.var_index(v) for v in seq]
+        idx = (
+            self._as_index(vars, s.nvars, "vars"),
+            self._as_index(validtime, s.ntimes, "validtime"),
+            self._as_index(y, s.ny, "y"),
+            self._as_index(x, s.nx, "x"),
+            self._as_index(mem, s.nmems, "mem"),
+        )
+        data = self.data
+        for axis, ix in enumerate(idx):
+            if ix is not None:
+                data = jnp.take(data, jnp.asarray(ix), axis=axis)
+        return EnsembleState(data, s.subset(*idx))
+
+    def sel(
+        self,
+        vars=None,
+        validtime=None,
+        lat=None,
+        lon=None,
+        mem=None,
+        method: str = "nearest",
+    ) -> "EnsembleState":
+        """Label-based subsetting, xarray's ``Dataset.sel`` analog.
+
+        * ``vars``: variable name or list of names.
+        * ``validtime``: a scalar datetime (nearest match by default;
+          ``method="exact"`` requires an exact hit) or a ``slice`` of
+          datetimes selecting the inclusive window (either end None-able).
+        * ``lat``/``lon``: ``slice(lo, hi)`` bounds (inclusive) or a scalar
+          (nearest grid row/column).  On a curvilinear grid the selection
+          is the bounding rectangle of the grid points inside the box.
+          A ``lon`` slice with ``lo > hi`` wraps through the dateline/0°.
+        * ``mem``: passed through positionally (members have no labels).
+
+        Returns a new EnsembleState; see :meth:`isel` for the
+        keep-dimensions convention.  Reference anchor: the xarray.Dataset
+        subclassing that provides ``.sel`` there
+        (``efa_xray/state/ensemble.py:15``).
+        """
+        s = self.structure
+        v_idx = None
+        if vars is not None:
+            seq = [vars] if isinstance(vars, str) else list(vars)
+            v_idx = [s.var_index(v) for v in seq]
+
+        t_idx = None
+        if validtime is not None:
+            times = s.times_s
+            if isinstance(validtime, slice):
+                lo = (
+                    -np.inf
+                    if validtime.start is None
+                    else timeutil.to_epoch_seconds([validtime.start])[0]
+                )
+                hi = (
+                    np.inf
+                    if validtime.stop is None
+                    else timeutil.to_epoch_seconds([validtime.stop])[0]
+                )
+                t_idx = np.flatnonzero((times >= lo) & (times <= hi))
+                if t_idx.size == 0:
+                    raise KeyError(
+                        f"no validtimes inside [{validtime.start}, "
+                        f"{validtime.stop}]"
+                    )
+            else:
+                want = timeutil.to_epoch_seconds([validtime])[0]
+                i = int(np.abs(times - want).argmin())
+                if method == "exact" and times[i] != want:
+                    raise KeyError(f"validtime {validtime!r} not in state")
+                t_idx = np.asarray([i])
+
+        y_idx = x_idx = None
+        if lat is not None or lon is not None:
+            glat, glon = s.lat, s.lon
+            mask = np.ones(glat.shape, dtype=bool)
+            if isinstance(lat, slice):
+                lo = -90.0 if lat.start is None else float(lat.start)
+                hi = 90.0 if lat.stop is None else float(lat.stop)
+                mask &= (glat >= lo) & (glat <= hi)
+            elif lat is not None:
+                # scalar: the grid row containing the nearest latitude
+                iy = np.unravel_index(np.abs(glat - float(lat)).argmin(),
+                                      glat.shape)[0]
+                row = np.zeros(glat.shape, dtype=bool)
+                row[iy, :] = True
+                mask &= row
+            glon360 = np.mod(glon, 360.0)
+            if isinstance(lon, slice):
+                lo = 0.0 if lon.start is None else float(lon.start) % 360.0
+                hi = 360.0 if lon.stop is None else float(lon.stop) % 360.0
+                if lon.start is not None and lon.stop is not None and lo > hi:
+                    mask &= (glon360 >= lo) | (glon360 <= hi)  # wraps 0/360
+                else:
+                    mask &= (glon360 >= lo) & (glon360 <= hi)
+            elif lon is not None:
+                # scalar: the grid column containing the nearest longitude
+                # (modular distance, so 359.9 matches a grid at 0.0)
+                d = np.abs(np.mod(glon360 - float(lon) % 360.0 + 180.0,
+                                  360.0) - 180.0)
+                jx = np.unravel_index(d.argmin(), glon.shape)[1]
+                col = np.zeros(glon.shape, dtype=bool)
+                col[:, jx] = True
+                mask &= col
+            if not mask.any():
+                raise KeyError("lat/lon selection matches no grid points")
+            y_idx = np.flatnonzero(mask.any(axis=1))
+            x_idx = np.flatnonzero(mask.any(axis=0))
+
+        return self.isel(
+            vars=v_idx, validtime=t_idx, y=y_idx, x=x_idx, mem=mem
+        )
+
     # --- device placement -----------------------------------------------------
     def shard(self, mesh, axis_name: str = "state") -> "EnsembleState":
         """Place the state on a device mesh, sharded along the flattened

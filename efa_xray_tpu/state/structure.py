@@ -247,6 +247,65 @@ class StateStructure:
     def with_nmems(self, nmems: int) -> "StateStructure":
         return dataclasses.replace(self, nmems=int(nmems))
 
+    def subset(self, v_idx, t_idx, y_idx, x_idx, m_idx) -> "StateStructure":
+        """Structure for a sub-selection along (var, time, y, x, mem).
+
+        Each index is a 1-D integer ndarray (None = keep all).  Metadata is
+        carried: per-variable attrs restrict to the kept variables, and
+        extra coordinate variables are subset along any of their dims named
+        ``validtime``/``y``/``x``/``mem``/``location`` (``location`` is the
+        y axis of a 1-D location-list grid).  Backs
+        :meth:`EnsembleState.isel`/:meth:`EnsembleState.sel` — the
+        label-based selection the reference gets for free from its
+        xarray.Dataset inheritance (``efa_xray/state/ensemble.py:15``)."""
+        v_idx = np.arange(self.nvars) if v_idx is None else np.asarray(v_idx)
+        t_idx = np.arange(self.ntimes) if t_idx is None else np.asarray(t_idx)
+        y_idx = np.arange(self.ny) if y_idx is None else np.asarray(y_idx)
+        x_idx = np.arange(self.nx) if x_idx is None else np.asarray(x_idx)
+        m_idx = np.arange(self.nmems) if m_idx is None else np.asarray(m_idx)
+
+        names = tuple(self.var_names[i] for i in v_idx)
+        verts = (
+            None
+            if self.var_verts is None
+            else tuple(self.var_verts[i] for i in v_idx)
+        )
+        meta = None
+        if self.meta is not None and self.meta:
+            axis_idx = {
+                "validtime": t_idx,
+                "y": y_idx,
+                "x": x_idx,
+                "mem": m_idx,
+                "location": y_idx,
+            }
+            coords = {}
+            for cname, (cdims, carr, cattrs) in self.meta.coords.items():
+                arr = np.asarray(carr)
+                for ax, dim in enumerate(cdims):
+                    if dim in axis_idx:
+                        arr = np.take(arr, axis_idx[dim], axis=ax)
+                coords[cname] = (tuple(cdims), arr, dict(cattrs))
+            meta = StateMeta(
+                attrs=dict(self.meta.attrs),
+                var_attrs={
+                    k: dict(v)
+                    for k, v in self.meta.var_attrs.items()
+                    if k in names
+                },
+                coords=coords,
+            )
+        return StateStructure(
+            var_names=names,
+            times_s=self.times_s[t_idx],
+            lat=self.lat[np.ix_(y_idx, x_idx)],
+            lon=self.lon[np.ix_(y_idx, x_idx)],
+            grid_is_2d=self.grid_is_2d,
+            nmems=len(m_idx),
+            var_verts=verts,
+            meta=meta,
+        )
+
     # Structures containing identical metadata compare equal, so they can
     # gate cached jit closures at the Python level.
     def __eq__(self, other):
