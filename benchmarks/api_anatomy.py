@@ -99,8 +99,13 @@ def main():
     assert probe._use_pallas() or jax.default_backend() != "tpu"
     assert not probe._grid_kernel_ok()  # vt == 1 -> flat fused kernel
 
-    def pull(x):
-        return float(jnp.sum(x))
+    def pull(*xs):
+        # ONE host round trip regardless of how many arrays: sum-of-sums
+        # composes on device, float() pulls the single scalar.
+        acc = jnp.sum(xs[0])
+        for x in xs[1:]:
+            acc = acc + jnp.sum(x)
+        return float(acc)
 
     # ---- the phase chain; each returns something device-pullable --------
     def make_filter():
@@ -116,12 +121,12 @@ def main():
         if n >= 2:
             bm, bp, tm, tp = filt.format_prior_state()
             oa = filt.apply_outlier_check(oa, tm, tp)
-            out = lambda: pull(bm) + pull(tp)
+            out = lambda: pull(bm, tp)
         if n >= 3:
-            row_lat, row_lon = filt.prior.structure.row_latlon()
-            blat = jnp.asarray(row_lat, dtype=dtype)
-            blon = jnp.asarray(row_lon, dtype=dtype)
-            out = lambda: pull(blat) + pull(blon)
+            # Mirrors the production path: structure-cached device coords
+            # (one upload per structure+dtype; see row_latlon_device).
+            blat, blon = filt.prior.structure.row_latlon_device(dtype)
+            out = lambda: pull(blat, blon)
         if n >= 4:
             tail = core.tail_scan_blocked(
                 tm, tp, oa, localize=cfg.localize,
@@ -152,7 +157,7 @@ def main():
                 cull=cfg.cull, spatial_sort=cfg.spatial_sort,
                 row_order=row_order, inv_order=inv_order,
             )
-            out = lambda: pull(bm2) + pull(bp2[:, 0])
+            out = lambda: pull(bm2, bp2[:, 0])
         if n >= 6:
             filt.record_diagnostics(tail.diags)  # inherent host pull
         if n >= 7:

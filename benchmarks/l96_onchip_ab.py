@@ -1,0 +1,77 @@
+"""On-chip (TPU float32) multi-seed A/B of config-1 operating points.
+
+The CPU scan (l96_evolve_scan.py) selects an operating point from 3 seeds;
+L96 is chaotic, so the on-chip trajectory at the same seed is effectively a
+different draw.  This runs the candidate points at several seeds with the
+exact benchmark protocol (20 warmup + 60 scored cycles) and prints
+last-30 RMSE / spread per seed — the publish/no-publish evidence.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from efa_xray_tpu.config import FilterConfig  # noqa: E402
+from efa_xray_tpu.models import lorenz96 as l96  # noqa: E402
+from efa_xray_tpu.models.cycling import CyclingHarness  # noqa: E402
+
+POINTS = {
+    "evolved-sd0.6": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
+                          adaptive_sd_min=0.15),
+    "evolved-sd0.9": dict(adaptive_sd=0.9, adaptive_sd_evolve=True,
+                          adaptive_sd_min=0.15),
+    "evolved-sd0.6-damp0.9": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
+                                  adaptive_sd_min=0.15, adaptive_damp=0.9),
+    "r3-fixed-capped": dict(adaptive_sd=0.3, adaptive_max=2.0),
+}
+
+
+def run_point(name, kw, seed):
+    nvars, nmems = 40, 20
+    truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=1)
+    lats, lons = l96.fake_latlon(nvars)
+    h = CyclingHarness(
+        forecast=lambda x: l96.integrate(x, nsteps=4),
+        state_lats=lats,
+        state_lons=lons,
+        ob_error=1.0,
+        localize_radius=8000.0,
+        config=FilterConfig(localization="GC", dtype="float32",
+                            block_size=8),
+        obs_operator_rows=np.arange(0, nvars, 2),
+        adaptive_inflation=True,
+        **kw,
+    )
+    try:
+        h.run(ens, truth, ncycles=20, seed=seed)
+        stats = h.run(None, None, ncycles=60, resume=True)
+    except RuntimeError as e:
+        return {"point": name, "seed": seed, "error": str(e)[:60]}
+    rmse = float(np.mean([s.analysis_rmse for s in stats[-30:]]))
+    spread = float(np.mean([s.mean_spread for s in stats[-30:]]))
+    return {"point": name, "seed": seed, "rmse30": round(rmse, 4),
+            "spread30": round(spread, 4),
+            "ratio": round(spread / rmse, 4)}
+
+
+def main():
+    seeds = [100, 200, 300]
+    for name, kw in POINTS.items():
+        rows = [run_point(name, kw, s) for s in seeds]
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        ok = [r for r in rows if "rmse30" in r]
+        if ok:
+            print(json.dumps({
+                "point": name,
+                "mean_rmse30": round(float(np.mean([r["rmse30"] for r in ok])), 4),
+                "mean_ratio": round(float(np.mean([r["ratio"] for r in ok])), 4),
+                "n_diverged": len(rows) - len(ok),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -197,15 +197,15 @@ def bench_config1(ncycles=60, warmup=20):
     nvars, nmems = 40, 20
     truth, ens = l96.spinup_ensemble(nvars=nvars, nmems=nmems, seed=1)
     lats, lons = l96.fake_latlon(nvars)
-    # Operating point from benchmarks/l96_tune_scan.py (24-combo grid x 3
-    # seeds x 60 cycles, CPU): radius 8000 km / adaptive_sd 0.3 scores
-    # mean analysis RMSE 0.655 (seed spread 0.650-0.660); the old
-    # 4000/0.6 point scores 0.750 on the same protocol.  RTPS on top of
-    # adaptive inflation always hurt (over-dispersion).  On-chip float32
-    # verification (80 cycles x 4 seeds): UNCAPPED inflation at this point
-    # diverged on 1 of 3 seeds (runaway lambda -> non-finite forecast);
-    # with the DART-style cap adaptive_max=2.0 all seeds are stable at
-    # last-40 RMSE 0.69-0.93 vs 0.85-1.00 for the old 4000/0.6 point.
+    # Operating point from benchmarks/l96_evolve_scan.py (48-combo grid x
+    # 3 seeds x 60 cycles, CPU): radius 8000 km with the EVOLVED inflation
+    # std (Anderson 2009 §4, sd_min 0.15) — UNCAPPED (no adaptive_max) and
+    # stable on every seed, mean analysis RMSE 0.67-0.70 and spread/RMSE
+    # 0.91-0.94 for EVERY initial sd in {0.3, 0.6, 0.9}: the operating
+    # point is no longer sd-sensitive, which was the point of evolving it.
+    # (Round-3 history: the fixed-sd Anderson update needed a hand-tuned
+    # sd=0.3 plus a DART-style adaptive_max=2.0 cap — uncapped it diverged
+    # on 1 of 3 seeds — and was underdispersive at spread/RMSE ~0.85.)
     h = CyclingHarness(
         forecast=lambda x: l96.integrate(x, nsteps=4),
         state_lats=lats,
@@ -215,8 +215,9 @@ def bench_config1(ncycles=60, warmup=20):
         config=FilterConfig(localization="GC", dtype="float32", block_size=8),
         obs_operator_rows=np.arange(0, nvars, 2),
         adaptive_inflation=True,
-        adaptive_sd=0.3,
-        adaptive_max=2.0,
+        adaptive_sd=0.6,
+        adaptive_sd_evolve=True,
+        adaptive_sd_min=0.15,
     )
     # Warmup cycles: compile the forecast/analysis jits AND spin the
     # adaptive-inflation field up before the timed window.

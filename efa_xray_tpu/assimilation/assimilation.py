@@ -20,6 +20,7 @@ shards over a device mesh.
 from __future__ import annotations
 
 import copy
+import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -33,6 +34,42 @@ from efa_xray_tpu.state.ensemble import EnsembleState
 from efa_xray_tpu.utils.validation import ValidationError
 
 InflationSpec = Union[None, float, str, dict]
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _unpack_obs(packed, dtype):
+    """Split the packed ``[8, No]`` per-ob matrix into the ObsArrays
+    fields in one dispatch (row 7 is the assimilate mask as 0/1)."""
+    p = packed.astype(dtype)
+    return p[0], p[1], p[2], p[3], p[4], p[5], p[6], packed[7] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _format_prior_jit(data, rows, weights, dtype):
+    """Fused prior formatting: flatten + mean/perts split for the state
+    body AND the obs-space tail (the taps gather) in ONE dispatch.
+
+    Functionally identical to the unfused path (reshape -> apply_taps ->
+    means -> perts -> astype); fusing matters on tunneled backends where
+    every dispatch pays a round trip (``benchmarks/api_anatomy.py``)."""
+    from efa_xray_tpu.observation import forward as _fwd
+
+    vect = jnp.reshape(data, (-1, data.shape[-1]))
+    ye = _fwd.apply_taps(vect, rows, weights)
+    tail_mean = jnp.mean(ye, axis=1)
+    tail_perts = (ye - tail_mean[:, None]).astype(dtype)
+    body_mean = jnp.mean(vect, axis=1)
+    body_perts = (vect - body_mean[:, None]).astype(dtype)
+    return (body_mean.astype(dtype), body_perts,
+            tail_mean.astype(dtype), tail_perts)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def _posterior_jit(body_mean, body_perts, shape, dtype):
+    """Fused posterior rebuild: recombine + cast + reshape in one dispatch."""
+    return jnp.reshape(
+        (body_mean[:, None] + body_perts).astype(dtype), shape
+    )
 
 
 def inflate_state(
@@ -189,7 +226,13 @@ class Assimilation:
     def obs_arrays(self):
         """Device-ready per-ob arrays.  QC-failed obs (e.g. out of the
         state's time range) are masked out of the update, generalizing the
-        reference's ``assimilate_this`` gate (``ensrf.py:74-76``)."""
+        reference's ``assimilate_this`` gate (``ensrf.py:74-76``).
+
+        All eight per-ob arrays ride ONE host->device transfer (a packed
+        ``[8, No]`` float64 matrix split by a single jitted unpack) instead
+        of eight separate uploads: on tunneled backends each upload pays a
+        round trip, and this path runs on every update (measured in
+        ``benchmarks/api_anatomy.py``)."""
         from efa_xray_tpu.assimilation import ensrf_core as core
 
         taps = self.build_taps()
@@ -208,15 +251,28 @@ class Assimilation:
         vrad = np.asarray(self.obs.vert_radius, dtype=np.float64).copy()
         vrad[~np.isfinite(verts)] = np.inf
         verts[~np.isfinite(verts)] = 0.0
+        packed = np.stack([
+            np.asarray(self.obs.values, dtype=np.float64),
+            np.asarray(self.obs.errors, dtype=np.float64),
+            np.asarray(self.obs.lats, dtype=np.float64),
+            np.asarray(self.obs.lons, dtype=np.float64),
+            radii,
+            verts,
+            vrad,
+            assim.astype(np.float64),
+        ])
+        vals, errs, lats, lons, rad, vrt, vrd, asm = _unpack_obs(
+            jnp.asarray(packed), dtype
+        )
         return core.ObsArrays(
-            values=jnp.asarray(self.obs.values, dtype=dtype),
-            errors=jnp.asarray(self.obs.errors, dtype=dtype),
-            lats=jnp.asarray(self.obs.lats, dtype=dtype),
-            lons=jnp.asarray(self.obs.lons, dtype=dtype),
-            radii=jnp.asarray(radii, dtype=dtype),
-            assim=jnp.asarray(assim),
-            verts=jnp.asarray(verts, dtype=dtype),
-            vert_radii=jnp.asarray(vrad, dtype=dtype),
+            values=vals,
+            errors=errs,
+            lats=lats,
+            lons=lons,
+            radii=rad,
+            assim=asm,
+            verts=vrt,
+            vert_radii=vrd,
         )
 
     def apply_outlier_check(self, oa, tail_mean, tail_perts):
@@ -366,13 +422,19 @@ class Assimilation:
             self.inflate_state()
         if self.verbose:
             self.log.info("Computing observation priors")
+        dtype = jnp.dtype(self.config.dtype)
+        if not self._custom_operators():
+            # Fast path: body split + obs priors in one fused dispatch.
+            taps = self.build_taps()
+            return _format_prior_jit(
+                self.prior.data, taps.rows, taps.weights, dtype
+            )
         tail_mean, tail_perts = self.compute_ob_priors()
         if self.verbose:
             self.log.info("Converting state to vector")
         prior = self.prior.to_vect()
         body_mean = jnp.mean(prior, axis=1)
         body_perts = prior - body_mean[:, None]
-        dtype = jnp.dtype(self.config.dtype)
         return (
             body_mean.astype(dtype),
             body_perts.astype(dtype),
@@ -385,11 +447,13 @@ class Assimilation:
         (reference: ``assimilation.py:157-171``)."""
         if self.verbose:
             self.log.info("Formatting posterior")
-        post = body_mean[:, None] + body_perts
-        post_state = EnsembleState.from_vect(
-            post.astype(self.prior.data.dtype), self.prior.structure
+        data = _posterior_jit(
+            body_mean,
+            body_perts,
+            self.prior.structure.shape,
+            jnp.dtype(self.prior.data.dtype),
         )
-        return post_state, self.obs
+        return EnsembleState(data, self.prior.structure), self.obs
 
     def varloc_kwargs(self, dtype) -> dict:
         """Cross-variable localization inputs from
@@ -461,21 +525,36 @@ class Assimilation:
 
     # -- diagnostics write-back -------------------------------------------
     def record_diagnostics(self, diags) -> None:
-        # One batched device_get instead of five np.asarray round-trips:
-        # on tunneled backends each host pull pays ~tens of ms of latency.
-        pm, pv, om, ov, asm = jax.device_get(
-            (diags.prior_mean, diags.prior_var, diags.post_mean,
-             diags.post_var, diags.assimilated)
-        )
-        self.obs.prior_mean = np.asarray(pm, dtype=np.float64)
-        self.obs.prior_var = np.asarray(pv, dtype=np.float64)
-        self.obs.post_mean = np.asarray(om, dtype=np.float64)
-        self.obs.post_var = np.asarray(ov, dtype=np.float64)
-        self.obs.assimilated = np.asarray(asm, dtype=bool)
-        if self._user_obs is not None and all(
+        """Record the per-ob diagnostics on the ObservationBatch.
+
+        When the caller passed an ObservationBatch (the production path),
+        the result slots receive the DEVICE arrays directly — no host pull
+        sits on the update's critical path; any later consumer's
+        ``np.asarray``/``float()`` converts (and syncs) on first use, by
+        which point the device work has long finished.  When the caller
+        passed ``Observation`` objects, the per-ob writeback needs host
+        scalars, so one batched ``device_get`` runs eagerly (still a single
+        round trip, not five)."""
+        writeback = self._user_obs is not None and all(
             isinstance(o, Observation) for o in self._user_obs
-        ):
+        )
+        if writeback:
+            pm, pv, om, ov, asm = jax.device_get(
+                (diags.prior_mean, diags.prior_var, diags.post_mean,
+                 diags.post_var, diags.assimilated)
+            )
+            self.obs.prior_mean = np.asarray(pm, dtype=np.float64)
+            self.obs.prior_var = np.asarray(pv, dtype=np.float64)
+            self.obs.post_mean = np.asarray(om, dtype=np.float64)
+            self.obs.post_var = np.asarray(ov, dtype=np.float64)
+            self.obs.assimilated = np.asarray(asm, dtype=bool)
             self.obs.writeback(self._user_obs)
+        else:
+            self.obs.prior_mean = diags.prior_mean
+            self.obs.prior_var = diags.prior_var
+            self.obs.post_mean = diags.post_mean
+            self.obs.post_var = diags.post_var
+            self.obs.assimilated = diags.assimilated
 
 
 def update(

@@ -407,10 +407,9 @@ class EnKF(Assimilation):
         obs = self.obs_arrays()
         obs = self.apply_outlier_check(obs, tail_mean, tail_perts)
 
-        row_lat, row_lon = self.prior.structure.row_latlon()
         dtype = jnp.dtype(cfg.dtype)
-        body_lat = jnp.asarray(row_lat, dtype=dtype)
-        body_lon = jnp.asarray(row_lon, dtype=dtype)
+        # Structure-cached device coordinates (see row_latlon_device).
+        body_lat, body_lon = self.prior.structure.row_latlon_device(dtype)
         vertical = cfg.localize and self._vertical_active()
         body_vert = (
             jnp.asarray(self.prior.structure.row_vert(), dtype=dtype)

@@ -186,6 +186,31 @@ class StateStructure:
             )
         return cache[key]
 
+    def row_latlon_device(self, dtype):
+        """Device-resident :meth:`row_latlon`, cached per dtype.
+
+        The per-row coordinates are pure structure geometry, but the update
+        path used to rebuild them on host (``np.tile``) and re-upload
+        2 x nstate floats EVERY update — at tunneled-backend transfer rates
+        (~40 MB/s) that is tens of ms per call on a 0.5-degree grid.  Here
+        the flat grid uploads once (via :meth:`grid_latlon_device`) and the
+        var*time tiling happens on device, cached on the frozen structure."""
+        import jax.numpy as jnp
+
+        key = str(jnp.dtype(dtype))
+        cache = getattr(self, "_row_latlon_dev_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_row_latlon_dev_cache", cache)
+        if key not in cache:
+            glat, glon = self.grid_latlon_device(dtype)
+            reps = self.nvars * self.ntimes
+            if reps == 1:
+                cache[key] = (glat, glon)
+            else:
+                cache[key] = (jnp.tile(glat, reps), jnp.tile(glon, reps))
+        return cache[key]
+
     def spatial_order_device(self):
         """Device-resident ``(order, inverse)`` permutation sorting the
         flattened state rows into spherical Morton order, cached on the

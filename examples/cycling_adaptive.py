@@ -48,7 +48,11 @@ def main():
         config=FilterConfig(localization="GC", dtype="float64", block_size=8),
         obs_operator_rows=np.arange(0, args.nvars, 2),
         adaptive_inflation=True,  # Anderson-2009 variance inflation, learned
-        adaptive_max=2.0,  # always cap in production (docs/recipes.md)
+        # Evolve the inflation std too (Anderson §4): the shrinking sd is
+        # the principled self-damping, so no adaptive_max cap is needed
+        # (docs/recipes.md; benchmarks/l96_evolve_scan.py).
+        adaptive_sd_evolve=True,
+        adaptive_sd_min=0.15,
     )
     stats = harness.run(ens, truth, ncycles=args.cycles, seed=107)
 
