@@ -336,6 +336,60 @@ class Assimilation:
         verts = np.asarray(self.obs.verts, dtype=np.float64)
         return bool(np.any(np.isfinite(vr) & np.isfinite(verts)))
 
+    # Set by the host fast path for the duration of an update: forces the
+    # Pallas selections off (the kernels are TPU Mosaic programs).
+    _fastpath: bool = False
+
+    def _host_fastpath(self) -> bool:
+        """True when this update should run on the host CPU backend.
+
+        Tiny workloads are dominated by the remote-dispatch floor of a
+        tunneled TPU (each host round trip ~tens of ms, every fresh shape
+        a 30-600 s remote compile); at demo scale the whole analysis is
+        microseconds of FLOPs.  Auto-on for nstate * nobs below
+        ``small_host_threshold`` (see FilterConfig.small_host).  Reference
+        anchor: the demo workload, ``efa_demo.ipynb`` cell 8."""
+        cfg = self.config
+        if cfg.small_host is not None:
+            return bool(cfg.small_host) and self.mesh is None
+        if self.mesh is not None:
+            return False
+        if jax.default_backend() == "cpu":
+            return False  # already on host
+        nstate = self.prior.structure.nstate
+        nobs = self.obs.nobs
+        return (
+            nstate * max(nobs, 1) <= int(cfg.small_host_threshold)
+            and nstate <= 262144
+        )
+
+    def _host_fastpath_ctx(self):
+        """Context manager placing the update on the host CPU: moves the
+        prior to the CPU device and makes it the default for every array
+        the update creates (jits follow their inputs there)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            cpu = jax.devices("cpu")[0]
+            data = self.prior.data
+            devs = getattr(data, "devices", None)
+            if devs is not None and any(
+                d.platform != "cpu" for d in data.devices()
+            ):
+                self.prior = EnsembleState(
+                    jax.device_put(jax.device_get(data), cpu),
+                    self.prior.structure,
+                )
+            self._fastpath = True
+            try:
+                with jax.default_device(cpu):
+                    yield
+            finally:
+                self._fastpath = False
+
+        return ctx()
+
     def _matmul_precision_ctx(self):
         """Context manager pinning what an f32 matmul means on the MXU for
         everything traced inside ``update()`` — XLA einsums and Pallas

@@ -81,6 +81,8 @@ class EnSRF(Assimilation):
         import jax
 
         cfg = self.config
+        if self._fastpath:
+            return False  # host CPU: Mosaic kernels unavailable
         if cfg.use_pallas is not None:
             ok = bool(cfg.use_pallas)
         else:
@@ -123,6 +125,8 @@ class EnSRF(Assimilation):
         in-kernel solver's 1024 bound automatically keep the XLA panel
         solve and the Pallas apply (see ``tail_scan_blocked``)."""
         cfg = self.config
+        if self._fastpath:
+            return False  # host CPU: Mosaic kernels unavailable
         if cfg.tail_pallas is not None:
             return bool(cfg.tail_pallas)
         return (
@@ -159,7 +163,17 @@ class EnSRF(Assimilation):
         """Assimilate all observations; return (posterior, observations).
 
         Reference flow parity: ``efa_xray/assimilation/ensrf.py:33-151``.
+        Tiny workloads route to the host CPU backend
+        (:meth:`Assimilation._host_fastpath`): same algorithm, same
+        results up to backend fp differences, none of the remote-dispatch
+        floor.
         """
+        if self._host_fastpath():
+            with self._host_fastpath_ctx():
+                return self._update_impl()
+        return self._update_impl()
+
+    def _update_impl(self) -> Tuple[EnsembleState, ObservationBatch]:
         cfg = self.config
         if self.verbose:
             self.log.info("Beginning update sequence")

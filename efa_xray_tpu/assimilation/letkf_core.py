@@ -217,8 +217,11 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
     oxyz = unit(olat, olon)
     tree = cKDTree(oxyz)
 
-    def build(group_try: int):
-        """Candidate lists for one bundle size; returns (lists, s_max)."""
+    def certify(group_try: int):
+        """Bundle certificates for one bundle size: member patch centers
+        ``pxg``, bundle ``centers``, certified ball ``radius`` and the
+        ``wide`` mask (space-curve-jump bundles whose centroid ball would
+        blow up — certified per member patch instead; see below)."""
         ngroups_real = -(-npatch // group_try)
         ppad = ngroups_real * group_try - npatch
         pxg = px
@@ -242,17 +245,45 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
         # definition) and take the union — a few clusters' worth of
         # candidates, not the sphere.
         wide = radius > np.minimum(2.0, rk + 2.0 * np.median(d) + 0.1)
+        return pxg, centers, radius, wide
+
+    def member_radii(members):
+        rkp = tree.query(members, k=kk, workers=-1)[0]
+        return (rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))) + slack
+
+    def est_width(group_try: int) -> int:
+        """Exact candidate width S for one bundle size WITHOUT materializing
+        the big tight-bundle lists: COUNT-only kd queries
+        (``return_length=True``) give the tight widths, and the few wide
+        (space-curve-jump) bundles — whose union a count sum would badly
+        overestimate and distort the cost ranking — materialize their
+        member lists (dozens of bundles, not thousands)."""
+        pxg, centers, radius, wide = certify(group_try)
+        tight = np.nonzero(~wide)[0]
+        s = kk
+        if tight.size:
+            counts = tree.query_ball_point(
+                centers[tight], radius[tight], workers=-1,
+                return_length=True)
+            s = max(s, int(np.max(counts)))
+        for g in np.nonzero(wide)[0]:
+            acc: set = set()
+            for lst in tree.query_ball_point(pxg[g], member_radii(pxg[g])):
+                acc.update(lst)
+            s = max(s, len(acc))
+        return s
+
+    def build(group_try: int):
+        """Candidate lists for one bundle size; returns (lists, s_max)."""
+        pxg, centers, radius, wide = certify(group_try)
         lists = [None] * len(centers)
         tight = np.nonzero(~wide)[0]
         for g, lst in zip(tight, tree.query_ball_point(
                 centers[tight], radius[tight], workers=-1)):
             lists[g] = lst
         for g in np.nonzero(wide)[0]:
-            members = pxg[g]
-            rkp = tree.query(members, k=kk, workers=-1)[0]
-            rkp = rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))
             acc: set = set()
-            for lst in tree.query_ball_point(members, rkp + slack):
+            for lst in tree.query_ball_point(pxg[g], member_radii(pxg[g])):
                 acc.update(lst)
             lists[g] = list(acc)
         return lists, max(kk, max(len(lst) for lst in lists))
@@ -261,20 +292,24 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
     # candidate width S, and S grows with the bundle radius's 2d term —
     # which shrinks with smaller bundles (at the cost of more, cheaper,
     # host queries).  Dense networks (2d >> r_k) want small bundles;
-    # sparse ones don't care.  Try group, group/4, group/16 and keep the
-    # smallest S (measured at the 50k-obs config: 64 -> 4 cuts S 5296 ->
-    # 1576 and the full update 0.259 -> 0.186 s).
+    # sparse ones don't care.  Rank group, group/4, group/16 by the
+    # COUNT-only width estimate and materialize lists ONLY for the winner
+    # (the full 3x list materialization was the dominant build cost —
+    # 4.6 s at the pod slice; counts cut it ~2.5x).  Measured orderings
+    # unchanged (50k obs: 64 -> 16 cuts S 5296 -> 1672 and the update
+    # 0.259 -> 0.130 s).
     g0 = math.gcd(int(group), chunkc)
     cands_g = ((g0, *(g for g in (g0 // 4, g0 // 16)
                       if g >= 1 and g0 % g == 0))
                if auto_group else (g0,))
     tried = []
     for g_try in cands_g:
-        lists_t, s_t = build(g_try)
-        tried.append((_sel_cost(s_t, g_try), s_t, g_try, lists_t))
+        s_t = est_width(g_try)
+        tried.append((_sel_cost(s_t, g_try), g_try))
         if s_t <= 2 * kk:  # already near the k floor; stop refining
             break
-    _, s_max, group_eff, lists = min(tried, key=lambda t: (t[0], -t[2]))
+    _, group_eff = min(tried, key=lambda t: (t[0], -t[1]))
+    lists, s_max = build(group_eff)
     ngroups_real = -(-npatch // group_eff)
     s_cap = int(min(-(-s_max // 8) * 8, nobs))
     ngroups_total = padded // group_eff

@@ -76,6 +76,17 @@ class FilterConfig:
     # Flat single-(var,time) states use the fully-fused v4 kernel (state
     # crosses HBM once); gridded multi-group states use the grid-mode v3.
     use_pallas: Optional[bool] = None
+    # Small-problem host fast path: run the whole update on the host CPU
+    # backend when the workload is tiny.  True / False / None (auto: on
+    # when the default backend is a (possibly tunneled) TPU, no mesh is
+    # given, and nstate * nobs <= small_host_threshold with
+    # nstate <= 262144).  Demo-scale problems (BASELINE config 0:
+    # 4800 points x 5 obs) otherwise pay the remote-dispatch floor —
+    # measured 1.9 s on the tunneled v5e for a workload the reference's
+    # NumPy loop finishes in under a millisecond.  The posterior lands on
+    # the CPU device, so a cycling loop at this scale stays host-local.
+    small_host: Optional[bool] = None
+    small_host_threshold: int = 4_000_000
     # Row-tile size for the Pallas kernels (rows resident in VMEM per
     # step).  None = auto per kernel: 8192 for the flat v4 kernel
     # (smaller tiles tighten the cull bound's caps — measured 1.36x at

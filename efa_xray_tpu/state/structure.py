@@ -29,6 +29,18 @@ import numpy as np
 from efa_xray_tpu.utils import timeutil
 
 
+def _default_platform() -> str:
+    """Platform new uncommitted arrays land on: honors an active
+    ``jax.default_device`` context (the small-problem host fast path
+    runs whole updates under one), else the default backend."""
+    import jax
+
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform
+    return jax.default_backend()
+
+
 @dataclasses.dataclass
 class StateMeta:
     """Carried metadata: global attrs, per-variable attrs, and extra
@@ -174,7 +186,7 @@ class StateStructure:
         updates against the same state pay it once."""
         import jax.numpy as jnp
 
-        key = str(jnp.dtype(dtype))
+        key = (str(jnp.dtype(dtype)), _default_platform())
         cache = getattr(self, "_latlon_dev_cache", None)
         if cache is None:
             cache = {}
@@ -197,7 +209,7 @@ class StateStructure:
         var*time tiling happens on device, cached on the frozen structure."""
         import jax.numpy as jnp
 
-        key = str(jnp.dtype(dtype))
+        key = (str(jnp.dtype(dtype)), _default_platform())
         cache = getattr(self, "_row_latlon_dev_cache", None)
         if cache is None:
             cache = {}
