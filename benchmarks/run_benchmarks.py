@@ -721,6 +721,63 @@ def bench_config8(nobs_list=(2000, 10000, 50000)):
     return out
 
 
+def bench_config12(nobs_list=(100_000, 200_000, 500_000)):
+    """Obs-capacity scaling: satellite-density batches (100k-500k obs) at
+    config-2 scale for both solvers (SURVEY.md §5.7 names large-Nobs a
+    hard part; the reference's serial loop is out of the question here).
+    Production layout: Hilbert-sorted rows AND obs (the ingest-time order
+    bench.py uses — the EnSRF cull and the LETKF host certificates both
+    depend on spatial locality).  Per-point failures (e.g. the Mosaic
+    per-grid-dimension limit on obs panels) are recorded, not fatal —
+    they ARE the capacity result."""
+    from efa_xray_tpu.observation.thinning import _hilbert3d_np
+
+    rng = np.random.default_rng(12)
+    ny, nx, nmems = 361, 720, 40
+    ngrid = ny * nx
+    lat1d = np.linspace(-90, 90, ny)
+    lon1d = np.arange(0, 360, 0.5)
+    lon, lat = np.meshgrid(lon1d, lat1d)
+    glat, glon = lat.ravel(), lon.ravel()
+    ro = np.argsort(_hilbert3d_np(glat, glon), kind="stable")
+    glat, glon = glat[ro], glon[ro]
+    prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
+    out = {"config": "12-obs-capacity", "nstate": ngrid, "nmems": nmems,
+           "points": []}
+    for nobs in nobs_list:
+        rows = rng.integers(0, ngrid, nobs)
+        olat, olon = glat[rows], glon[rows]
+        oo = np.argsort(_hilbert3d_np(olat, olon), kind="stable")
+        olat, olon = olat[oo], olon[oo]
+        obs = _obs_arrays(
+            prior[rows[oo]].mean(1) + rng.normal(0, 1, nobs),
+            np.ones(nobs), olat, olon, np.full(nobs, 2000.0), jnp.float32,
+        )
+        pt = {"nobs": nobs}
+        try:
+            pt["ensrf_seconds"] = _timed_update(
+                prior, glat, glon, obs, iters=1, donate=True)
+        except Exception as e:
+            pt["ensrf_error"] = repr(e)[:200]
+        try:
+            t0 = time.perf_counter()
+            pt["letkf_host_seconds"] = _timed_letkf(
+                prior, glat, glon, obs, ngrid, patch_size=8, k_obs=64,
+                topk_method="host", iters=1)
+            pt["letkf_host_wall_incl_build"] = time.perf_counter() - t0
+        except Exception as e:
+            pt["letkf_host_error"] = repr(e)[:200]
+        try:
+            pt["letkf_approx_seconds"] = _timed_letkf(
+                prior, glat, glon, obs, ngrid, patch_size=8, k_obs=64,
+                topk_method="approx", iters=1)
+        except Exception as e:
+            pt["letkf_approx_error"] = repr(e)[:200]
+        out["points"].append(pt)
+        print(json.dumps(pt), flush=True)
+    return out
+
+
 def bench_config11(nobs=2000, iters=3):
     """Stochastic EnKF at config-2 scale, serial scan vs the blocked
     two-phase form (round 3; same Gram-corrected machinery as the EnSRF
@@ -782,7 +839,8 @@ def bench_config11(nobs=2000, iters=3):
 BENCHES = {0: bench_config0, 1: bench_config1, 2: bench_config2,
            3: bench_config3, 4: bench_config4, 5: bench_config5,
            6: bench_config6, 7: bench_config7, 8: bench_config8,
-           9: bench_config9, 10: bench_config10, 11: bench_config11}
+           9: bench_config9, 10: bench_config10, 11: bench_config11,
+           12: bench_config12}
 
 
 def main():
