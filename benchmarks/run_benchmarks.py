@@ -168,7 +168,8 @@ def bench_config0():
 
     state, truth = gefs_like_state(ny=20, nx=30, nmems=21, ntimes=8)
     obs = observations_from_truth(state, truth, 5, radius=2000.0)
-    EnSRF(state, obs, loc="GC", verbose=False).update()  # warm compiles
+    warm, _ = EnSRF(state, obs, loc="GC", verbose=False).update()  # warm compiles
+    _ = float(jnp.sum(warm.data))  # warm the digest compile too
     filt = EnSRF(state, obs, loc="GC", verbose=False)
     t0 = time.perf_counter()
     post, batch = filt.update()
@@ -855,7 +856,7 @@ def main():
                     choices=[None, "v3", "v4", "v4g", "xla"],
                     help="override kernel selection for configs 2/3")
     ap.add_argument("--letkf-topk", default="exact",
-                    choices=["exact", "approx"],
+                    choices=["exact", "approx", "host"],
                     help="LETKF obs-selection top-k method for config 7")
     ap.add_argument("--taps-topk", default="exact",
                     choices=["exact", "approx"],
