@@ -165,11 +165,13 @@ def main():
             out = lambda: pull(post.data)
         return out
 
+    # Prefix n runs phases [0..n]: prefix 0 is construct alone (no pull),
+    # prefix 7 is the full chain ending in the posterior rebuild.
     names = ["construct", "obs_arrays", "format", "coords", "tail",
              "body", "diags", "posterior"]
 
     # Warm every compile in every prefix.
-    for n in range(len(names) + 1):
+    for n in range(len(names)):
         out = run_prefix(n)
         if out is not None:
             out()
@@ -185,7 +187,7 @@ def main():
     sync = float(np.median(syncs))
 
     prefix_t = []
-    for n in range(len(names) + 1):
+    for n in range(len(names)):
         best = np.inf
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -206,10 +208,13 @@ def main():
     full()
     t_full = min(full() for _ in range(args.repeats))
 
-    phases = {}
-    for i, name in enumerate(names):
-        dt = prefix_t[i + 1] - prefix_t[i]
-        phases[name] = round(max(dt, 0.0), 6)
+    # prefix_t[n] times phases [0..n]; phase n's cost is the consecutive
+    # difference (phase 0 = construct = prefix_t[0] itself, which has no
+    # scalar pull — the first diff therefore carries one extra sync).
+    phases = {names[0]: round(max(prefix_t[0], 0.0), 6)}
+    for i in range(1, len(names)):
+        dt = prefix_t[i] - prefix_t[i - 1]
+        phases[names[i]] = round(max(dt, 0.0), 6)
     result = {
         "config": "api-anatomy-config5",
         "backend": jax.default_backend(),
@@ -217,9 +222,10 @@ def main():
         "phases_seconds": phases,
         "prefix_seconds": [round(t, 6) for t in prefix_t],
         "full_update_seconds": round(t_full, 6),
-        "note": "prefix timing; each phase diff includes one scalar-pull "
-                "sync (sync_latency reported separately); full_update is "
-                "the real EnSRF.update() wall time for cross-check",
+        "note": "prefix timing; prefix n runs phases [0..n] and ends in one "
+                "scalar-pull sync (except construct, which pulls nothing; "
+                "sync_latency reported separately); full_update is the real "
+                "EnSRF.update() wall time for cross-check",
     }
     print(json.dumps(result, indent=1))
     if args.json:

@@ -280,9 +280,23 @@ class AdaptiveInflation:
         return np.stack([self.mean[v] for v in self.structure.var_names], axis=0)
 
     def inflate_state(self, priorstate: EnsembleState) -> EnsembleState:
-        """Multiply perturbations by the inflation mean field (reference
-        ``adaptive_inflation.py:59-74``)."""
-        factor = jnp.asarray(self.mean_field(), dtype=priorstate.data.dtype)
+        """Multiply perturbations by ``sqrt`` of the inflation mean field.
+
+        The Anderson (2009) machinery this class implements defines λ as a
+        covariance (VARIANCE) multiplier — ``update_inflation`` learns it
+        through ``θ² = λ̃ s² + r²`` — so the consistent application to
+        perturbations is ``sqrt(λ)`` (the convention the cycling harness
+        uses, ``models/cycling.py``).  The reference's stub multiplies
+        perturbations by the field directly
+        (``adaptive_inflation.py:59-74``), but it never LEARNS the field,
+        so its multiplier semantic is unobservable there; applying a
+        learned variance-λ to the std doubles the inflation in log space
+        every cycle — a positive feedback that measurably diverges a
+        cycled run (benchmarks/cycled_production.py went NaN by cycle 2
+        before this fix)."""
+        factor = jnp.sqrt(
+            jnp.asarray(self.mean_field(), dtype=priorstate.data.dtype)
+        )
         mean = priorstate.ensemble_mean()[..., None]
         perts = priorstate.data - mean
         return priorstate.replace_data(factor[..., None] * perts + mean)

@@ -347,20 +347,28 @@ class Assimilation:
         tunneled TPU (each host round trip ~tens of ms, every fresh shape
         a 30-600 s remote compile); at demo scale the whole analysis is
         microseconds of FLOPs.  Auto-on for nstate * nobs below
-        ``small_host_threshold`` (see FilterConfig.small_host).  Reference
-        anchor: the demo workload, ``efa_demo.ipynb`` cell 8."""
+        ``small_host_threshold`` (see FilterConfig.small_host) on a TPU
+        backend.  The auto gate also bounds the ENSEMBLE size
+        (nstate * nmems <= 2M elements): a device-resident prior must be
+        pulled back to the host first (``from_vardict`` lands on the
+        default device), and past ~8 MB that transfer costs more than the
+        dispatch floor it avoids.  Reference anchor: the demo workload,
+        ``efa_demo.ipynb`` cell 8."""
         cfg = self.config
         if cfg.small_host is not None:
             return bool(cfg.small_host) and self.mesh is None
         if self.mesh is not None:
             return False
-        if jax.default_backend() == "cpu":
-            return False  # already on host
+        if jax.default_backend() != "tpu":
+            # Host already (cpu), or a backend (gpu) without the tunneled
+            # dispatch floor that motivates the auto routing.
+            return False
         nstate = self.prior.structure.nstate
         nobs = self.obs.nobs
         return (
             nstate * max(nobs, 1) <= int(cfg.small_host_threshold)
             and nstate <= 262144
+            and nstate * self.prior.structure.nmems <= 2_097_152
         )
 
     def _host_fastpath_ctx(self):

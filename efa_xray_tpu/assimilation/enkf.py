@@ -394,6 +394,16 @@ class EnKF(Assimilation):
 
     @Assimilation.with_matmul_precision
     def update(self) -> Tuple["object", "object"]:
+        """Assimilate all observations; return (posterior, observations).
+
+        Tiny workloads route to the host CPU backend
+        (:meth:`Assimilation._host_fastpath`), same as the EnSRF."""
+        if self._host_fastpath():
+            with self._host_fastpath_ctx():
+                return self._update_impl()
+        return self._update_impl()
+
+    def _update_impl(self) -> Tuple["object", "object"]:
         cfg = self.config
         if cfg.hybrid_alpha < 1.0:
             raise ValueError(

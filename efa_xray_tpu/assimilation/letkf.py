@@ -154,7 +154,16 @@ class LETKF(Assimilation):
     @Assimilation.with_matmul_precision
     def update(self) -> Tuple[EnsembleState, ObservationBatch]:
         """Assimilate all observations simultaneously; return
-        ``(posterior, observations)``."""
+        ``(posterior, observations)``.
+
+        Tiny workloads route to the host CPU backend
+        (:meth:`Assimilation._host_fastpath`), same as the EnSRF."""
+        if self._host_fastpath():
+            with self._host_fastpath_ctx():
+                return self._update_impl()
+        return self._update_impl()
+
+    def _update_impl(self) -> Tuple[EnsembleState, ObservationBatch]:
         cfg = self.config
         if cfg.hybrid_alpha < 1.0:
             raise ValueError(

@@ -251,16 +251,21 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
         rkp = tree.query(members, k=kk, workers=-1)[0]
         return (rkp[:, -1] if kk > 1 else np.reshape(rkp, (-1,))) + slack
 
-    def est_width(group_try: int) -> int:
+    def est_width(group_try: int):
         """Exact candidate width S for one bundle size WITHOUT materializing
         the big tight-bundle lists: COUNT-only kd queries
         (``return_length=True``) give the tight widths, and the few wide
         (space-curve-jump) bundles — whose union a count sum would badly
         overestimate and distort the cost ranking — materialize their
-        member lists (dozens of bundles, not thousands)."""
-        pxg, centers, radius, wide = certify(group_try)
+        member lists (dozens of bundles, not thousands).  Returns
+        ``(s, cert, wide_lists)`` so the winner's :func:`build` reuses the
+        certificate and the wide-bundle unions instead of recomputing the
+        kd work (certify + per-member queries ran twice before)."""
+        cert = certify(group_try)
+        pxg, centers, radius, wide = cert
         tight = np.nonzero(~wide)[0]
         s = kk
+        wide_lists = {}
         if tight.size:
             counts = tree.query_ball_point(
                 centers[tight], radius[tight], workers=-1,
@@ -270,22 +275,22 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
             acc: set = set()
             for lst in tree.query_ball_point(pxg[g], member_radii(pxg[g])):
                 acc.update(lst)
+            wide_lists[int(g)] = sorted(acc)
             s = max(s, len(acc))
-        return s
+        return s, cert, wide_lists
 
-    def build(group_try: int):
-        """Candidate lists for one bundle size; returns (lists, s_max)."""
-        pxg, centers, radius, wide = certify(group_try)
+    def build(cert, wide_lists):
+        """Candidate lists from a certificate; returns (lists, s_max).
+        Tight bundles materialize here (only the WINNING bundle size pays
+        this); wide-bundle unions come precomputed from est_width."""
+        pxg, centers, radius, wide = cert
         lists = [None] * len(centers)
         tight = np.nonzero(~wide)[0]
         for g, lst in zip(tight, tree.query_ball_point(
                 centers[tight], radius[tight], workers=-1)):
             lists[g] = lst
         for g in np.nonzero(wide)[0]:
-            acc: set = set()
-            for lst in tree.query_ball_point(pxg[g], member_radii(pxg[g])):
-                acc.update(lst)
-            lists[g] = list(acc)
+            lists[g] = wide_lists[int(g)]
         return lists, max(kk, max(len(lst) for lst in lists))
 
     # Auto group size: the device rescoring cost is ~ proportional to the
@@ -303,13 +308,15 @@ def host_select_candidates(grid_lat, grid_lon, ngrid: int, patch_size: int,
                       if g >= 1 and g0 % g == 0))
                if auto_group else (g0,))
     tried = []
+    certs = {}
     for g_try in cands_g:
-        s_t = est_width(g_try)
+        s_t, cert, wide_lists = est_width(g_try)
+        certs[g_try] = (cert, wide_lists)
         tried.append((_sel_cost(s_t, g_try), g_try))
         if s_t <= 2 * kk:  # already near the k floor; stop refining
             break
     _, group_eff = min(tried, key=lambda t: (t[0], -t[1]))
-    lists, s_max = build(group_eff)
+    lists, s_max = build(*certs[group_eff])
     ngroups_real = -(-npatch // group_eff)
     s_cap = int(min(-(-s_max // 8) * 8, nobs))
     ngroups_total = padded // group_eff

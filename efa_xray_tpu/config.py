@@ -77,14 +77,18 @@ class FilterConfig:
     # crosses HBM once); gridded multi-group states use the grid-mode v3.
     use_pallas: Optional[bool] = None
     # Small-problem host fast path: run the whole update on the host CPU
-    # backend when the workload is tiny.  True / False / None (auto: on
-    # when the default backend is a (possibly tunneled) TPU, no mesh is
-    # given, and nstate * nobs <= small_host_threshold with
-    # nstate <= 262144).  Demo-scale problems (BASELINE config 0:
-    # 4800 points x 5 obs) otherwise pay the remote-dispatch floor —
-    # measured 1.9 s on the tunneled v5e for a workload the reference's
-    # NumPy loop finishes in under a millisecond.  The posterior lands on
-    # the CPU device, so a cycling loop at this scale stays host-local.
+    # backend when the workload is tiny.  Consulted by all three solvers
+    # (EnSRF, EnKF, LETKF).  True / False / None (auto: on when the
+    # default backend is a (possibly tunneled) TPU, no mesh is given,
+    # nstate * nobs <= small_host_threshold, nstate <= 262144, and the
+    # ensemble is small enough that pulling a device-resident prior back
+    # to the host stays cheaper than the dispatch floor it avoids:
+    # nstate * nmems <= 2M elements ~ 8 MB f32).
+    # Demo-scale problems (BASELINE config 0: 4800 points x 5 obs)
+    # otherwise pay the remote-dispatch floor — measured 1.9 s on the
+    # tunneled v5e for a workload the reference's NumPy loop finishes in
+    # under a millisecond.  The posterior lands on the CPU device, so a
+    # cycling loop at this scale stays host-local.
     small_host: Optional[bool] = None
     small_host_threshold: int = 4_000_000
     # Row-tile size for the Pallas kernels (rows resident in VMEM per

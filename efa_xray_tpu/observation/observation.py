@@ -297,10 +297,35 @@ class ObservationBatch:
             dtype=np.int32,
         )
 
+    def materialize_diagnostics(self) -> None:
+        """Convert device-resident result slots to host float64/bool NumPy
+        in ONE transfer.  ``record_diagnostics`` leaves the filter's device
+        arrays in the slots so no host pull sits on the update's critical
+        path; every per-element consumer (``writeback``, ``to_dataframe``,
+        verification) calls this first — otherwise each ``float(x[i])``
+        would pay its own device round trip."""
+        import jax
+
+        host_names = ("prior_mean", "prior_var", "post_mean", "post_var")
+        bool_names = ("assimilated", "qc_outlier")
+        pending = {
+            n: getattr(self, n)
+            for n in host_names + bool_names
+            if getattr(self, n) is not None
+            and not isinstance(getattr(self, n), np.ndarray)
+        }
+        if not pending:
+            return
+        host = jax.device_get(pending)
+        for n, v in host.items():
+            dtype = bool if n in bool_names else np.float64
+            setattr(self, n, np.asarray(v, dtype=dtype))
+
     def writeback(self, obs: Sequence[Observation]) -> None:
         """Copy filter diagnostics back onto user Observation objects,
         mirroring the in-place attribute writes of the reference loop
         (``efa_xray/assimilation/ensrf.py:66-70,144-149``)."""
+        self.materialize_diagnostics()
         for i, ob in enumerate(obs):
             ob.prior_mean = None if self.prior_mean is None else float(self.prior_mean[i])
             ob.prior_var = None if self.prior_var is None else float(self.prior_var[i])
@@ -348,6 +373,8 @@ class ObservationBatch:
         slots when the filter has run.  Inverse of :meth:`from_dataframe`.
         """
         import pandas as pd
+
+        self.materialize_diagnostics()
 
         cols = {
             "value": np.asarray(self.values, dtype=np.float64),

@@ -39,6 +39,7 @@ def obs_assimilation_statistics(
     prior_ye = np.asarray(_fwd.apply_taps_obj(prior.to_vect(), taps), dtype=np.float64)
     post_ye = np.asarray(_fwd.apply_taps_obj(post.to_vect(), taps), dtype=np.float64)
 
+    batch.materialize_diagnostics()
     assimilated = batch.assimilated
     if assimilated is None:
         assimilated = np.zeros(batch.nobs, dtype=bool)

@@ -130,6 +130,7 @@ def innovation_consistency(batch: ObservationBatch) -> Dict[str, float]:
     signals an under-dispersive prior (raise inflation)."""
     if batch.prior_mean is None:
         raise ValueError("Run the filter first (no prior_mean diagnostics)")
+    batch.materialize_diagnostics()
     ok = (
         np.ones(batch.nobs, dtype=bool)
         if batch.assimilated is None

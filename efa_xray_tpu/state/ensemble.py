@@ -295,7 +295,10 @@ class EnsembleState:
         if sel is None:
             return None
         if isinstance(sel, slice):
-            return np.arange(n)[sel]
+            out = np.arange(n)[sel]
+            if out.size == 0:
+                raise IndexError(f"empty selection along {name}")
+            return out
         arr = np.asarray(sel)
         if arr.dtype == bool:
             if arr.shape != (n,):
@@ -303,7 +306,10 @@ class EnsembleState:
                     f"boolean mask for {name} has shape {arr.shape}, "
                     f"want ({n},)"
                 )
-            return np.flatnonzero(arr)
+            out = np.flatnonzero(arr)
+            if out.size == 0:
+                raise IndexError(f"empty selection along {name}")
+            return out
         arr = np.atleast_1d(arr).astype(np.int64)
         if arr.size == 0:
             raise IndexError(f"empty selection along {name}")
@@ -423,12 +429,26 @@ class EnsembleState:
                 mask &= row
             glon360 = np.mod(glon, 360.0)
             if isinstance(lon, slice):
-                lo = 0.0 if lon.start is None else float(lon.start) % 360.0
-                hi = 360.0 if lon.stop is None else float(lon.stop) % 360.0
-                if lon.start is not None and lon.stop is not None and lo > hi:
-                    mask &= (glon360 >= lo) | (glon360 <= hi)  # wraps 0/360
+                start, stop = lon.start, lon.stop
+                if (
+                    start is not None
+                    and stop is not None
+                    and abs(float(stop) - float(start)) >= 360.0
+                ):
+                    pass  # spans the full circle: every longitude selected
                 else:
-                    mask &= (glon360 >= lo) & (glon360 <= hi)
+                    lo = 0.0 if start is None else float(start) % 360.0
+                    hi = 360.0 if stop is None else float(stop) % 360.0
+                    if (
+                        start is not None
+                        and stop is not None
+                        and lo >= hi
+                        and float(stop) != float(start)
+                    ):
+                        # e.g. slice(350, 10): wraps through the 0/360 seam
+                        mask &= (glon360 >= lo) | (glon360 <= hi)
+                    else:
+                        mask &= (glon360 >= lo) & (glon360 <= hi)
             elif lon is not None:
                 # scalar: the grid column containing the nearest longitude
                 # (modular distance, so 359.9 matches a grid at 0.0)

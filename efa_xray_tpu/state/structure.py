@@ -37,7 +37,8 @@ def _default_platform() -> str:
 
     d = jax.config.jax_default_device
     if d is not None:
-        return d.platform
+        # jax.default_device accepts a Device OR a platform string.
+        return d if isinstance(d, str) else d.platform
     return jax.default_backend()
 
 

@@ -105,8 +105,12 @@ def test_adaptive_build_and_apply():
     adapt = AdaptiveInflation(state, ("adaptive", "/nonexistent/file.nc", (1.2, 0.3)))
     assert set(adapt.mean) == set(state.vars())
     np.testing.assert_allclose(adapt.mean[state.vars()[0]], 1.2)
+    # lambda is a VARIANCE multiplier (Anderson 2009), so the spread
+    # scales by sqrt(lambda) — see AdaptiveInflation.inflate_state.
     inflated = adapt.inflate_state(state)
-    np.testing.assert_allclose(_spread(inflated), 1.2 * _spread(state), rtol=1e-6)
+    np.testing.assert_allclose(
+        _spread(inflated), np.sqrt(1.2) * _spread(state), rtol=1e-6
+    )
     np.testing.assert_allclose(
         np.asarray(inflated.ensemble_mean()),
         np.asarray(state.ensemble_mean()),
