@@ -526,7 +526,20 @@ def bench_config5(taps_topk="exact"):
         return t_taps, time.perf_counter() - t0
 
     one_update()  # warm all compiles
-    t_taps, t_api = one_update()
+    reps = [one_update() for _ in range(5)]
+    t_taps = min(r[0] for r in reps)
+    t_api = min(r[1] for r in reps)
+    # The update ends in ONE scalar-pull sync; the kernel-only config 2
+    # number uses the chained protocol that subtracts it.  Measure the
+    # pull latency on a tiny precomputed array so the two are comparable.
+    small = jnp.ones(8, dtype=jnp.float32)
+    float(jnp.sum(small))
+    sync = min(
+        (lambda t0: (float(jnp.sum(small)), time.perf_counter() - t0))(
+            time.perf_counter()
+        )[1]
+        for _ in range(5)
+    )
     return {
         "config": "5-api-end-to-end",
         "taps_topk": taps_topk,
@@ -534,6 +547,8 @@ def bench_config5(taps_topk="exact"):
         "nmems": nmems,
         "nobs": nobs,
         "seconds": t_api,
+        "sync_latency_seconds": sync,
+        "seconds_minus_sync": max(t_api - sync, 0.0),
         "taps_seconds": t_taps,
         "obs_points_per_sec": nobs * state.nstate() / t_api,
     }
@@ -722,15 +737,10 @@ def bench_config8(nobs_list=(2000, 10000, 50000)):
     return out
 
 
-def bench_config12(nobs_list=(100_000, 200_000, 500_000)):
-    """Obs-capacity scaling: satellite-density batches (100k-500k obs) at
-    config-2 scale for both solvers (SURVEY.md §5.7 names large-Nobs a
-    hard part; the reference's serial loop is out of the question here).
-    Production layout: Hilbert-sorted rows AND obs (the ingest-time order
-    bench.py uses — the EnSRF cull and the LETKF host certificates both
-    depend on spatial locality).  Per-point failures (e.g. the Mosaic
-    per-grid-dimension limit on obs panels) are recorded, not fatal —
-    they ARE the capacity result."""
+def _config12_workload(nobs):
+    """Shared workload for the obs-capacity points: Hilbert-sorted rows
+    AND obs (the ingest-time order bench.py uses — the EnSRF cull and the
+    LETKF host certificates both depend on spatial locality)."""
     from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
     rng = np.random.default_rng(12)
@@ -743,37 +753,85 @@ def bench_config12(nobs_list=(100_000, 200_000, 500_000)):
     ro = np.argsort(_hilbert3d_np(glat, glon), kind="stable")
     glat, glon = glat[ro], glon[ro]
     prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
-    out = {"config": "12-obs-capacity", "nstate": ngrid, "nmems": nmems,
-           "points": []}
-    for nobs in nobs_list:
-        rows = rng.integers(0, ngrid, nobs)
-        olat, olon = glat[rows], glon[rows]
-        oo = np.argsort(_hilbert3d_np(olat, olon), kind="stable")
-        olat, olon = olat[oo], olon[oo]
-        obs = _obs_arrays(
-            prior[rows[oo]].mean(1) + rng.normal(0, 1, nobs),
-            np.ones(nobs), olat, olon, np.full(nobs, 2000.0), jnp.float32,
-        )
-        pt = {"nobs": nobs}
-        try:
+    rows = rng.integers(0, ngrid, nobs)
+    olat, olon = glat[rows], glon[rows]
+    oo = np.argsort(_hilbert3d_np(olat, olon), kind="stable")
+    olat, olon = olat[oo], olon[oo]
+    obs = _obs_arrays(
+        prior[rows[oo]].mean(1) + rng.normal(0, 1, nobs),
+        np.ones(nobs), olat, olon, np.full(nobs, 2000.0), jnp.float32,
+    )
+    return prior, glat, glon, obs, ngrid, nmems
+
+
+def _config12_point(solver: str, nobs: int):
+    """Child mode: ONE (solver, nobs) obs-capacity point in this process."""
+    prior, glat, glon, obs, ngrid, nmems = _config12_workload(nobs)
+    pt = {"config": "12-obs-capacity-point", "solver": solver,
+          "nstate": ngrid, "nmems": nmems, "nobs": nobs}
+    try:
+        if solver == "ensrf":
             pt["ensrf_seconds"] = _timed_update(
                 prior, glat, glon, obs, iters=1, donate=True)
-        except Exception as e:
-            pt["ensrf_error"] = repr(e)[:200]
-        try:
+        elif solver == "letkf_host":
             t0 = time.perf_counter()
             pt["letkf_host_seconds"] = _timed_letkf(
                 prior, glat, glon, obs, ngrid, patch_size=8, k_obs=64,
                 topk_method="host", iters=1)
             pt["letkf_host_wall_incl_build"] = time.perf_counter() - t0
-        except Exception as e:
-            pt["letkf_host_error"] = repr(e)[:200]
-        try:
+        elif solver == "letkf_approx":
             pt["letkf_approx_seconds"] = _timed_letkf(
                 prior, glat, glon, obs, ngrid, patch_size=8, k_obs=64,
                 topk_method="approx", iters=1)
-        except Exception as e:
-            pt["letkf_approx_error"] = repr(e)[:200]
+        else:
+            raise ValueError(f"unknown obscap solver {solver!r}")
+    except Exception as e:
+        pt[f"{solver}_error"] = repr(e)[:200]
+    return pt
+
+
+def bench_config12(nobs_list=(100_000, 200_000, 500_000), solver=None,
+                   nobs_one=None):
+    """Obs-capacity scaling: satellite-density batches (100k-500k obs) at
+    config-2 scale for both solvers (SURVEY.md §5.7 names large-Nobs a
+    hard part; the reference's serial loop is out of the question here).
+    Per-point failures are recorded, not fatal — they ARE the capacity
+    result.  Each (solver, nobs) point runs in its OWN SUBPROCESS: a
+    200k-obs point measurably CRASHED the TPU worker process (not a
+    Python exception — the whole backend died), which in-process
+    try/except cannot contain."""
+    if solver is not None:
+        return _config12_point(solver, int(nobs_one))
+
+    import subprocess
+    import sys as _s
+    import tempfile
+
+    out = {"config": "12-obs-capacity", "points": []}
+    for nobs in nobs_list:
+        pt = {"nobs": nobs}
+        for sv in ("ensrf", "letkf_host", "letkf_approx"):
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                cmd = [_s.executable, _os.path.abspath(__file__),
+                       "--configs", "12", "--obscap-solver", sv,
+                       "--obscap-nobs", str(nobs), "--json", tf.name]
+                try:
+                    rc = subprocess.run(cmd, timeout=5400,
+                                        capture_output=True, text=True)
+                except subprocess.TimeoutExpired:
+                    pt[f"{sv}_error"] = "subprocess timeout (5400 s)"
+                    continue
+                if rc.returncode != 0:
+                    tail = (rc.stderr or "").strip().splitlines()[-1:]
+                    pt[f"{sv}_error"] = (
+                        f"subprocess exit {rc.returncode}"
+                        + (f": {tail[0][:160]}" if tail else "")
+                    )
+                    continue
+                child = json.load(open(tf.name))[0]
+                for k, v in child.items():
+                    if k.startswith(sv):
+                        pt[k] = v
         out["points"].append(pt)
         print(json.dumps(pt), flush=True)
     return out
@@ -861,6 +919,11 @@ def main():
     ap.add_argument("--taps-topk", default="exact",
                     choices=["exact", "approx"],
                     help="build_taps candidate-selection method for config 5")
+    ap.add_argument("--obscap-solver", default=None,
+                    choices=[None, "ensrf", "letkf_host", "letkf_approx"],
+                    help="config 12 child mode: run ONE solver point")
+    ap.add_argument("--obscap-nobs", type=int, default=None,
+                    help="config 12 child mode: the point's nobs")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     results = []
@@ -874,6 +937,8 @@ def main():
             kw = dict(topk_method=args.letkf_topk)
         elif c == 5:
             kw = dict(taps_topk=args.taps_topk)
+        elif c == 12 and args.obscap_solver is not None:
+            kw = dict(solver=args.obscap_solver, nobs_one=args.obscap_nobs)
         r = BENCHES[c](**kw)
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)
