@@ -100,6 +100,17 @@ def main():
         localization="GC", dtype="float32", fast_geometry=True,
         outlier_threshold=4.0,
         adaptive_sd_evolve=True, adaptive_sd_min=0.15,
+        # The network is deliberately biased and only partially
+        # bias-corrected online, so innovations systematically exceed the
+        # expected variance; undamped adaptive inflation ratchets upward
+        # on that residual until the L96-2d forecast leaves the attractor
+        # (measured: NaN by cycle 2).  DART-style damping PLUS a field cap
+        # (inf_upper_bound analog) are both required: points observed
+        # only peripherally (gamma << 1) integrate the network's excess
+        # innovations multiplicatively — measured x2/cycle at the field
+        # max, which outruns any damping factor.
+        adaptive_damp=0.9,
+        adaptive_max=4.0,
     )
     adapt = AdaptiveInflation(
         EnsembleState(jnp.transpose(ens, (1, 2, 0))[None, None], structure),

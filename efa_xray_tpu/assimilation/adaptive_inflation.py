@@ -316,6 +316,7 @@ class AdaptiveInflation:
         lambda_sd_floor: float = 1e-4,
         evolve_sd: bool = False,
         sd_min: float = 0.05,
+        damp: float = 1.0,
     ) -> None:
         """Anderson (2009) Bayesian update of the inflation mean fields from
         a batch of observation innovations.
@@ -332,6 +333,11 @@ class AdaptiveInflation:
         back to ``self.std`` — the reference stores the (mean, std) moment
         pair but never updates either
         (``efa_xray/assimilation/adaptive_inflation.py:42-56``).
+
+        ``damp < 1`` relaxes the updated mean toward 1 (DART inflation
+        damping, ``lambda <- 1 + damp * (lambda - 1)``) so residual
+        observation bias / model error cannot ratchet the field upward
+        without bound across cycles (see FilterConfig.adaptive_damp).
         """
         s = self.structure
         glat = jnp.asarray(s.lat.ravel())
@@ -383,6 +389,8 @@ class AdaptiveInflation:
             sd_min=sd_min,
         )
         lam, sd = out if evolve_sd else (out, None)
+        if damp < 1.0:
+            lam = jnp.maximum(1.0 + damp * (lam - 1.0), lambda_min)
         mean_out = np.asarray(lam).reshape(nvars, s.ntimes, s.ny, s.nx)
         for i, v in enumerate(s.var_names):
             self.mean[v] = mean_out[i]

@@ -581,8 +581,11 @@ class Assimilation:
                 b.prior_var,
                 b.errors,
                 assimilated=b.assimilated,
+                lambda_min=self.config.adaptive_min,
+                lambda_max=self.config.adaptive_max,
                 evolve_sd=self.config.adaptive_sd_evolve,
                 sd_min=self.config.adaptive_sd_min,
+                damp=self.config.adaptive_damp,
             )
 
     # -- diagnostics write-back -------------------------------------------

@@ -235,6 +235,28 @@ class FilterConfig:
     # std moment field but never updates it, adaptive_inflation.py:42-56).
     adaptive_sd_evolve: bool = False
     adaptive_sd_min: float = 0.05
+    # Per-update relaxation of the learned inflation mean toward 1
+    # (DART's inflation damping): lambda <- 1 + damp * (lambda - 1) after
+    # each Anderson update.  1.0 = off.  Residual observation bias or
+    # model error makes innovations SYSTEMATICALLY exceed the expected
+    # variance, so an undamped field ratchets upward wherever the data
+    # disagree for non-dispersion reasons — measured: the production
+    # cycled benchmark's inflation ran away and blew the L96-2d forecast
+    # off the attractor (NaN by cycle 2 on chip) until damped.  The
+    # evolved std (adaptive_sd_evolve) shrinks the UPDATE SIZE, not the
+    # accumulated level, so it does not substitute for damping.
+    adaptive_damp: float = 1.0
+    # Bounds on the learned inflation mean field (DART's
+    # inf_lower_bound / inf_upper_bound).  Damping alone cannot contain
+    # the sparse-obs runaway: a point whose own dispersion is never
+    # tested by a nearby ob (gamma << 1 for every ob) integrates the
+    # whole network's excess innovations MULTIPLICATIVELY — measured on
+    # the gridded production benchmark, the field max doubled per cycle
+    # (x2 growth vs x0.9 damping) until the inflated spread threw the
+    # analysis off the model attractor.  Production cycling should set
+    # adaptive_max to a few (spread multiplier sqrt(adaptive_max)).
+    adaptive_min: float = 1.0
+    adaptive_max: float = 1e6
     # Innovation-based gross-error QC ("background check" / first-guess
     # check; DART's ``outlier_threshold``, GSI's gross check — standard
     # operational-DA QC the reference never had: its only gate is the

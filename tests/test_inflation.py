@@ -422,6 +422,40 @@ def test_adaptive_inflation_evolve_sd_writes_back_std():
     assert evolved.mean[v][0, iy, ix] > 1.05
 
 
+def test_adaptive_inflation_damping_bounds_the_ratchet():
+    """damp < 1 (DART inflation damping) equilibrates the mean field under
+    systematically large innovations (residual ob bias / model error),
+    where the undamped field ratchets upward every call — the failure
+    mode that diverged the production cycled benchmark."""
+    state = make_demo_state(ny=10, nx=10, nmems=10)
+    v = state.vars()[0]
+    nobs = 8
+    args = (
+        np.full(nobs, 46.0),
+        np.full(nobs, 237.0),
+        np.full(nobs, 2000.0),
+        np.full(nobs, 4.0),   # innovations >> expected, every cycle
+        np.full(nobs, 1.0),
+        np.full(nobs, 1.0),
+    )
+
+    undamped = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    damped = AdaptiveInflation(state, ("adaptive", "/none.nc", (1.0, 0.6)))
+    peaks_u, peaks_d = [], []
+    for _ in range(12):
+        undamped.update_inflation(*args)
+        damped.update_inflation(*args, damp=0.8)
+        peaks_u.append(float(undamped.mean[v].max()))
+        peaks_d.append(float(damped.mean[v].max()))
+    # undamped keeps ratcheting; damped converges to a fixed point
+    assert peaks_u[-1] > peaks_u[5] + 0.05
+    assert abs(peaks_d[-1] - peaks_d[-2]) < 0.01
+    assert peaks_d[-1] < peaks_u[-1]
+    assert (damped.mean[v] >= 1.0 - 1e-12).all()
+    # and the damped field still learned something
+    assert peaks_d[-1] > 1.05
+
+
 def test_cycling_evolve_sd_runs_uncapped_and_checkpoints(tmp_path):
     """The harness with adaptive_sd_evolve=True (a) stays bounded WITHOUT
     the adaptive_max cap, (b) carries the per-row _lam_sd field, and (c)
