@@ -87,3 +87,78 @@ def test_cycling_raises_loudly_on_forecast_divergence():
     )
     with pytest.raises(RuntimeError, match="forecast diverged at cycle"):
         h.run(ens.reshape(nm, -1), truth.ravel(), 30, seed=3)
+
+
+def test_public_api_cycling_adaptive_inflation_stays_on_attractor():
+    """Mini production-cycled config (benchmarks/cycled_production.py)
+    through the PUBLIC API — EnsembleState + ObservationBatch +
+    EnSRF(inflation=AdaptiveInflation).update() per cycle — with the
+    full production inflation controls (sqrt-lambda application, evolved
+    std, damping, field cap).  Regression for two measured divergences:
+    lambda applied unsquare-rooted doubled the inflation in log space
+    every cycle, and the undamped/uncapped field ratcheted multiplicatively
+    at peripherally-observed points until the forecast left the attractor
+    (NaN by cycle ~9)."""
+    from efa_xray_tpu.assimilation.adaptive_inflation import (
+        AdaptiveInflation,
+    )
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.observation import forward as _fwd
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.state.ensemble import EnsembleState
+    from efa_xray_tpu.state.structure import StateStructure
+    from efa_xray_tpu.utils import timeutil
+
+    ny, nx, nm, nobs = 16, 32, 12, 120
+    ngrid = ny * nx
+    truth, ens = m2.spinup_ensemble(ny=ny, nx=nx, nmems=nm, seed=3)
+    lat, lon = m2.grid_latlon(ny, nx)
+    times = np.datetime64("2026-08-01T00:00:00") + np.arange(1)
+    structure = StateStructure.build(["X"], times, lat, lon, nm)
+    rng = np.random.default_rng(11)
+    ob_lats = rng.uniform(-55.0, 55.0, nobs)
+    ob_lons = rng.uniform(0.0, 360.0, nobs)
+    times_s = timeutil.to_epoch_seconds(np.repeat(times[0], nobs))
+    taps = _fwd.build_taps(structure, ob_lats, ob_lons, times_s,
+                           np.zeros(nobs, dtype=np.int32))
+    cfg = FilterConfig(
+        localization="GC", dtype="float64", outlier_threshold=4.0,
+        adaptive_sd_evolve=True, adaptive_sd_min=0.15,
+        adaptive_damp=0.9, adaptive_max=4.0,
+    )
+    adapt = AdaptiveInflation(
+        EnsembleState(jnp.transpose(ens, (1, 2, 0))[None, None], structure),
+        ("adaptive", "/nonexistent.nc", (1.0, 0.6)),
+    )
+    rmse = []
+    for _ in range(8):
+        truth = m2.integrate(truth, nsteps=4)
+        ens = m2.integrate(ens, nsteps=4)
+        ye_t = np.asarray(
+            _fwd.apply_taps_obj(truth.reshape(ngrid, 1), taps)
+        )[:, 0]
+        batch = ObservationBatch(
+            values=ye_t + rng.normal(0, 1.0, nobs),
+            errors=np.ones(nobs),
+            lats=ob_lats, lons=ob_lons, times_s=times_s,
+            obtypes=["X"] * nobs,
+            localize_radius=np.full(nobs, 2000.0),
+            assimilate_flags=np.ones(nobs, bool),
+            verts=np.full(nobs, np.nan),
+            descriptions=[None] * nobs,
+        )
+        state = EnsembleState(
+            jnp.transpose(ens, (1, 2, 0))[None, None], structure
+        )
+        post, _ = EnSRF(state, batch, inflation=adapt, config=cfg,
+                        verbose=False).update()
+        p = np.asarray(post.data)
+        assert np.isfinite(p).all()
+        rmse.append(float(np.sqrt(np.mean(
+            (p[0, 0].mean(-1) - np.asarray(truth)) ** 2))))
+        ens = jnp.transpose(jnp.asarray(p[0, 0]), (2, 0, 1))
+    lam = adapt.mean["X"]
+    assert np.isfinite(lam).all()
+    assert lam.max() <= 4.0 + 1e-9  # the cap held
+    assert lam.min() >= 1.0 - 1e-9
+    assert rmse[-1] < rmse[0]  # the DA is actually helping
