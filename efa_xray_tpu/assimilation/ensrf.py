@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -213,7 +214,24 @@ class EnSRF(Assimilation):
 
         hybrid_kwargs = self._hybrid_kwargs(body_mean, dtype)
         vl_kwargs = self.varloc_kwargs(dtype)
-        if self.mesh is not None:
+        if (
+            self.mesh is None
+            and cfg.obs_chunk is not None
+            and int(obs.values.shape[0]) > int(cfg.obs_chunk)
+        ):
+            if hybrid_kwargs or vl_kwargs:
+                raise ValueError(
+                    "obs_chunk does not combine with hybrid covariance or "
+                    "variable localization (the chunked driver appends obs "
+                    "rows to the state body, and those options carry "
+                    "per-row inputs it does not extend)"
+                )
+            bm, bp, tm, tp, diags = self._solve_obs_chunked(
+                body_mean, body_perts, tail_mean, tail_perts,
+                body_lat, body_lon, obs, body_vert, vertical, dtype,
+                int(cfg.obs_chunk),
+            )
+        elif self.mesh is not None:
             from efa_xray_tpu.parallel import sharded
 
             bm, bp, tm, tp, diags = sharded.ensrf_update_sharded(
@@ -250,8 +268,54 @@ class EnSRF(Assimilation):
                 **hybrid_kwargs,
                 **vl_kwargs,
             )
-        elif cfg.method == "serial":
-            bm, bp, tm, tp, diags = core.ensrf_serial(
+        else:
+            bm, bp, tm, tp, diags = self._solve_once(
+                body_mean, body_perts, tail_mean, tail_perts,
+                body_lat, body_lon, obs, body_vert, vertical, dtype,
+                hybrid_kwargs, vl_kwargs,
+            )
+
+        if prior_spread is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtps
+
+            bp = rtps(prior_spread, bp, cfg.rtps_alpha)
+        if prior_perts_saved is not None:
+            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
+
+            bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
+
+        self.record_diagnostics(diags)
+        self.maybe_update_adaptive_inflation()
+        self.post, _ = self.format_posterior_state(bm, bp)
+        return self.post, self.obs
+
+    def _solve_once(
+        self,
+        body_mean,
+        body_perts,
+        tail_mean,
+        tail_perts,
+        body_lat,
+        body_lon,
+        obs,
+        body_vert,
+        vertical: bool,
+        dtype,
+        hybrid_kwargs: dict,
+        vl_kwargs: dict,
+        augmented: bool = False,
+    ):
+        """One full single-device update (tail + body) through the
+        configured solver path; returns ``(bm, bp, tm, tp, diags)``.
+
+        ``augmented=True`` marks a state body with obs rows appended
+        (:meth:`_solve_obs_chunked`): the grid-mode kernels and the
+        structure-derived spatial sort assume ``nrows == vt * ngrid``,
+        so augmented calls use the flat fused kernel (chordal geometry)
+        or the XLA blocked body instead."""
+        cfg = self.config
+        if cfg.method == "serial":
+            return core.ensrf_serial(
                 body_mean,
                 body_perts,
                 tail_mean,
@@ -267,7 +331,9 @@ class EnSRF(Assimilation):
                 **hybrid_kwargs,
                 **vl_kwargs,
             )
-        elif self._use_pallas():
+        if self._use_pallas() and not (
+            augmented and cfg.localize and not cfg.fast_geometry
+        ):
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
                 ensrf_blocked_body_pallas_fused_donating,
@@ -301,7 +367,8 @@ class EnSRF(Assimilation):
             st = self.prior.structure
             vt = st.nvars * st.ntimes
             nrows = int(body_mean.shape[0])
-            if self._grid_kernel_ok() and nrows == vt * st.ngrid:
+            if (not augmented and self._grid_kernel_ok()
+                    and nrows == vt * st.ngrid):
                 # Gridded state: v4-grid — same one-HBM-pass loop nest,
                 # horizontal weights computed ONCE per grid point by XLA
                 # and streamed in (removes the vt-fold trig redundancy;
@@ -339,7 +406,9 @@ class EnSRF(Assimilation):
                 # Geometry-only row permutation for the kernel's cull:
                 # computed once per structure, two gathers per update.
                 row_order = inv_order = None
-                if cfg.spatial_sort:
+                if cfg.spatial_sort and not augmented:
+                    # (augmented bodies carry appended obs rows the
+                    # structure's permutation does not cover)
                     row_order, inv_order = st.spatial_order_device()
                 # The fully-fused v4 kernel (state crosses HBM once;
                 # per-row chordal weights — and, when active, vertical GC
@@ -366,7 +435,7 @@ class EnSRF(Assimilation):
                     interpret=interpret,
                     vertical=vertical,
                     cull=cfg.cull,
-                    spatial_sort=cfg.spatial_sort,
+                    spatial_sort=cfg.spatial_sort and not augmented,
                     row_order=row_order,
                     inv_order=inv_order,
                     hybrid=bool(hybrid_kwargs),
@@ -395,36 +464,111 @@ class EnSRF(Assimilation):
                     ngrid=st.ngrid,
                     interpret=interpret,
                 )
-            tm, tp, diags = tail.tail_mean, tail.tail_perts, tail.diags
-        else:
-            bm, bp, tm, tp, diags = core.ensrf_blocked(
-                body_mean,
-                body_perts,
-                tail_mean,
-                tail_perts,
-                body_lat,
-                body_lon,
-                obs,
-                localize=cfg.localize,
-                block_size=cfg.block_size,
-                unbiased=cfg.unbiased_variance,
-                fast_geometry=cfg.fast_geometry,
-                body_vert=body_vert,
-                vertical=vertical,
-                **hybrid_kwargs,
-                **vl_kwargs,
+            return bm, bp, tail.tail_mean, tail.tail_perts, tail.diags
+        return core.ensrf_blocked(
+            body_mean,
+            body_perts,
+            tail_mean,
+            tail_perts,
+            body_lat,
+            body_lon,
+            obs,
+            localize=cfg.localize,
+            block_size=cfg.block_size,
+            unbiased=cfg.unbiased_variance,
+            fast_geometry=cfg.fast_geometry,
+            body_vert=body_vert,
+            vertical=vertical,
+            **hybrid_kwargs,
+            **vl_kwargs,
+        )
+
+    def _solve_obs_chunked(
+        self,
+        body_mean,
+        body_perts,
+        tail_mean,
+        tail_perts,
+        body_lat,
+        body_lon,
+        obs,
+        body_vert,
+        vertical: bool,
+        dtype,
+        chunk: int,
+    ):
+        """Process the observation batch in sequential chunks of
+        ``chunk`` obs, exactly (up to fp reassociation).
+
+        The serial filter assimilates obs in order, so splitting the
+        batch changes nothing algebraically PROVIDED later chunks'
+        obs-space rows keep receiving every earlier chunk's updates —
+        the augmented-state invariant
+        (``efa_xray/assimilation/assimilation.py:146-150``).  Here ALL
+        obs-space rows ride as extra state-body rows (their lat/lon make
+        the body solvers localize them exactly like the tail does), and
+        after each chunk its own rows are overwritten with the chunk's
+        exact tail solution — the same move ``tail_scan_blocked`` makes
+        per panel.  Every chunk call has identical shapes, so the whole
+        sweep compiles ONCE; per-chunk peak memory is bounded by the
+        chunk's kernel shapes instead of the full batch (the fused
+        EnSRF measurably crashed the TPU worker at 200k obs in one
+        shot — BENCH config 12)."""
+        nobs = int(obs.values.shape[0])
+        ns = int(body_mean.shape[0])
+        nchunks = -(-nobs // chunk)
+        pad = nchunks * chunk - nobs
+        obs = obs.with_default_verts()
+
+        def pad1(x, fill=0.0):
+            if x.dtype == jnp.bool_:
+                return jnp.pad(x, (0, pad))
+            return jnp.pad(x.astype(dtype), (0, pad), constant_values=fill)
+
+        values = pad1(obs.values)
+        errors = pad1(obs.errors, 1.0)
+        olat = pad1(obs.lats)
+        olon = pad1(obs.lons)
+        radii = pad1(obs.radii, jnp.inf)
+        assim = jnp.pad(obs.assim, (0, pad))  # padded obs are no-ops
+        overt = pad1(obs.verts)
+        ovrad = pad1(obs.vert_radii, jnp.inf)
+
+        tm_all = jnp.pad(tail_mean.astype(dtype), (0, pad))
+        tp_all = jnp.pad(tail_perts.astype(dtype), ((0, pad), (0, 0)))
+        lat_aug = jnp.concatenate([body_lat.astype(dtype), olat])
+        lon_aug = jnp.concatenate([body_lon.astype(dtype), olon])
+        vert_aug = None
+        if body_vert is not None:
+            vert_aug = jnp.concatenate([body_vert.astype(dtype), overt])
+
+        bm, bp = body_mean, body_perts
+        diags_parts = []
+        for i in range(nchunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            obs_i = core.ObsArrays(
+                values=values[sl], errors=errors[sl], lats=olat[sl],
+                lons=olon[sl], radii=radii[sl], assim=assim[sl],
+                verts=overt[sl], vert_radii=ovrad[sl],
             )
+            bm_aug = jnp.concatenate([bm, tm_all])
+            bp_aug = jnp.concatenate([bp, tp_all], axis=0)
+            bm2, bp2, tm_i, tp_i, d = self._solve_once(
+                bm_aug, bp_aug, tm_all[sl], tp_all[sl],
+                lat_aug, lon_aug, obs_i, vert_aug, vertical, dtype,
+                {}, {}, augmented=True,
+            )
+            bm, bp = bm2[:ns], bp2[:ns]
+            # Extra rows carry the passive body-apply result; the chunk's
+            # own rows take the exact tail solution (same fp-parity move
+            # as tail_scan_blocked's in-panel overwrite).
+            tm_all = jax.lax.dynamic_update_slice_in_dim(
+                bm2[ns:], tm_i, i * chunk, axis=0)
+            tp_all = jax.lax.dynamic_update_slice_in_dim(
+                bp2[ns:], tp_i, i * chunk, axis=0)
+            diags_parts.append(d)
 
-        if prior_spread is not None:
-            from efa_xray_tpu.assimilation.adaptive_inflation import rtps
-
-            bp = rtps(prior_spread, bp, cfg.rtps_alpha)
-        if prior_perts_saved is not None:
-            from efa_xray_tpu.assimilation.adaptive_inflation import rtpp
-
-            bp = rtpp(prior_perts_saved, bp, cfg.rtpp_alpha)
-
-        self.record_diagnostics(diags)
-        self.maybe_update_adaptive_inflation()
-        self.post, _ = self.format_posterior_state(bm, bp)
-        return self.post, self.obs
+        diags = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[:nobs], *diags_parts
+        )
+        return bm, bp, tm_all[:nobs], tp_all[:nobs], diags

@@ -91,6 +91,16 @@ class FilterConfig:
     # cycling loop at this scale stays host-local.
     small_host: Optional[bool] = None
     small_host_threshold: int = 4_000_000
+    # Process the observation batch in sequential chunks of this many obs
+    # (EnSRF, single-device only; None = one shot).  Exact up to fp
+    # reassociation: later chunks' obs-space rows ride as extra state
+    # rows so the augmented-state invariant holds across chunks, and
+    # every chunk compiles to the SAME shapes (one compile for any batch
+    # size).  Use for very large batches: the one-shot fused path
+    # measurably crashed the TPU worker at 200k obs (BENCH config 12);
+    # 65536 is a safe production chunk.  Not combinable with hybrid
+    # covariance, variable localization, or a mesh.
+    obs_chunk: Optional[int] = None
     # Row-tile size for the Pallas kernels (rows resident in VMEM per
     # step).  None = auto per kernel: 8192 for the flat v4 kernel
     # (smaller tiles tighten the cull bound's caps — measured 1.36x at

@@ -479,3 +479,55 @@ def test_parity_vs_oracle_large_randomized(method):
                                want_diags["post_mean"][assim], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(diags.post_var)[assim],
                                want_diags["post_var"][assim], rtol=1e-7)
+
+
+@pytest.mark.parametrize("chunk,method", [(3, "blocked"), (7, "blocked"),
+                                          (5, "serial")])
+def test_obs_chunked_update_matches_one_shot(chunk, method):
+    """FilterConfig.obs_chunk processes the batch in sequential chunks;
+    the augmented-state invariant (later chunks' obs rows ride as extra
+    body rows) makes it EXACT up to fp reassociation — posterior and
+    per-ob diagnostics must match the one-shot update, including
+    QC-skipped obs and a ragged final chunk."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=10, seed=5)
+    obs = make_demo_obs(state, nobs=13, radius=2000.0)
+    for ob in obs[::4]:
+        ob.assimilate_this = False
+
+    base = FilterConfig(localization="GC", dtype="float64", method=method)
+    one, b_one = EnSRF(state, obs, config=base, verbose=False).update()
+    chunked_cfg = FilterConfig(localization="GC", dtype="float64",
+                               method=method, obs_chunk=chunk)
+    many, b_many = EnSRF(state, obs, config=chunked_cfg,
+                         verbose=False).update()
+
+    np.testing.assert_allclose(
+        np.asarray(many.data), np.asarray(one.data), rtol=1e-10, atol=1e-10
+    )
+    for f in ("prior_mean", "prior_var", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b_many, f), dtype=np.float64),
+            np.asarray(getattr(b_one, f), dtype=np.float64),
+            rtol=1e-10, atol=1e-10,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(b_many.assimilated), np.asarray(b_one.assimilated)
+    )
+
+
+def test_obs_chunked_rejects_hybrid():
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=8)
+    obs = make_demo_obs(state, nobs=6)
+    cfg = FilterConfig(localization="GC", dtype="float64", obs_chunk=2,
+                       hybrid_alpha=0.5, static_b_sigma=1.0,
+                       static_b_length=500.0)
+    with pytest.raises(ValueError, match="obs_chunk"):
+        EnSRF(state, obs, config=cfg, verbose=False).update()
