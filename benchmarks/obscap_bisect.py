@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--mode", required=True,
                     choices=["xla", "tail", "body", "full"])
     ap.add_argument("--nobs", type=int, required=True)
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the state buffers into the jitted step "
+                         "(the config-12 point that crashed the worker "
+                         "donated; the non-donating probe did not)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force host CPU (smoke tests; Pallas modes run "
@@ -109,6 +113,9 @@ def main():
             )
         return bm2, bp2
 
+    if args.donate:
+        step = jax.jit(step, donate_argnums=(0, 1))
+
     digest = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b[:, 0]))
     t0 = time.perf_counter()
     am, ap_ = step(bm, bp)
@@ -117,11 +124,13 @@ def main():
     t0 = time.perf_counter()
     _ = float(digest(am, ap_))
     sync = time.perf_counter() - t0
+    # Chain the carry (donation invalidates the inputs of the prior call).
     t0 = time.perf_counter()
-    am, ap_ = step(bm, bp)
+    am, ap_ = step(am, ap_)
     _ = float(digest(am, ap_))
     dt = time.perf_counter() - t0 - sync
     result = {"config": "obscap-bisect", "mode": args.mode, "nobs": nobs,
+              "donate": bool(args.donate),
               "seconds": max(dt, 1e-9),
               "first_call_seconds": t_compile,
               "finite": bool(np.isfinite(np.asarray(am)).all()),
