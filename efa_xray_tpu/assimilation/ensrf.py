@@ -214,10 +214,24 @@ class EnSRF(Assimilation):
 
         hybrid_kwargs = self._hybrid_kwargs(body_mean, dtype)
         vl_kwargs = self.varloc_kwargs(dtype)
+        obs_chunk = cfg.obs_chunk
+        if obs_chunk is None:
+            # Auto: chunk huge batches on TPU (see FilterConfig.obs_chunk)
+            # unless an incompatible option forces one-shot.
+            obs_chunk = (
+                65536
+                if (
+                    jax.default_backend() == "tpu"
+                    and int(obs.values.shape[0]) > 131072
+                    and not hybrid_kwargs
+                    and not vl_kwargs
+                )
+                else 0
+            )
         if (
             self.mesh is None
-            and cfg.obs_chunk is not None
-            and int(obs.values.shape[0]) > int(cfg.obs_chunk)
+            and obs_chunk
+            and int(obs.values.shape[0]) > int(obs_chunk)
         ):
             if hybrid_kwargs or vl_kwargs:
                 raise ValueError(
@@ -229,7 +243,7 @@ class EnSRF(Assimilation):
             bm, bp, tm, tp, diags = self._solve_obs_chunked(
                 body_mean, body_perts, tail_mean, tail_perts,
                 body_lat, body_lon, obs, body_vert, vertical, dtype,
-                int(cfg.obs_chunk),
+                int(obs_chunk),
             )
         elif self.mesh is not None:
             from efa_xray_tpu.parallel import sharded

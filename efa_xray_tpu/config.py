@@ -92,14 +92,17 @@ class FilterConfig:
     small_host: Optional[bool] = None
     small_host_threshold: int = 4_000_000
     # Process the observation batch in sequential chunks of this many obs
-    # (EnSRF, single-device only; None = one shot).  Exact up to fp
-    # reassociation: later chunks' obs-space rows ride as extra state
-    # rows so the augmented-state invariant holds across chunks, and
-    # every chunk compiles to the SAME shapes (one compile for any batch
-    # size).  Use for very large batches: the one-shot fused path
-    # measurably crashed the TPU worker at 200k obs (BENCH config 12);
-    # 65536 is a safe production chunk.  Not combinable with hybrid
-    # covariance, variable localization, or a mesh.
+    # (EnSRF, single-device only).  Exact up to fp reassociation: later
+    # chunks' obs-space rows ride as extra state rows so the
+    # augmented-state invariant holds across chunks, and every chunk
+    # compiles to the SAME shapes (one compile for any batch size, where
+    # one-shot mints a fresh 30-600 s remote compile per new batch size).
+    # None = AUTO: on a TPU backend, batches over 131072 obs run in
+    # 65536-ob chunks — the one-shot fused path measurably crashed the
+    # TPU worker at EXACTLY 200k obs (100k and 500k ran; shape-specific
+    # Mosaic fault, BENCH config 12), so huge one-shot batches are not
+    # trustworthy.  0 disables chunking entirely.  Ignored (one-shot)
+    # with hybrid covariance, variable localization, or a mesh.
     obs_chunk: Optional[int] = None
     # Row-tile size for the Pallas kernels (rows resident in VMEM per
     # step).  None = auto per kernel: 8192 for the flat v4 kernel
