@@ -19,12 +19,21 @@ from efa_xray_tpu.models import lorenz96 as l96  # noqa: E402
 from efa_xray_tpu.models.cycling import CyclingHarness  # noqa: E402
 
 POINTS = {
-    "evolved-sd0.6": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
-                          adaptive_sd_min=0.15),
-    "evolved-sd0.9": dict(adaptive_sd=0.9, adaptive_sd_evolve=True,
-                          adaptive_sd_min=0.15),
-    "evolved-sd0.6-damp0.9": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
-                                  adaptive_sd_min=0.15, adaptive_damp=0.9),
+    # Round-4 second pass.  First pass measured (3 seeds, on chip):
+    # evolved-sd0.6/0.9 UNCAPPED each diverged on 1 of 3 seeds (the CPU
+    # scan's stability did not transfer — chip fp gives a different
+    # chaotic draw); evolved + damp 0.9 never diverged but was badly
+    # underdispersive (ratio 0.53, RMSE 1.22); r3-fixed-capped was best
+    # (RMSE 0.784, ratio 0.86, 0 diverged).  This pass tests the evolved
+    # std WITH the DART-style cap (and a light damp), which gridded
+    # cycling (cycled_production) also measurably needs.
+    "evolved-sd0.6-cap2": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
+                               adaptive_sd_min=0.15, adaptive_max=2.0),
+    "evolved-sd0.6-cap4": dict(adaptive_sd=0.6, adaptive_sd_evolve=True,
+                               adaptive_sd_min=0.15, adaptive_max=4.0),
+    "evolved-sd0.6-damp0.97-cap2": dict(
+        adaptive_sd=0.6, adaptive_sd_evolve=True, adaptive_sd_min=0.15,
+        adaptive_damp=0.97, adaptive_max=2.0),
     "r3-fixed-capped": dict(adaptive_sd=0.3, adaptive_max=2.0),
 }
 
