@@ -46,8 +46,19 @@ def main():
     ap.add_argument("--ny", type=int, default=320)
     ap.add_argument("--nx", type=int, default=320)
     ap.add_argument("--nmems", type=int, default=40)
-    ap.add_argument("--nobs", type=int, default=2000)
+    ap.add_argument("--nobs", type=int, default=8000)
     ap.add_argument("--ob-bias", type=float, default=0.3)
+    ap.add_argument("--radius", type=float, default=500.0,
+                    help="GC localization halfwidth km.  L96-2d's "
+                         "correlation length is INDEX-based (~2-3 grid "
+                         "columns), so the radius must scale with grid "
+                         "spacing: at 320x320 (125 km zonal spacing) a "
+                         "2000 km radius admits ~1500 points per "
+                         "footprint of which only ~10 are truly "
+                         "correlated, and the 40-member sampling noise "
+                         "in the rest accumulates until the forecast "
+                         "leaves the attractor (measured: NaN by cycle "
+                         "3-4 on CPU AND chip at radius 2000).")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (smoke tests; the "
@@ -126,7 +137,7 @@ def main():
             lons=ob_lons,
             times_s=times_s,
             obtypes=["X"] * nobs,
-            localize_radius=np.full(nobs, 2000.0),
+            localize_radius=np.full(nobs, args.radius),
             assimilate_flags=np.ones(nobs, bool),
             verts=np.full(nobs, np.nan),
             descriptions=[None] * nobs,
@@ -227,6 +238,7 @@ def main():
         "mean_crps_2nd_half": float(np.mean(crps_hist[half:])),
         "ob_bias_true": args.ob_bias,
         "ob_bias_estimated_final": float(est_bias_hist[-1]),
+        "localize_radius_km": args.radius,
         "qc_rejected_total": int(np.sum(nrej_hist)),
         "inflation_field_minmax": [
             float(np.min(adapt.mean["X"])), float(np.max(adapt.mean["X"]))],
