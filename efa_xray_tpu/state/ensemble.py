@@ -467,6 +467,56 @@ class EnsembleState:
             vars=v_idx, validtime=t_idx, y=y_idx, x=x_idx, mem=mem
         )
 
+    # --- arithmetic (xarray Dataset-arithmetic analog) -------------------------
+    def _binop(self, other, op) -> "EnsembleState":
+        """Elementwise binary op.  ``other`` may be another EnsembleState
+        (shapes and variable names must match; the left structure is
+        carried), a scalar, or any array broadcastable against the dense
+        ``[V,T,Y,X,M]`` block.  The reference gets all of these from its
+        xarray.Dataset inheritance (``efa_xray/state/ensemble.py:15``) —
+        e.g. ``post - prior`` for increments, ``perts * factor`` for
+        inflation."""
+        if isinstance(other, EnsembleState):
+            s, o = self.structure, other.structure
+            if s.shape != o.shape or s.var_names != o.var_names:
+                raise ValueError(
+                    f"EnsembleState arithmetic shape/vars mismatch: "
+                    f"{s.var_names}{s.shape} vs {o.var_names}{o.shape}"
+                )
+            other = other.data
+        return EnsembleState(op(self.data, other), self.structure)
+
+    def __add__(self, other):
+        return self._binop(other, jnp.add)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._binop(other, jnp.subtract)
+
+    def __rsub__(self, other):
+        return self._binop(other, lambda a, b: jnp.subtract(b, a))
+
+    def __mul__(self, other):
+        return self._binop(other, jnp.multiply)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._binop(other, jnp.divide)
+
+    def __rtruediv__(self, other):
+        return self._binop(other, lambda a, b: jnp.divide(b, a))
+
+    def __pow__(self, other):
+        return self._binop(other, jnp.power)
+
+    def __neg__(self):
+        return EnsembleState(-self.data, self.structure)
+
+    def __abs__(self):
+        return EnsembleState(jnp.abs(self.data), self.structure)
+
     # --- device placement -----------------------------------------------------
     def shard(self, mesh, axis_name: str = "state") -> "EnsembleState":
         """Place the state on a device mesh, sharded along the flattened

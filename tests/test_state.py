@@ -336,3 +336,59 @@ def test_sel_subset_assimilates():
     post, batch = EnSRF(sub, list(obs), config=cfg, verbose=False).update()
     assert post.shape() == sub.shape()
     assert batch.assimilated.all()
+
+
+def test_arithmetic_state_state_and_scalar():
+    """Dataset-arithmetic analog: state-state and state-scalar elementwise
+    ops with metadata carried (reference gets these from xarray.Dataset
+    inheritance, efa_xray/state/ensemble.py:15)."""
+    a = make_demo_state(nvars=2, ntimes=2, ny=3, nx=4, nmems=5, seed=0)
+    b = make_demo_state(nvars=2, ntimes=2, ny=3, nx=4, nmems=5, seed=1)
+    inc = b - a
+    assert isinstance(inc, EnsembleState)
+    np.testing.assert_allclose(np.asarray(inc.data),
+                               np.asarray(b.data) - np.asarray(a.data))
+    assert inc.structure is b.structure  # left structure carried
+
+    np.testing.assert_allclose(np.asarray((a + b).data),
+                               np.asarray(a.data) + np.asarray(b.data))
+    np.testing.assert_allclose(np.asarray((a * 2.0).data),
+                               2.0 * np.asarray(a.data))
+    np.testing.assert_allclose(np.asarray((3.0 * a).data),
+                               3.0 * np.asarray(a.data))
+    np.testing.assert_allclose(np.asarray((1.0 + a).data),
+                               1.0 + np.asarray(a.data))
+    shifted = a + 10.0  # keep positive for division/pow cases
+    np.testing.assert_allclose(np.asarray((1.0 / shifted).data),
+                               1.0 / np.asarray(shifted.data))
+    np.testing.assert_allclose(np.asarray((shifted / 2.0).data),
+                               np.asarray(shifted.data) / 2.0)
+    np.testing.assert_allclose(np.asarray((shifted ** 2).data),
+                               np.asarray(shifted.data) ** 2)
+    np.testing.assert_allclose(np.asarray((-a).data), -np.asarray(a.data))
+    np.testing.assert_allclose(np.asarray(abs(a).data),
+                               np.abs(np.asarray(a.data)))
+    np.testing.assert_allclose(np.asarray((2.0 - a).data),
+                               2.0 - np.asarray(a.data))
+
+
+def test_arithmetic_broadcast_array_and_mismatch():
+    a = make_demo_state(nvars=2, ntimes=2, ny=3, nx=4, nmems=5, seed=0)
+    # per-member weights broadcast over [V,T,Y,X,M]
+    w = np.linspace(0.5, 1.5, 5)
+    np.testing.assert_allclose(np.asarray((a * w).data),
+                               np.asarray(a.data) * w)
+    small = make_demo_state(nvars=2, ntimes=2, ny=3, nx=4, nmems=3, seed=0)
+    with pytest.raises(ValueError, match="mismatch"):
+        _ = a + small
+
+
+def test_arithmetic_matches_perts_inflation_idiom():
+    """mean + perts*factor written with operators equals the dedicated
+    inflation path's algebra."""
+    a = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=6, seed=2)
+    mean = a.ensemble_mean()[..., None]
+    inflated = (a - a.replace_data(jnp.broadcast_to(mean, a.data.shape))) \
+        * 1.3 + mean
+    ref = (np.asarray(a.data) - np.asarray(mean)) * 1.3 + np.asarray(mean)
+    np.testing.assert_allclose(np.asarray(inflated.data), ref, rtol=1e-12)
