@@ -511,6 +511,21 @@ class EnsembleState:
     def __pow__(self, other):
         return self._binop(other, jnp.power)
 
+    def where(self, cond, other=jnp.nan) -> "EnsembleState":
+        """xarray ``Dataset.where`` analog: keep elements where ``cond``
+        is true, replace the rest with ``other`` (NaN by default).
+        ``cond`` may be a boolean array broadcastable against
+        ``[V,T,Y,X,M]`` or another EnsembleState (its data used as the
+        mask); ``other`` a scalar, broadcastable array, or EnsembleState."""
+        if isinstance(cond, EnsembleState):
+            cond = cond.data
+        if isinstance(other, EnsembleState):
+            other = other.data
+        return EnsembleState(
+            jnp.where(jnp.asarray(cond, dtype=bool), self.data, other),
+            self.structure,
+        )
+
     def __neg__(self):
         return EnsembleState(-self.data, self.structure)
 

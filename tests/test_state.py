@@ -392,3 +392,20 @@ def test_arithmetic_matches_perts_inflation_idiom():
         * 1.3 + mean
     ref = (np.asarray(a.data) - np.asarray(mean)) * 1.3 + np.asarray(mean)
     np.testing.assert_allclose(np.asarray(inflated.data), ref, rtol=1e-12)
+
+
+def test_where_masks_like_dataset_where():
+    a = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=5, seed=0)
+    arr = np.asarray(a.data)
+    cond = arr > arr.mean()
+    masked = a.where(cond)
+    got = np.asarray(masked.data)
+    np.testing.assert_allclose(got[cond], arr[cond])
+    assert np.isnan(got[~cond]).all()
+    filled = a.where(cond, -1.0)
+    assert (np.asarray(filled.data)[~cond] == -1.0).all()
+    # EnsembleState operands for both mask and fill
+    b = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=5, seed=1)
+    swapped = a.where(a.replace_data(jnp.asarray(cond)), b)
+    np.testing.assert_allclose(np.asarray(swapped.data)[~cond],
+                               np.asarray(b.data)[~cond])
