@@ -10,8 +10,8 @@ import os
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 NOTES = {
-    "core": "configs 0/2/5/1 (first pass; config 1 pre-retune, config 5 "
-            "pre sync-accounting)",
+    "core": "configs 0/2/5/1 at the round-4 HEAD (config 1 on the evolved-"
+            "std operating point, config 5 with sync-comparable accounting)",
     "anatomy": "SUPERSEDED by anatomy2: phase labels were off by one",
     "anatomy2": "corrected prefix-timing phase anatomy of EnSRF.update()",
     "cycled": "SUPERSEDED by cycled3: diverged (lambda applied unsquare-"
