@@ -33,6 +33,7 @@ import numpy as np
 from efa_xray_tpu.observation import localization as _loc
 from efa_xray_tpu.state.structure import StateStructure
 from efa_xray_tpu.utils import timeutil
+from efa_xray_tpu.utils.logging import logger
 
 _COORD_NAMES = ("validtime", "lat", "lon", "mem", "x", "y", "location")
 
@@ -262,7 +263,7 @@ class EnsembleState:
             np.asarray([self.structure.var_index(var)], dtype=np.int32),
         )
         if not bool(taps.qc_ok[0]):
-            print("Interpolation is outside of time range in state!")
+            logger.warning("Interpolation is outside of time range in state!")
             return None
         ye = _fwd.apply_taps_obj(self.to_vect(), taps)
         return ye[0]
@@ -475,16 +476,37 @@ class EnsembleState:
         ``[V,T,Y,X,M]`` block.  The reference gets all of these from its
         xarray.Dataset inheritance (``efa_xray/state/ensemble.py:15``) —
         e.g. ``post - prior`` for increments, ``perts * factor`` for
-        inflation."""
+        inflation.  Unlike xarray there is NO coordinate alignment:
+        state-state ops require matching shape, variables, times and grid
+        (checked), and the LEFT operand's structure is carried."""
         if isinstance(other, EnsembleState):
-            s, o = self.structure, other.structure
-            if s.shape != o.shape or s.var_names != o.var_names:
-                raise ValueError(
-                    f"EnsembleState arithmetic shape/vars mismatch: "
-                    f"{s.var_names}{s.shape} vs {o.var_names}{o.shape}"
-                )
+            self._check_compatible(other, "arithmetic")
             other = other.data
         return EnsembleState(op(self.data, other), self.structure)
+
+    def _check_compatible(self, other: "EnsembleState", what: str):
+        """State-state ops must agree on shape, variables, valid times and
+        grid — xarray would align on coordinates; we refuse instead of
+        silently combining mismatched states under the left metadata."""
+        s, o = self.structure, other.structure
+        if s is o:
+            return
+        if s.shape != o.shape or s.var_names != o.var_names:
+            raise ValueError(
+                f"EnsembleState {what} shape/vars mismatch: "
+                f"{s.var_names}{s.shape} vs {o.var_names}{o.shape}"
+            )
+        if not (
+            np.array_equal(np.asarray(s.times_s), np.asarray(o.times_s))
+            and np.allclose(np.asarray(s.lat), np.asarray(o.lat))
+            and np.allclose(np.asarray(s.lon), np.asarray(o.lon))
+        ):
+            raise ValueError(
+                f"EnsembleState {what} coordinate mismatch (same shape but "
+                "different validtimes or lat/lon grid); no xarray-style "
+                "alignment is performed — subset both states to a common "
+                "grid first (see docs/migration.md)"
+            )
 
     def __add__(self, other):
         return self._binop(other, jnp.add)
@@ -511,6 +533,14 @@ class EnsembleState:
     def __pow__(self, other):
         return self._binop(other, jnp.power)
 
+    def __rpow__(self, other):
+        return self._binop(other, lambda a, b: jnp.power(b, a))
+
+    # Make numpy defer to the reflected ops above: without this,
+    # ``np_array * state`` is consumed elementwise by numpy and silently
+    # returns an object ndarray of per-element EnsembleStates.
+    __array_ufunc__ = None
+
     def where(self, cond, other=jnp.nan) -> "EnsembleState":
         """xarray ``Dataset.where`` analog: keep elements where ``cond``
         is true, replace the rest with ``other`` (NaN by default).
@@ -518,8 +548,10 @@ class EnsembleState:
         ``[V,T,Y,X,M]`` or another EnsembleState (its data used as the
         mask); ``other`` a scalar, broadcastable array, or EnsembleState."""
         if isinstance(cond, EnsembleState):
+            self._check_compatible(cond, "where(cond)")
             cond = cond.data
         if isinstance(other, EnsembleState):
+            self._check_compatible(other, "where(other)")
             other = other.data
         return EnsembleState(
             jnp.where(jnp.asarray(cond, dtype=bool), self.data, other),

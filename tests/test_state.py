@@ -409,3 +409,40 @@ def test_where_masks_like_dataset_where():
     swapped = a.where(a.replace_data(jnp.asarray(cond)), b)
     np.testing.assert_allclose(np.asarray(swapped.data)[~cond],
                                np.asarray(b.data)[~cond])
+
+
+def test_arithmetic_reflected_pow_and_numpy_left_operand():
+    """``2.0 ** state`` and ``np_array * state`` must dispatch to the
+    reflected EnsembleState ops (``__array_ufunc__ = None`` makes numpy
+    defer) instead of numpy consuming the state elementwise."""
+    a = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=5, seed=0)
+    small = (a - a) + 1.5  # well-conditioned base/exponent
+    r = 2.0 ** small
+    assert isinstance(r, EnsembleState)
+    np.testing.assert_allclose(np.asarray(r.data),
+                               2.0 ** np.asarray(small.data))
+    w = np.linspace(0.5, 1.5, 5)  # numpy array on the LEFT
+    left = w * a
+    assert isinstance(left, EnsembleState)
+    np.testing.assert_allclose(np.asarray(left.data), np.asarray(a.data) * w)
+    lsub = w - small
+    assert isinstance(lsub, EnsembleState)
+    np.testing.assert_allclose(np.asarray(lsub.data),
+                               w - np.asarray(small.data))
+
+
+def test_arithmetic_coordinate_mismatch_raises():
+    """Same shape but different validtimes/grid must refuse (no silent
+    left-metadata combine; xarray would align on coordinates)."""
+    a = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=5, seed=0)
+    b = make_demo_state(nvars=1, ntimes=2, ny=3, nx=4, nmems=5, seed=1)
+    _ = a + b  # identical coords: fine
+    import dataclasses
+    shifted_struct = dataclasses.replace(
+        b.structure, times_s=np.asarray(b.structure.times_s) + 3600
+    )
+    c = EnsembleState(b.data, shifted_struct)
+    with pytest.raises(ValueError, match="coordinate mismatch"):
+        _ = a + c
+    with pytest.raises(ValueError, match="coordinate mismatch"):
+        _ = a.where(a.replace_data(jnp.asarray(a.data > 0)), c)
