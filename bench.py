@@ -5,49 +5,163 @@ North-star metric (BASELINE.md): **obs x state-points assimilated per
 second** in the EnSRF update.  The workload is the BASELINE pod config at
 its TRUE size — a 1e7-row global state, 80 members, 10k localized point
 obs (the <10 s v5p-8 target, measured here on ONE v5e chip) — run with
-the donating fused v4 kernel in float32.  Larger states amortize the
-sequential tail solve better, so this is also the best-throughput
-operating point (measured 7.9e10 vs 3.6e10 obs*points/s at the old
-1M-row workload).
+the donating fused v4 kernel in float32.
 
-The 3.2 GB state is generated ON DEVICE: the tunneled host->device path
-runs ~40 MB/s, and iid rows are layout-invariant, so drawing them
-directly in Hilbert coordinate order is statistically identical to
-uploading a host-sorted array.
+Stall-proof orchestration (round-5, after BENCH_r04 rc=124 with zero
+output): the driver needs ONE parseable JSON line on stdout, and a hang
+anywhere (tunnel stall, 300-600 s remote compile, host allocation) must
+not erase the whole round's evidence.  So:
+
+  * Each probe runs in its OWN subprocess with a hard budget; the parent
+    can always kill it and keep going.
+  * The headline JSON line is printed (and flushed) IMMEDIATELY after the
+    TPU probe returns — the reference/API probes only append detail by
+    reprinting an extended line afterwards (the driver parses the last
+    JSON line; every earlier line is already a valid fallback).
+  * The reference-timing probe runs on a ROW-SAMPLED state (default 1e6
+    rows, scaled linearly — the reference loop is strictly linear in
+    nstate per ob) instead of allocating 6.4 GB of float64.
+  * Progress + elapsed stream to stderr, so a driver timeout leaves a
+    diagnosable tail.
+  * If the full-size TPU probe fails or times out, a 1e6-row fallback
+    probe runs (cheaper compile); if THAT fails the parent still prints
+    a degraded-but-parseable line.  The parent always exits 0.
 
 ``vs_baseline`` is measured, not assumed: the reference implementation's
 per-observation NumPy update (covariance contraction + rank-1 outer
 update + localization weights, float64 — exactly the ops of
-``efa_xray/assimilation/ensrf.py:95,99-115,130,141``) is timed at the
-same state size for a small number of obs and extrapolated linearly in
-nobs (the reference loop is strictly linear in nobs).
+``efa_xray/assimilation/ensrf.py:95,99-115,130,141``) is timed on the
+row sample and extrapolated linearly in nstate and nobs.
 
-Prints ONE JSON line:
+Prints ONE JSON line (possibly reprinted with more detail):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+T_START = time.perf_counter()
 
-import jax
-import jax.numpy as jnp
+# Reference per-ob seconds at nstate=1e7/nmems=80, measured in BENCH_r03
+# (241379.6 s / 10000 obs).  Used ONLY if the reference probe itself
+# fails; flagged as "fallback_r03" in detail when used.
+_REF_PER_OB_FALLBACK_R03 = 24.138
 
 
-def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
-                   dtype=jnp.float32):
-    """Hilbert-ingested geometry on host; state/tail ensembles on device."""
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: harmless if unsupported on the
+    tunneled backend (guarded), a large win across phase subprocesses and
+    driver re-runs when it works."""
+    try:
+        import jax
+        cache_dir = os.environ.get("JAX_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/jax_bench"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover - defensive
+        log(f"compile cache unavailable: {e!r}")
+
+
+# --------------------------------------------------------------------------
+# Phase: reference NumPy probe (row-sampled)
+# --------------------------------------------------------------------------
+
+def phase_ref(nstate_sample=1_000_000, nmems=80, nobs_sample=4,
+              localize=True, seed=0):
+    """Time the reference's per-ob NumPy ops on a row-sampled state;
+    per-ob cost is strictly linear in nstate (one O(nstate*nens)
+    contraction + one O(nstate) weight build + one O(nstate*nens) outer
+    update), so the full-size per-ob time is per_ob * (nstate/sample)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    log(f"ref probe: allocating float64 sample ({nstate_sample}x{nmems})")
+    Xbp = rng.standard_normal((nstate_sample, nmems)) * 5.0
+    xbm = np.full(nstate_sample, 280.0)
+    state_lat = rng.uniform(-88.0, 88.0, nstate_sample)
+    state_lon = rng.uniform(0.0, 360.0, nstate_sample)
+    ob_lat = rng.uniform(-88.0, 88.0, nobs_sample)
+    ob_lon = rng.uniform(0.0, 360.0, nobs_sample)
+    values = 280.0 + rng.normal(0, 1.0, nobs_sample)
+    errors = np.full(nobs_sample, 1.0)
+    radii = np.full(nobs_sample, 2000.0)
+    ye_all = rng.standard_normal((nobs_sample, nmems)) * 5.0
+
+    def gc_np(dist, halfwidth):
+        r = dist / abs(halfwidth)
+        wts = np.zeros_like(r)
+        m1 = r <= 1.0
+        m2 = (r > 1.0) & (r < 2.0)
+        wts[m1] = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2 + 1.0)[m1]
+        with np.errstate(divide="ignore"):
+            wts[m2] = (
+                ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
+                + 4.0
+                - 2.0 / (3.0 * r)
+            )[m2]
+        return wts
+
+    def hav_np(lat1, lon1, lat2, lon2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        a = (
+            np.sin((p2 - p1) / 2) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * 6371.0 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+    per_ob = []
+    for i in range(nobs_sample):
+        t0 = time.perf_counter()
+        ye = ye_all[i] - ye_all[i].mean()
+        varye = np.var(ye)
+        kdenom = varye + errors[i]
+        kcov = Xbp @ ye / (nmems - 1)
+        if localize:
+            d = hav_np(state_lat, state_lon, ob_lat[i], ob_lon[i])
+            kcov = kcov * gc_np(d, radii[i])
+        kmat = kcov / kdenom
+        innov = values[i] - ye_all[i].mean()
+        xbm2 = xbm + kmat * innov
+        beta = 1.0 / (1.0 + np.sqrt(errors[i] / kdenom))
+        Xbp2 = Xbp - np.outer(beta * kmat, ye)
+        del xbm2, Xbp2
+        dt = time.perf_counter() - t0
+        per_ob.append(dt)
+        log(f"ref probe: ob {i} {dt:.3f}s")
+    # min over the sample is robust to host contention
+    return {"per_ob_seconds_at_sample": min(per_ob),
+            "nstate_sample": nstate_sample}
+
+
+# --------------------------------------------------------------------------
+# Phase: TPU headline probe
+# --------------------------------------------------------------------------
+
+def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4):
+    """Hilbert-ingested geometry on host; state/tail ensembles on device.
+
+    The 3.2 GB state is generated ON DEVICE: the tunneled host->device
+    path runs ~40 MB/s, and iid rows are layout-invariant, so drawing
+    them directly in Hilbert coordinate order is statistically identical
+    to uploading a host-sorted array."""
+    import numpy as np
     from efa_xray_tpu.observation.thinning import _hilbert3d_np
 
     rng = np.random.default_rng(seed)
-    # Ingest-time spherical Hilbert layout (host, geometry-static, done once
-    # like forward-operator taps): row order is an internal layout choice
-    # (per-row updates are row-local) and obs order is the caller's choice
-    # in a serial filter (the reference demo shuffles it).  Sorted layout
-    # makes row tiles compact caps, so the fused kernel's localization
-    # culling skips (tile, panel) pairs whose Gaspari-Cohn weights are
-    # provably zero.
+    # Ingest-time spherical Hilbert layout (host, geometry-static, done
+    # once like forward-operator taps): sorted layout makes row tiles
+    # compact caps, so the fused kernel's localization culling skips
+    # (tile, panel) pairs whose Gaspari-Cohn weights are provably zero.
     state_lat = rng.uniform(-88.0, 88.0, nstate)
     state_lon = rng.uniform(0.0, 360.0, nstate)
     ro = np.argsort(_hilbert3d_np(state_lat, state_lon), kind="stable")
@@ -59,22 +173,13 @@ def build_workload(nstate=10_000_000, nmems=80, nobs=10_000, seed=4,
     values = 280.0 + rng.normal(0, 1.0, nobs)
     errors = np.full(nobs, 1.0)
     radii = np.full(nobs, 2000.0)
-    return dict(
-        nstate=nstate,
-        nmems=nmems,
-        state_lat=state_lat,
-        state_lon=state_lon,
-        values=values,
-        errors=errors,
-        radii=radii,
-        ob_lat=ob_lat,
-        ob_lon=ob_lon,
-        dtype=dtype,
-    )
+    return dict(nstate=nstate, nmems=nmems, state_lat=state_lat,
+                state_lon=state_lon, values=values, errors=errors,
+                radii=radii, ob_lat=ob_lat, ob_lon=ob_lon)
 
 
-def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192,
-            mxu_bf16=False):
+def phase_tpu(nstate=10_000_000, nmems=80, nobs=10_000, block_size=128,
+              localize=True, iters=2, tile=8192, mxu_bf16=False):
     """Time the blocked update with the chained-iterations + scalar-sync
     protocol.  NOTE: on tunneled/experimental platforms
     ``jax.block_until_ready`` can return before execution finishes, so the
@@ -83,11 +188,15 @@ def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192,
     next prior (donating the state buffers: at most two 3.2 GB state
     allocations ever exist), so nothing can be elided or overlapped past
     the pull."""
+    import jax
+    import jax.numpy as jnp
     from efa_xray_tpu.assimilation import ensrf_core as core
 
-    dtype = w["dtype"]
-    nstate, nmems = w["nstate"], w["nmems"]
-    nobs = len(w["values"])
+    log(f"tpu probe: building workload nstate={nstate} nobs={nobs}")
+    w = build_workload(nstate=nstate, nmems=nmems, nobs=nobs)
+    dtype = jnp.float32
+
+    log("tpu probe: staging device arrays")
     body_mean = 280.0 + 0.5 * jax.random.normal(
         jax.random.PRNGKey(3), (nstate,), dtype=dtype
     )
@@ -144,80 +253,37 @@ def run_tpu(w, block_size=128, localize=True, iters=2, tile=8192,
         return jnp.sum(bm) + jnp.sum(bp[:, 0])
 
     # compile + warmup both paths, then sync via a real host pull
+    log("tpu probe: first step (compile; 30-600 s on the tunnel)")
     carry = step(body_mean, body_perts, tail_mean, tail_perts)
     del body_mean, body_perts  # donated
     _ = float(digest(carry[0], carry[1]))
+    log("tpu probe: compile+warmup done; measuring sync latency")
     t0 = time.perf_counter()
-    sync_lat = None
     _ = float(digest(carry[0], carry[1]))
     sync_lat = time.perf_counter() - t0
+    log(f"tpu probe: sync latency {sync_lat:.3f}s; timing {iters} chained iters")
 
     t0 = time.perf_counter()
     for _ in range(iters):
         carry = step(*carry)
     _ = float(digest(carry[0], carry[1]))
     dt = (time.perf_counter() - t0 - sync_lat) / iters
-    return max(dt, 1e-9)
+    log(f"tpu probe: {dt:.3f}s/update")
+    return {"tpu_seconds": max(dt, 1e-9), "nstate": nstate, "nmems": nmems,
+            "nobs": nobs, "backend": jax.default_backend(),
+            "device": str(jax.devices()[0])}
 
 
-def run_reference_numpy(w, nobs_sample=4, localize=True):
-    """Time the reference's per-ob NumPy ops at the same state size;
-    returns extrapolated seconds for the full nobs."""
-    nstate, nens = w["nstate"], w["nmems"]
-    nobs = len(w["values"])
-    rng = np.random.default_rng(0)
-    Xbp = rng.standard_normal((nstate, nens)) * 5.0  # float64, as the ref runs
-    xbm = np.full(nstate, 280.0)
-    w = dict(w, ye=rng.standard_normal((nobs_sample, nens)) * 5.0)
+# --------------------------------------------------------------------------
+# Phase: public-API probe
+# --------------------------------------------------------------------------
 
-    def gc_np(dist, halfwidth):
-        r = dist / abs(halfwidth)
-        wts = np.zeros_like(r)
-        m1 = r <= 1.0
-        m2 = (r > 1.0) & (r < 2.0)
-        wts[m1] = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2 + 1.0)[m1]
-        with np.errstate(divide="ignore"):
-            wts[m2] = (
-                ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
-                + 4.0
-                - 2.0 / (3.0 * r)
-            )[m2]
-        return wts
-
-    def hav_np(lat1, lon1, lat2, lon2):
-        p1, p2 = np.radians(lat1), np.radians(lat2)
-        a = (
-            np.sin((p2 - p1) / 2) ** 2
-            + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
-        )
-        return 2 * 6371.0 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
-
-    # Per-ob time = min over the sample (robust to host contention); the
-    # reference loop is strictly linear in nobs, so extrapolate.
-    per_ob = []
-    for i in range(nobs_sample):
-        t0 = time.perf_counter()
-        ye = w["ye"][i] - w["ye"][i].mean()
-        varye = np.var(ye)
-        kdenom = varye + w["errors"][i]
-        kcov = Xbp @ ye / (nens - 1)
-        if localize:
-            d = hav_np(w["state_lat"], w["state_lon"], w["ob_lat"][i], w["ob_lon"][i])
-            kcov = kcov * gc_np(d, w["radii"][i])
-        kmat = kcov / kdenom
-        innov = w["values"][i] - w["ye"][i].mean()
-        xbm2 = xbm + kmat * innov
-        beta = 1.0 / (1.0 + np.sqrt(w["errors"][i] / kdenom))
-        Xbp2 = Xbp - np.outer(beta * kmat, ye)
-        del xbm2, Xbp2
-        per_ob.append(time.perf_counter() - t0)
-    return min(per_ob) * nobs
-
-
-def run_api(nmems=80, nobs=2048, seed=1):
+def phase_api(nmems=80, nobs=10_000, seed=1):
     """End-to-end EnSRF.update() through the full public API at headline
     scale (1024x1024 grid): build_taps (host+device) + obs priors +
-    formatting + tail scan + fused kernel.  Returns (api_s, taps_s)."""
+    formatting + tail scan + fused kernel.  Returns api/taps seconds."""
+    import numpy as np
+    import jax.numpy as jnp
     from efa_xray_tpu.assimilation.ensrf import EnSRF
     from efa_xray_tpu.config import FilterConfig
     from efa_xray_tpu.observation.observation import ObservationBatch
@@ -262,56 +328,145 @@ def run_api(nmems=80, nobs=2048, seed=1):
         _ = float(jnp.sum(post.data))  # scalar pull = real sync
         return t_taps, time.perf_counter() - t0
 
+    log("api probe: warmup update (compiles)")
     one_update()  # warm every compile in the path
+    log("api probe: timed update")
     t_taps, t_api = one_update()
-    return t_api, t_taps
+    return {"api_seconds": t_api, "taps_seconds": t_taps}
+
+
+# --------------------------------------------------------------------------
+# Orchestrator
+# --------------------------------------------------------------------------
+
+def run_phase(name, budget, extra_args=()):
+    """Run one probe in a subprocess with a hard budget.  stdout (the JSON
+    result) is captured; stderr (progress) streams through.  Returns the
+    parsed dict or None."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", name,
+           *extra_args]
+    log(f"phase {name}: starting (budget {budget:.0f}s)")
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=budget)
+    except subprocess.TimeoutExpired:
+        log(f"phase {name}: TIMEOUT after {budget:.0f}s")
+        return None
+    except Exception as e:
+        log(f"phase {name}: failed to launch: {e!r}")
+        return None
+    if r.returncode != 0:
+        log(f"phase {name}: rc={r.returncode}")
+        return None
+    for line in reversed(r.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+                log(f"phase {name}: ok")
+                return out
+            except json.JSONDecodeError:
+                continue
+    log(f"phase {name}: no JSON in output")
+    return None
+
+
+def emit(result):
+    print(json.dumps(result), flush=True)
 
 
 def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
     nstate, nmems, nobs = 10_000_000, 80, 10_000
-    w = build_workload(nstate=nstate, nmems=nmems, nobs=nobs)
 
-    dt_tpu = run_tpu(w)
-    dt_ref = run_reference_numpy(w)
-    try:
-        dt_api, dt_taps = run_api(nmems=nmems, nobs=nobs)
-    except Exception as e:  # never let the API probe kill the headline
-        dt_api, dt_taps = None, None
-        import sys
+    def remaining():
+        return deadline - (time.perf_counter() - T_START)
 
-        print(f"api bench failed: {e!r}", file=sys.stderr)
+    # 1. Reference probe first: cheap (row-sampled), gives vs_baseline for
+    #    the headline line the moment the TPU number lands.
+    ref = run_phase("ref", budget=min(420.0, max(60.0, remaining() - 1500)))
+    if ref is not None:
+        ref_per_ob = (ref["per_ob_seconds_at_sample"]
+                      * nstate / ref["nstate_sample"])
+        ref_src = "measured_rowsampled"
+    else:
+        ref_per_ob = _REF_PER_OB_FALLBACK_R03
+        ref_src = "fallback_r03"
+    dt_ref = ref_per_ob * nobs
 
-    points = nobs * nstate
-    value = points / dt_tpu
-    vs_baseline = dt_ref / dt_tpu  # speedup factor
+    # 2. TPU headline probe, with a downscaled fallback.
+    tpu = run_phase("tpu", budget=min(1500.0, max(120.0, remaining() - 240)))
+    downscaled = False
+    if tpu is None and remaining() > 300:
+        log("falling back to 1e6-row TPU probe")
+        tpu = run_phase("tpu", budget=min(900.0, remaining() - 60),
+                        extra_args=("--nstate", "1000000"))
+        downscaled = tpu is not None
 
-    print(
-        json.dumps(
-            {
-                "metric": "ensrf_obs_statepoints_per_sec",
-                "value": value,
-                "unit": "obs*points/s",
-                "vs_baseline": vs_baseline,
-                "detail": {
-                    "nstate": nstate,
-                    "nmems": nmems,
-                    "nobs": nobs,
-                    "tpu_seconds": dt_tpu,
-                    # Full-public-API probe (EnSRF.update() on a 1024x1024
-                    # EnsembleState with the same 10k obs; host-side state
-                    # construction bounds the probe size): update() wall
-                    # seconds and the forward-operator (build_taps) cost.
-                    "api_seconds": dt_api,
-                    "taps_seconds": dt_taps,
-                    "reference_numpy_seconds_extrapolated": dt_ref,
-                    "fast_geometry": True,
-                    "backend": jax.default_backend(),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    if tpu is None:
+        emit({
+            "metric": "ensrf_obs_statepoints_per_sec",
+            "value": 0.0,
+            "unit": "obs*points/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "tpu probe timed out/failed; see stderr",
+                       "reference_numpy_seconds_extrapolated": dt_ref,
+                       "reference_probe": ref_src},
+        })
+        return
+
+    eff_nstate = tpu["nstate"]
+    dt_tpu = tpu["tpu_seconds"]
+    dt_ref_eff = ref_per_ob * (eff_nstate / nstate) * nobs
+    result = {
+        "metric": "ensrf_obs_statepoints_per_sec",
+        "value": nobs * eff_nstate / dt_tpu,
+        "unit": "obs*points/s",
+        "vs_baseline": dt_ref_eff / dt_tpu,
+        "detail": {
+            "nstate": eff_nstate,
+            "nmems": nmems,
+            "nobs": nobs,
+            "tpu_seconds": dt_tpu,
+            "reference_numpy_seconds_extrapolated": dt_ref_eff,
+            "reference_probe": ref_src,
+            "downscaled": downscaled,
+            "fast_geometry": True,
+            "backend": tpu.get("backend"),
+            "device": tpu.get("device"),
+        },
+    }
+    # Headline line NOW — everything after this only upgrades it.
+    emit(result)
+
+    # 3. Optional public-API probe; reprint the extended line on success.
+    if remaining() > 150:
+        api = run_phase("api", budget=min(800.0, remaining() - 30))
+        if api is not None:
+            # Full-public-API probe (EnSRF.update() on a 1024x1024
+            # EnsembleState with the same 10k obs; host-side state
+            # construction bounds the probe size): update() wall seconds
+            # and the forward-operator (build_taps) cost.
+            result["detail"]["api_seconds"] = api["api_seconds"]
+            result["detail"]["taps_seconds"] = api["taps_seconds"]
+            emit(result)
+    else:
+        log("skipping api probe: deadline near")
 
 
 if __name__ == "__main__":
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument("--phase", choices=["ref", "tpu", "api"])
+    p.add_argument("--nstate", type=int, default=10_000_000)
+    p.add_argument("--nobs", type=int, default=10_000)
+    p.add_argument("--nmems", type=int, default=80)
+    a = p.parse_args()
+    if a.phase is None:
+        main()
+    elif a.phase == "ref":
+        emit(phase_ref(nmems=a.nmems))
+    elif a.phase == "tpu":
+        _enable_compile_cache()
+        emit(phase_tpu(nstate=a.nstate, nmems=a.nmems, nobs=a.nobs))
+    elif a.phase == "api":
+        _enable_compile_cache()
+        emit(phase_api(nmems=a.nmems, nobs=a.nobs))
