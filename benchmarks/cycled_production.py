@@ -59,6 +59,13 @@ def main():
                          "in the rest accumulates until the forecast "
                          "leaves the attractor (measured: NaN by cycle "
                          "3-4 on CPU AND chip at radius 2000).")
+    ap.add_argument("--damp", type=float, default=0.7,
+                    help="DART-style inflation damping factor "
+                         "(calibrated: docs/recipes.md inflation table)")
+    ap.add_argument("--max", dest="adaptive_max", type=float, default=1.7,
+                    help="inflation field cap (inf_upper_bound analog)")
+    ap.add_argument("--bias-alpha", type=float, default=0.2,
+                    help="online bias-correction learning rate")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (smoke tests; the "
@@ -119,15 +126,20 @@ def main():
         # (inf_upper_bound analog) are both required: points observed
         # only peripherally (gamma << 1) integrate the network's excess
         # innovations multiplicatively — measured x2/cycle at the field
-        # max, which outruns any damping factor.
-        adaptive_damp=0.9,
-        adaptive_max=4.0,
+        # max, which outruns any damping factor.  The defaults are the
+        # CALIBRATED operating point (damp 0.7 / cap 1.7 at the default
+        # 320x320/8k-obs scale: spread/RMSE 0.989 measured on chip;
+        # the r4 survival recipe 0.9/4.0 was 1.35 overdispersive
+        # with the field pinned at 3.7 = 1 + damp*(cap-1)); scan table
+        # in docs/recipes.md.
+        adaptive_damp=args.damp,
+        adaptive_max=args.adaptive_max,
     )
     adapt = AdaptiveInflation(
         EnsembleState(jnp.transpose(ens, (1, 2, 0))[None, None], structure),
         ("adaptive", "/nonexistent.nc", (1.0, 0.6)),
     )
-    bias = BiasCorrection(alpha=0.2)
+    bias = BiasCorrection(alpha=args.bias_alpha)
 
     def make_batch(values):
         return ObservationBatch(
@@ -239,6 +251,9 @@ def main():
         "ob_bias_true": args.ob_bias,
         "ob_bias_estimated_final": float(est_bias_hist[-1]),
         "localize_radius_km": args.radius,
+        "adaptive_damp": args.damp,
+        "adaptive_max": args.adaptive_max,
+        "bias_alpha": args.bias_alpha,
         "qc_rejected_total": int(np.sum(nrej_hist)),
         "inflation_field_minmax": [
             float(np.min(adapt.mean["X"])), float(np.max(adapt.mean["X"]))],

@@ -28,7 +28,7 @@ def obs_assimilation_statistics(
     assert isinstance(post, EnsembleState)
     batch = ObservationBatch.coerce(obs)
 
-    taps = _fwd.build_taps(
+    taps = _fwd.build_taps_cached(
         prior.structure,
         batch.lats,
         batch.lons,

@@ -188,7 +188,7 @@ def observation_impact(
     j = metric_values(state, metric)
     jp = jnp.asarray(j - j.mean(), dtype=state.data.dtype)
 
-    taps = _fwd.build_taps(
+    taps = _fwd.build_taps_cached(
         s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
         time_weighting=time_weighting,
     )
@@ -265,7 +265,7 @@ def greedy_obs_selection(
     j = metric_values(state, metric)
     jp = j - j.mean()
 
-    taps = _fwd.build_taps(
+    taps = _fwd.build_taps_cached(
         s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
         time_weighting=time_weighting,
     )

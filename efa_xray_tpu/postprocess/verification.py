@@ -70,7 +70,7 @@ def rank_histogram(state: EnsembleState, obs, time_weighting: str = "linear"):
     ``counts`` of length ``nmems + 1`` (flat == statistically reliable)."""
     batch = ObservationBatch.coerce(obs)
     s = state.structure
-    taps = _fwd.build_taps(
+    taps = _fwd.build_taps_cached(
         s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
         time_weighting=time_weighting,
     )
@@ -102,7 +102,7 @@ def crps(state: EnsembleState, obs, time_weighting: str = "linear",
     """
     batch = ObservationBatch.coerce(obs)
     s = state.structure
-    taps = _fwd.build_taps(
+    taps = _fwd.build_taps_cached(
         s, batch.lats, batch.lons, batch.times_s, batch.var_indices(s),
         time_weighting=time_weighting,
     )
