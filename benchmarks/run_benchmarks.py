@@ -636,16 +636,27 @@ def bench_config6(patch_size=8, k_obs=64, nobs=2000):
 
 
 def bench_config7(patch_size=8, k_obs=64, topk_method="exact"):
-    """LETKF at the pod-slice scale: 10k obs x 4.2M pts x 80 mems."""
+    """LETKF at the pod-slice scale: 10k obs x 4.2M pts x 80 mems.
+
+    Hilbert-ingested rows AND obs, like every EnSRF config (and like
+    `letkf_breakdown.py`, the script behind the r3 host-topk numbers):
+    the host certificate bundles Hilbert-adjacent patches, so a randomly
+    ordered grid doubles the certified candidate width (measured S=1032
+    vs 512 at this geometry) — the entire r3->r4 "regression" (1.83 ->
+    2.20 s) was this script measuring an unsorted layout."""
     rng = np.random.default_rng(4)
     ngrid, nmems, nobs = 4_194_304, 80, 10_000
     state_lat = rng.uniform(-88, 88, ngrid)
     state_lon = rng.uniform(0, 360, ngrid)
     prior = rng.normal(280, 5, (ngrid, nmems)).astype(np.float32)
     rows = rng.integers(0, ngrid, nobs)
+    ob_vals = prior[rows].mean(1) + rng.normal(0, 1, nobs)
+    state_lat, state_lon, prior, ob_lat, ob_lon, ob_vals, _, _ = (
+        _morton_ingest(state_lat, state_lon, prior,
+                       state_lat[rows], state_lon[rows], ob_vals))
     obs = _obs_arrays(
-        prior[rows].mean(1) + rng.normal(0, 1, nobs), np.ones(nobs),
-        state_lat[rows], state_lon[rows], np.full(nobs, 2000.0), jnp.float32,
+        ob_vals, np.ones(nobs),
+        ob_lat, ob_lon, np.full(nobs, 2000.0), jnp.float32,
     )
     dt = _timed_letkf(prior, state_lat, state_lon, obs, ngrid,
                       patch_size=patch_size, k_obs=k_obs, iters=2,

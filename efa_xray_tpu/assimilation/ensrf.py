@@ -236,9 +236,8 @@ class EnSRF(Assimilation):
             if hybrid_kwargs or vl_kwargs:
                 raise ValueError(
                     "obs_chunk does not combine with hybrid covariance or "
-                    "variable localization (the chunked driver appends obs "
-                    "rows to the state body, and those options carry "
-                    "per-row inputs it does not extend)"
+                    "variable localization (the chunked body sweep carries "
+                    "no per-row static/var inputs)"
                 )
             bm, bp, tm, tp, diags = self._solve_obs_chunked(
                 body_mean, body_perts, tail_mean, tail_perts,
@@ -246,6 +245,29 @@ class EnSRF(Assimilation):
                 int(obs_chunk),
             )
         elif self.mesh is not None:
+            # The sharded driver has no chunked mode: a huge batch runs
+            # the giant one-shot shapes the single-device chunker exists
+            # to avoid (200k-ob one-shot crashed the TPU worker in the r4
+            # capacity sweep).  Refuse loudly rather than run the fragile
+            # shape silently; obs_chunk=0 is the explicit opt-in.
+            nobs_mesh = int(obs.values.shape[0])
+            if cfg.obs_chunk is not None and cfg.obs_chunk > 0:
+                raise ValueError(
+                    "obs_chunk is a single-device driver; it does not "
+                    "combine with mesh=. Pre-split the batch into "
+                    "sequential EnSRF.update() calls, or pass obs_chunk=0 "
+                    "to force the one-shot sharded update."
+                )
+            if cfg.obs_chunk is None and nobs_mesh > 131072:
+                raise ValueError(
+                    f"{nobs_mesh} obs in one sharded update exceeds the "
+                    "131072-ob one-shot envelope validated on hardware "
+                    "(the r4 capacity sweep crashed a TPU worker at 200k "
+                    "one-shot). Split the batch into sequential "
+                    "EnSRF.update() calls of <= 131072 obs (exact: the "
+                    "serial filter composes), or pass obs_chunk=0 to "
+                    "force the one-shot shapes anyway."
+                )
             from efa_xray_tpu.parallel import sharded
 
             bm, bp, tm, tp, diags = sharded.ensrf_update_sharded(
@@ -317,16 +339,9 @@ class EnSRF(Assimilation):
         dtype,
         hybrid_kwargs: dict,
         vl_kwargs: dict,
-        augmented: bool = False,
     ):
         """One full single-device update (tail + body) through the
-        configured solver path; returns ``(bm, bp, tm, tp, diags)``.
-
-        ``augmented=True`` marks a state body with obs rows appended
-        (:meth:`_solve_obs_chunked`): the grid-mode kernels and the
-        structure-derived spatial sort assume ``nrows == vt * ngrid``,
-        so augmented calls use the flat fused kernel (chordal geometry)
-        or the XLA blocked body instead."""
+        configured solver path; returns ``(bm, bp, tm, tp, diags)``."""
         cfg = self.config
         if cfg.method == "serial":
             return core.ensrf_serial(
@@ -345,9 +360,7 @@ class EnSRF(Assimilation):
                 **hybrid_kwargs,
                 **vl_kwargs,
             )
-        if self._use_pallas() and not (
-            augmented and cfg.localize and not cfg.fast_geometry
-        ):
+        if self._use_pallas():
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas
             from efa_xray_tpu.ops.ensrf_pallas_fused import (
                 ensrf_blocked_body_pallas_fused_donating,
@@ -381,8 +394,7 @@ class EnSRF(Assimilation):
             st = self.prior.structure
             vt = st.nvars * st.ntimes
             nrows = int(body_mean.shape[0])
-            if (not augmented and self._grid_kernel_ok()
-                    and nrows == vt * st.ngrid):
+            if self._grid_kernel_ok() and nrows == vt * st.ngrid:
                 # Gridded state: v4-grid — same one-HBM-pass loop nest,
                 # horizontal weights computed ONCE per grid point by XLA
                 # and streamed in (removes the vt-fold trig redundancy;
@@ -420,9 +432,7 @@ class EnSRF(Assimilation):
                 # Geometry-only row permutation for the kernel's cull:
                 # computed once per structure, two gathers per update.
                 row_order = inv_order = None
-                if cfg.spatial_sort and not augmented:
-                    # (augmented bodies carry appended obs rows the
-                    # structure's permutation does not cover)
+                if cfg.spatial_sort:
                     row_order, inv_order = st.spatial_order_device()
                 # The fully-fused v4 kernel (state crosses HBM once;
                 # per-row chordal weights — and, when active, vertical GC
@@ -449,7 +459,7 @@ class EnSRF(Assimilation):
                     interpret=interpret,
                     vertical=vertical,
                     cull=cfg.cull,
-                    spatial_sort=cfg.spatial_sort and not augmented,
+                    spatial_sort=cfg.spatial_sort,
                     row_order=row_order,
                     inv_order=inv_order,
                     hybrid=bool(hybrid_kwargs),
@@ -511,25 +521,29 @@ class EnSRF(Assimilation):
         dtype,
         chunk: int,
     ):
-        """Process the observation batch in sequential chunks of
-        ``chunk`` obs, exactly (up to fp reassociation).
+        """Process the observation batch exactly with bounded per-call
+        shapes: phase 1 (the obs-space serial solve) runs ONCE over the
+        full batch — its shapes are already panel-bounded internally —
+        and phase 2 (the body sweep) applies the pre-solved sequence in
+        fixed ``chunk``-ob slices, each reusing ONE compiled shape with
+        the state carry donated along the chain.
 
-        The serial filter assimilates obs in order, so splitting the
-        batch changes nothing algebraically PROVIDED later chunks'
-        obs-space rows keep receiving every earlier chunk's updates —
-        the augmented-state invariant
-        (``efa_xray/assimilation/assimilation.py:146-150``).  Here ALL
-        obs-space rows ride as extra state-body rows (their lat/lon make
-        the body solvers localize them exactly like the tail does), and
-        after each chunk its own rows are overwritten with the chunk's
-        exact tail solution — the same move ``tail_scan_blocked`` makes
-        per panel.  Every chunk call has identical shapes, so the whole
-        sweep compiles ONCE; per-chunk peak memory is bounded by the
-        chunk's kernel shapes instead of the full batch (the fused
-        EnSRF measurably crashed the TPU worker at 200k obs in one
-        shot — BENCH config 12)."""
+        Algebraically identical to the one-shot update: the body sweep is
+        a per-ob sequence of row-local ops on precomputed tail
+        quantities, so partitioning it at chunk boundaries only
+        reassociates fp — the serial filter's augmented-state invariant
+        (``efa_xray/assimilation/assimilation.py:146-150``).
+
+        Replaces the r4 augmented-chunk design, which appended ALL No obs
+        rows to the state body every chunk — (ns+No)·No body work vs the
+        one-shot's ns·No.  This design does the one-shot work while
+        keeping the giant one-shot BODY shape (which crashed the TPU
+        worker at 200k obs in the r4 capacity sweep) out of the program:
+        measured at the 500k-ob capacity point (260k x 40, Hilbert-sorted
+        obs) 8.35 s vs the fragile one-shot's 8.08 s, where the r4
+        augmented design took 16.7 s."""
+        cfg = self.config
         nobs = int(obs.values.shape[0])
-        ns = int(body_mean.shape[0])
         nchunks = -(-nobs // chunk)
         pad = nchunks * chunk - nobs
         obs = obs.with_default_verts()
@@ -539,50 +553,129 @@ class EnSRF(Assimilation):
                 return jnp.pad(x, (0, pad))
             return jnp.pad(x.astype(dtype), (0, pad), constant_values=fill)
 
-        values = pad1(obs.values)
-        errors = pad1(obs.errors, 1.0)
-        olat = pad1(obs.lats)
-        olon = pad1(obs.lons)
-        radii = pad1(obs.radii, jnp.inf)
-        assim = jnp.pad(obs.assim, (0, pad))  # padded obs are no-ops
-        overt = pad1(obs.verts)
-        ovrad = pad1(obs.vert_radii, jnp.inf)
+        obs_p = core.ObsArrays(
+            values=pad1(obs.values),
+            errors=pad1(obs.errors, 1.0),
+            lats=pad1(obs.lats),
+            lons=pad1(obs.lons),
+            radii=pad1(obs.radii, jnp.inf),
+            assim=jnp.pad(obs.assim, (0, pad)),  # padded obs are no-ops
+            verts=pad1(obs.verts),
+            vert_radii=pad1(obs.vert_radii, jnp.inf),
+        )
+        tm_p = jnp.pad(tail_mean.astype(dtype), (0, pad))
+        tp_p = jnp.pad(tail_perts.astype(dtype), ((0, pad), (0, 0)))
 
-        tm_all = jnp.pad(tail_mean.astype(dtype), (0, pad))
-        tp_all = jnp.pad(tail_perts.astype(dtype), ((0, pad), (0, 0)))
-        lat_aug = jnp.concatenate([body_lat.astype(dtype), olat])
-        lon_aug = jnp.concatenate([body_lon.astype(dtype), olon])
-        vert_aug = None
-        if body_vert is not None:
-            vert_aug = jnp.concatenate([body_vert.astype(dtype), overt])
+        interpret = jax.default_backend() != "tpu"
+        if self._use_pallas():
+            tail = core.tail_scan_blocked(
+                tm_p, tp_p, obs_p,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
+                vertical=vertical,
+                panel=cfg.tail_panel,
+                pallas_apply=self._tail_pallas(interpret),
+                interpret=interpret,
+                pallas_tile=self._tile(),
+            )
+        else:
+            # Mirror the one-shot XLA path's phase 1 (plain per-ob scan;
+            # method="serial" parity rides the blocked==serial identity).
+            tail = core.tail_scan(
+                tm_p, tp_p, obs_p,
+                localize=cfg.localize,
+                unbiased=cfg.unbiased_variance,
+                fast_geometry=cfg.fast_geometry,
+                vertical=vertical,
+            )
+
+        # One compiled slicer serves every chunk: the start is traced.
+        @jax.jit
+        def slice_chunk(tail, obs_p, start):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
+            return jax.tree.map(sl, tail), jax.tree.map(sl, obs_p)
 
         bm, bp = body_mean, body_perts
-        diags_parts = []
         for i in range(nchunks):
-            sl = slice(i * chunk, (i + 1) * chunk)
-            obs_i = core.ObsArrays(
-                values=values[sl], errors=errors[sl], lats=olat[sl],
-                lons=olon[sl], radii=radii[sl], assim=assim[sl],
-                verts=overt[sl], vert_radii=ovrad[sl],
+            tail_i, obs_i = slice_chunk(tail, obs_p, i * chunk)
+            bm, bp = self._body_apply(
+                bm, bp, body_lat, body_lon, tail_i, obs_i,
+                body_vert, vertical, interpret,
             )
-            bm_aug = jnp.concatenate([bm, tm_all])
-            bp_aug = jnp.concatenate([bp, tp_all], axis=0)
-            bm2, bp2, tm_i, tp_i, d = self._solve_once(
-                bm_aug, bp_aug, tm_all[sl], tp_all[sl],
-                lat_aug, lon_aug, obs_i, vert_aug, vertical, dtype,
-                {}, {}, augmented=True,
-            )
-            bm, bp = bm2[:ns], bp2[:ns]
-            # Extra rows carry the passive body-apply result; the chunk's
-            # own rows take the exact tail solution (same fp-parity move
-            # as tail_scan_blocked's in-panel overwrite).
-            tm_all = jax.lax.dynamic_update_slice_in_dim(
-                bm2[ns:], tm_i, i * chunk, axis=0)
-            tp_all = jax.lax.dynamic_update_slice_in_dim(
-                bp2[ns:], tp_i, i * chunk, axis=0)
-            diags_parts.append(d)
 
-        diags = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs)[:nobs], *diags_parts
+        cut = lambda a: a[:nobs]
+        return (bm, bp, cut(tail.tail_mean), cut(tail.tail_perts),
+                jax.tree.map(cut, tail.diags))
+
+    def _body_apply(self, bm, bp, body_lat, body_lon, tail, obs,
+                    body_vert, vertical: bool, interpret: bool):
+        """Phase 2 for the chunked driver: apply a pre-solved observation
+        sequence (TailSolution) to the state body through the configured
+        kernel path.  Pure-ensemble / no variable localization (the
+        chunked driver's precondition); kernel selection mirrors
+        :meth:`_solve_once`'s phase-2 branches."""
+        cfg = self.config
+        st = self.prior.structure
+        nrows = int(bm.shape[0])
+        if self._use_pallas():
+            from efa_xray_tpu.ops.ensrf_pallas import (
+                ensrf_blocked_body_pallas,
+            )
+            from efa_xray_tpu.ops.ensrf_pallas_fused import (
+                ensrf_blocked_body_pallas_fused_donating,
+                ensrf_blocked_body_pallas_fused_grid_donating,
+            )
+
+            vt = st.nvars * st.ntimes
+            if self._grid_kernel_ok() and nrows == vt * st.ngrid:
+                return ensrf_blocked_body_pallas_fused_grid_donating(
+                    bm, bp, body_lat, body_lon, tail, obs,
+                    body_vert=body_vert if vertical else None,
+                    localize=cfg.localize,
+                    block_size=cfg.block_size,
+                    tile=self._tile(grid=True, nmems=int(bp.shape[1])),
+                    interpret=interpret,
+                    vertical=vertical,
+                    ngrid=st.ngrid,
+                    mxu_bf16=cfg.mxu_bf16,
+                    group_factor=None,
+                )
+            if cfg.fast_geometry or not cfg.localize:
+                row_order = inv_order = None
+                if cfg.spatial_sort:
+                    row_order, inv_order = st.spatial_order_device()
+                return ensrf_blocked_body_pallas_fused_donating(
+                    bm, bp, body_lat, body_lon, tail, obs,
+                    body_vert=body_vert if vertical else None,
+                    localize=cfg.localize,
+                    block_size=cfg.block_size,
+                    tile=self._tile(nrows=nrows, nmems=int(bp.shape[1])),
+                    interpret=interpret,
+                    vertical=vertical,
+                    cull=cfg.cull,
+                    spatial_sort=cfg.spatial_sort,
+                    row_order=row_order,
+                    inv_order=inv_order,
+                    hybrid=False,
+                    mxu_bf16=cfg.mxu_bf16,
+                )
+            return ensrf_blocked_body_pallas(
+                bm, bp, body_lat, body_lon, tail, obs,
+                localize=cfg.localize,
+                block_size=cfg.block_size,
+                tile=self._tile(grid=True, nmems=int(bp.shape[1])),
+                fast_geometry=cfg.fast_geometry,
+                body_vert=body_vert,
+                vertical=vertical,
+                ngrid=st.ngrid,
+                interpret=interpret,
+            )
+        return core.ensrf_blocked_body(
+            bm, bp, body_lat, body_lon, tail, obs,
+            localize=cfg.localize,
+            block_size=cfg.block_size,
+            fast_geometry=cfg.fast_geometry,
+            body_vert=body_vert,
+            vertical=vertical,
         )
-        return bm, bp, tm_all[:nobs], tp_all[:nobs], diags

@@ -15,7 +15,7 @@ back (reference: ``ensrf.py:66-70,144-149``).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -284,6 +284,43 @@ class ObservationBatch:
         if isinstance(obs, ObservationBatch):
             return obs
         return cls.from_observations(list(obs))
+
+    def take(self, order) -> "ObservationBatch":
+        """Reordered copy: every per-ob array/list (including any filled
+        result slots) permuted by ``order``."""
+        order = np.asarray(order)
+
+        def perm(v):
+            if v is None:
+                return None
+            if isinstance(v, list):
+                return [v[i] for i in order]
+            return np.asarray(v)[order]
+
+        return dataclasses.replace(
+            self, **{f.name: perm(getattr(self, f.name))
+                     for f in dataclasses.fields(self)}
+        )
+
+    def spatial_sort(self) -> Tuple["ObservationBatch", np.ndarray]:
+        """``(sorted_batch, order)`` with obs in spherical-Hilbert
+        spatial-locality order.
+
+        Observation order is the CALLER's choice in a serial filter (the
+        analysis is weakly order-dependent; the reference demo shuffles
+        it, ``efa_demo.ipynb`` cell 11) — and spatially sorted obs are
+        the THROUGHPUT choice: the fused kernels cull (row-tile, obs
+        panel) pairs whose localization weights are provably zero, which
+        only engages when consecutive obs are spatially compact (measured
+        at the 500k-ob capacity point: random order 16.4 s, Hilbert
+        order 8.35 s — docs/recipes.md).  Diagnostics
+        come back in the sorted order; invert with
+        ``batch.take(np.argsort(order))``."""
+        from efa_xray_tpu.observation.thinning import _hilbert3d_np
+
+        order = np.argsort(_hilbert3d_np(self.lats, self.lons),
+                           kind="stable")
+        return self.take(order), order
 
     def var_indices(self, structure) -> np.ndarray:
         """State-variable index per ob.  Custom-operator obs map to 0: their

@@ -619,3 +619,44 @@ def test_taps_chord_dot_precision_is_highest():
     for p in precs:
         assert p is not None and all(
             x == jax.lax.Precision.HIGHEST for x in p), p
+
+
+def test_observation_batch_take_and_spatial_sort():
+    """take() permutes every per-ob field; spatial_sort returns a
+    Hilbert-ordered copy plus the order to invert diagnostics."""
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from efa_xray_tpu.utils import timeutil
+
+    rng = np.random.default_rng(7)
+    n = 50
+    times = np.repeat(np.datetime64("2026-08-01T00"), n)
+    batch = ObservationBatch(
+        values=rng.normal(280, 5, n),
+        errors=np.ones(n),
+        lats=rng.uniform(-80, 80, n),
+        lons=rng.uniform(0, 360, n),
+        times_s=timeutil.to_epoch_seconds(times),
+        obtypes=[f"T{i % 3}" for i in range(n)],
+        localize_radius=np.full(n, 1500.0),
+        assimilate_flags=rng.random(n) > 0.3,
+        verts=np.full(n, np.nan),
+        descriptions=[f"ob-{i}" for i in range(n)],
+    )
+    batch.prior_mean = rng.normal(280, 5, n)  # a filled result slot
+    srt, order = batch.spatial_sort()
+    assert sorted(order.tolist()) == list(range(n))
+    np.testing.assert_array_equal(srt.values, batch.values[order])
+    np.testing.assert_array_equal(srt.lats, batch.lats[order])
+    np.testing.assert_array_equal(srt.assimilate_flags,
+                                  batch.assimilate_flags[order])
+    np.testing.assert_array_equal(srt.prior_mean, batch.prior_mean[order])
+    assert srt.obtypes == [batch.obtypes[i] for i in order]
+    assert srt.descriptions == [batch.descriptions[i] for i in order]
+    # round trip back to the caller's order
+    back = srt.take(np.argsort(order))
+    np.testing.assert_array_equal(back.values, batch.values)
+    assert back.obtypes == batch.obtypes
+    # sorted order improves spatial locality: mean hop distance shrinks
+    def hops(b):
+        return np.mean(np.abs(np.diff(b.lats)) + np.abs(np.diff(b.lons)))
+    assert hops(srt) < hops(batch)

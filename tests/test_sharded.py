@@ -211,3 +211,43 @@ def test_sharded_obs_loop_issues_no_collectives():
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo_h, f"collective {op!r} leaked (hybrid)"
+
+
+def test_mesh_refuses_oversize_batch_and_explicit_chunk(monkeypatch):
+    """The sharded driver has no chunked mode: batches beyond the
+    hardware-validated 131072-ob one-shot envelope must refuse loudly
+    (obs_chunk=0 is the explicit opt-in), and an explicit positive
+    obs_chunk must not be silently ignored on a mesh."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=8)
+    obs = make_demo_obs(state, nobs=6, radius=2000.0)
+    mesh = make_mesh()
+
+    cfg = FilterConfig(localization="GC", dtype="float64", obs_chunk=2)
+    with pytest.raises(ValueError, match="single-device"):
+        EnSRF(state, list(obs), config=cfg, mesh=mesh, verbose=False).update()
+
+    # Fake an oversize batch without allocating 131k+ obs: shrink the
+    # envelope constant via the nobs check by patching the batch size
+    # through a tiny real batch and asserting the message text instead.
+    cfg2 = FilterConfig(localization="GC", dtype="float64")
+    filt = EnSRF(state, list(obs), config=cfg2, mesh=mesh, verbose=False)
+    big = np.ones(131073, dtype=bool)
+    # Exercise the guard directly: the update path reads obs.values.shape.
+    orig = filt.obs_arrays
+
+    def oversized():
+        oa = orig()
+        return oa._replace(values=jnp.zeros(131073, dtype=jnp.float64),
+                           errors=jnp.ones(131073, dtype=jnp.float64),
+                           lats=jnp.zeros(131073, dtype=jnp.float64),
+                           lons=jnp.zeros(131073, dtype=jnp.float64),
+                           radii=jnp.full(131073, jnp.inf, dtype=jnp.float64),
+                           assim=jnp.asarray(big))
+
+    monkeypatch.setattr(filt, "obs_arrays", oversized)
+    with pytest.raises(ValueError, match="131072"):
+        filt.update()
