@@ -198,6 +198,14 @@ class Assimilation:
         self.inflation = inflation
         self.config = config or FilterConfig(verbose=verbose)
         self.mesh = mesh
+        # obs_order="hilbert": assimilate in spatial-locality order (the
+        # kernels' culling choice) but keep every caller-visible artifact
+        # — diagnostics, writeback, returned batch — in the CALLER's
+        # order (record_diagnostics inverts the permutation).
+        self._obs_unsort = None
+        if self.config.obs_order == "hilbert" and self.obs.nobs > 1:
+            self.obs, _order = self.obs.spatial_sort()
+            self._obs_unsort = np.argsort(_order)
         self.is_inflated = False
         self._taps = None
 
@@ -613,13 +621,19 @@ class Assimilation:
             self.obs.post_mean = np.asarray(om, dtype=np.float64)
             self.obs.post_var = np.asarray(ov, dtype=np.float64)
             self.obs.assimilated = np.asarray(asm, dtype=bool)
-            self.obs.writeback(self._user_obs)
         else:
             self.obs.prior_mean = diags.prior_mean
             self.obs.prior_var = diags.prior_var
             self.obs.post_mean = diags.post_mean
             self.obs.post_var = diags.post_var
             self.obs.assimilated = diags.assimilated
+        if self._obs_unsort is not None:
+            # obs_order="hilbert": back to the caller's order.  take()
+            # keeps device diag slots as device gathers — no host sync
+            # lands on the update's critical path.
+            self.obs = self.obs.take(self._obs_unsort)
+        if writeback:
+            self.obs.writeback(self._user_obs)
 
 
 def update(

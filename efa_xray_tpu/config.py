@@ -101,9 +101,23 @@ class FilterConfig:
     # 65536-ob chunks — the one-shot fused path measurably crashed the
     # TPU worker at EXACTLY 200k obs (100k and 500k ran; shape-specific
     # Mosaic fault, BENCH config 12), so huge one-shot batches are not
-    # trustworthy.  0 disables chunking entirely.  Ignored (one-shot)
-    # with hybrid covariance, variable localization, or a mesh.
+    # trustworthy.  0 disables chunking entirely.  One-shot (with a
+    # raise on explicit chunking) with hybrid covariance, variable
+    # localization, or a mesh; mesh batches over 131072 obs refuse
+    # unless obs_chunk=0 explicitly opts into the one-shot shapes.
     obs_chunk: Optional[int] = None
+    # Assimilation-order policy for the observation batch.  None =
+    # caller's order (reference parity: the localized serial analysis is
+    # weakly order-dependent, so the framework never silently reorders).
+    # "hilbert" = assimilate in spherical-Hilbert spatial-locality order
+    # and return diagnostics/writeback in the CALLER's order: spatially
+    # compact obs panels are what lets the fused kernels' localization
+    # culling engage (measured 2x at the 500k-ob capacity point —
+    # docs/recipes.md).  Equivalent to the caller pre-sorting with
+    # ``ObservationBatch.spatial_sort()`` (the reference demo shuffles
+    # its obs order, ``efa_demo.ipynb`` cell 11 — order is a free
+    # choice).
+    obs_order: Optional[str] = None
     # Row-tile size for the Pallas kernels (rows resident in VMEM per
     # step).  None = auto per kernel: 8192 for the flat v4 kernel
     # (smaller tiles tighten the cull bound's caps — measured 1.36x at
@@ -397,6 +411,8 @@ class FilterConfig:
             raise ValueError(f"Unknown letkf_sqrt {self.letkf_sqrt!r}")
         if self.letkf_topk not in ("exact", "approx", "host"):
             raise ValueError(f"Unknown letkf_topk {self.letkf_topk!r}")
+        if self.obs_order not in (None, "hilbert"):
+            raise ValueError(f"Unknown obs_order {self.obs_order!r}")
         if self.letkf_solve_precision not in ("default", "high", "highest"):
             raise ValueError(
                 f"Unknown letkf_solve_precision "

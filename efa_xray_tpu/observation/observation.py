@@ -287,7 +287,9 @@ class ObservationBatch:
 
     def take(self, order) -> "ObservationBatch":
         """Reordered copy: every per-ob array/list (including any filled
-        result slots) permuted by ``order``."""
+        result slots) permuted by ``order``.  Device-resident result
+        slots stay device arrays (the gather happens on device — no host
+        sync)."""
         order = np.asarray(order)
 
         def perm(v):
@@ -295,7 +297,7 @@ class ObservationBatch:
                 return None
             if isinstance(v, list):
                 return [v[i] for i in order]
-            return np.asarray(v)[order]
+            return v[order]  # np stays np, jax stays jax
 
         return dataclasses.replace(
             self, **{f.name: perm(getattr(self, f.name))

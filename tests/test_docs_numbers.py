@@ -62,6 +62,13 @@ MANIFEST = [
      "results_v5e_r5.json",
      {"config": "13-cycled-production", "adaptive_damp": 0.75},
      lambda e: e["spread_over_rmse_2nd_half"]),
+    # one-shot capacity (README r4 section 0.90 / 8.08 s; re-measured r5)
+    (0.889, 0.03, "capacity 100k one-shot 0.90 s", "results_v5e_r5.json",
+     {"config": "12-obs-capacity-point", "nobs": 100_000},
+     lambda e: e["ensrf_seconds"]),
+    (8.08, 0.03, "capacity 500k one-shot 8.08 s", "results_v5e_r5.json",
+     {"config": "12-obs-capacity-point", "nobs": 500_000},
+     lambda e: e["ensrf_seconds"]),
     # LETKF numbers still cited from r3 (README solver section)
     (1.8319, 0.02, "README LETKF pod host-topk 1.83 s",
      "results_v5e_r3.json", {"config": "letkf-host-topk-pod"},

@@ -531,3 +531,47 @@ def test_obs_chunked_rejects_hybrid():
                        static_b_length=500.0)
     with pytest.raises(ValueError, match="obs_chunk"):
         EnSRF(state, obs, config=cfg, verbose=False).update()
+
+
+def test_obs_order_hilbert_matches_presorted_and_returns_caller_order():
+    """FilterConfig.obs_order='hilbert' assimilates in spatial-locality
+    order but every caller-visible artifact (diagnostics, returned batch,
+    Observation writeback) comes back in the CALLER's order."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=10, seed=2)
+    obs = make_demo_obs(state, nobs=17, radius=2000.0, seed=9)
+    for ob in obs[::4]:
+        ob.assimilate_this = False
+
+    cfg = FilterConfig(localization="GC", dtype="float64")
+    cfg_h = FilterConfig(localization="GC", dtype="float64",
+                         obs_order="hilbert")
+
+    # oracle: caller pre-sorts, runs in the default order, un-sorts
+    batch = ObservationBatch.coerce(obs)
+    srt, order = batch.spatial_sort()
+    post_ref, b_ref = EnSRF(state, srt, config=cfg, verbose=False).update()
+    b_ref = b_ref.take(np.argsort(order))
+
+    post_h, b_h = EnSRF(state, obs, config=cfg_h, verbose=False).update()
+    np.testing.assert_allclose(np.asarray(post_h.data),
+                               np.asarray(post_ref.data),
+                               rtol=1e-12, atol=1e-12)
+    # diagnostics in the caller's order (match the original obs fields)
+    np.testing.assert_array_equal(np.asarray(b_h.values), batch.values)
+    assert b_h.obtypes == batch.obtypes
+    for f in ("prior_mean", "prior_var", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b_h, f), dtype=np.float64),
+            np.asarray(getattr(b_ref, f), dtype=np.float64),
+            rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(b_h.assimilated),
+                                  np.asarray(b_ref.assimilated))
+    # Observation-object writeback lands on the ORIGINAL objects in order
+    assert obs[0].prior_mean == pytest.approx(float(b_h.prior_mean[0]))
+    assert not obs[0].assimilated  # flagged off above
+    assert obs[1].assimilated
