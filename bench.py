@@ -221,6 +221,7 @@ def phase_tpu(nstate=10_000_000, nmems=80, nobs=10_000, block_size=128,
     blon = jnp.asarray(w["state_lon"], dtype=dtype)
 
     use_pallas = jax.default_backend() == "tpu"
+    max_radius = float(w["radii"].max())
 
     # Coordinates and obs enter as jit ARGUMENTS, not closure captures:
     # captured device arrays become constant literals — unfreeable global
@@ -236,7 +237,7 @@ def phase_tpu(nstate=10_000_000, nmems=80, nobs=10_000, block_size=128,
             bm2, bp2 = _fused_impl(
                 bm, bp, blat, blon, tail, obs,
                 localize=localize, block_size=block_size, tile=tile,
-                mxu_bf16=mxu_bf16,
+                mxu_bf16=mxu_bf16, max_radius_km=max_radius,
             )
             return bm2, bp2, tail.tail_mean, tail.tail_perts
         bm2, bp2, tm2, tp2, _ = core.ensrf_blocked(

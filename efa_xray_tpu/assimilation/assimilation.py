@@ -209,6 +209,17 @@ class Assimilation:
         self.is_inflated = False
         self._taps = None
 
+    def max_finite_radius(self):
+        """Host-known bound on the finite per-ob localization radii (km),
+        after the default_radius substitution; None when every ob is
+        unlocalized.  Lets the fused kernel pick the cheaper sin-series
+        angle form without a device sync (ops/ensrf_pallas_fused)."""
+        r = np.asarray(self.obs.localize_radius, dtype=np.float64)
+        if self.config.default_radius is not None:
+            r = np.where(np.isinf(r), float(self.config.default_radius), r)
+        finite = r[np.isfinite(r)]
+        return float(finite.max()) if finite.size else None
+
     # -- observation priors ------------------------------------------------
     def build_taps(self) -> _fwd.ObsTaps:
         if self._taps is None:

@@ -466,6 +466,7 @@ class EnSRF(Assimilation):
                     body_sigma=hybrid_kwargs.get("body_sigma"),
                     static_length=hybrid_kwargs.get("static_length"),
                     mxu_bf16=cfg.mxu_bf16,
+                    max_radius_km=self.max_finite_radius(),
                 )
             else:
                 assert not vl_kwargs  # see the flat-kernel guard above
@@ -659,6 +660,7 @@ class EnSRF(Assimilation):
                     inv_order=inv_order,
                     hybrid=False,
                     mxu_bf16=cfg.mxu_bf16,
+                    max_radius_km=self.max_finite_radius(),
                 )
             return ensrf_blocked_body_pallas(
                 bm, bp, body_lat, body_lon, tail, obs,

@@ -283,6 +283,9 @@ def sort_spatially(batch: ObservationBatch) -> ObservationBatch:
     (``FilterConfig.cull`` + ``FilterConfig.spatial_sort``) can skip most
     of the provably-zero-weight work.  Without localization the analysis
     mean is order-independent (in exact arithmetic), making the sort free.
+
+    Equivalent to ``batch.spatial_sort()[0]`` (which also returns the
+    permutation, for inverting diagnostics) and to the zero-API-change
+    form ``FilterConfig(obs_order="hilbert")``.
     """
-    order = np.argsort(_hilbert3d_np(batch.lats, batch.lons), kind="stable")
-    return ObservationBatch(**_subset(batch, order))
+    return batch.spatial_sort()[0]

@@ -39,6 +39,34 @@ from efa_xray_tpu.observation.localization import EARTH_RADIUS_KM, latlon_to_uni
 PANEL = 8
 
 
+def _asin2_poly_u(u, f32):
+    """``2*asin(s)/s`` as a degree-6 Chebyshev-fitted polynomial in
+    ``u = s^2``, minimax on s in [0, 0.71] (|angle err| <= 6e-7 rad,
+    i.e. < 4 m on Earth — below the f32 noise of the chain).
+
+    With ``s = sin(theta/2) = sqrt((1 - dot)/2)`` this gives the
+    great-circle angle ``theta = s * poly(u)`` in ~half the VPU ops of
+    the half-angle A&S-arccos form (one sqrt instead of two, 6 FMAs
+    instead of 8 + extras): the weight chain measured 36% of the fused
+    body at the pod workload (benchmarks/body_anatomy.py, round 5), so
+    the op count is on the critical path.  Valid while the Gaspari-Cohn
+    support stays inside s <= 0.71, i.e. localization radii <= 5000 km —
+    the wrapper selects this form only when the caller certifies
+    ``max_radius_km`` (per-ob radii are host-known in EnSRF), else the
+    full-range arccos form below is used."""
+    p = jnp.asarray(0.1920979908, dtype=f32)
+    for c in (
+        -0.0963332506,
+        0.1146914397,
+        0.0793335722,
+        0.1508451291,
+        0.3333070474,
+        2.0000001309,
+    ):
+        p = p * u + jnp.asarray(c, dtype=f32)
+    return p
+
+
 def _arccos_poly(x, f32):
     """A&S 4.4.46 arccos for x in [0, 1]: sqrt(1-x) * p(x), |err| <= 2e-8."""
     p = jnp.asarray(-0.0012624911, dtype=f32)
@@ -55,21 +83,42 @@ def _arccos_poly(x, f32):
     return jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
 
 
-def _gc_poly(r):
+def _gc_poly(r, outer_form: str = "exact"):
     inner = ((((-0.25 * r + 0.5) * r + 0.625) * r - 5.0 / 3.0) * r**2) + 1.0
-    r_safe = jnp.maximum(r, 1e-12)
-    outer = (
-        ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
-        + 4.0
-        - 2.0 / (3.0 * r_safe)
-    )
+    if outer_form == "poly":
+        # Degree-7 Chebyshev fit of the outer branch on r in [1, 2],
+        # CENTERED at t = r - 1.5 so the coefficients stay O(0.4) and the
+        # f32 Horner adds no cancellation noise (|err| <= 2.2e-6 in f32 —
+        # the chordal-mode weight tolerance): drops the 2/(3r) reciprocal
+        # from the per-pair chain.  Selected with the series angle form
+        # (same accuracy budget).
+        t = r - 1.5
+        outer = jnp.asarray(0.0332721029, dtype=r.dtype)
+        for c in (
+            -0.0484752690,
+            0.1405191778,
+            0.0386425652,
+            -0.3682243569,
+            0.3440689601,
+            -0.1255802356,
+            0.0164935268,
+        ):
+            outer = outer * t + jnp.asarray(c, dtype=r.dtype)
+    else:
+        r_safe = jnp.maximum(r, 1e-12)
+        outer = (
+            ((((r / 12.0 - 0.5) * r + 0.625) * r + 5.0 / 3.0) * r - 5.0) * r
+            + 4.0
+            - 2.0 / (3.0 * r_safe)
+        )
     return jnp.where(r <= 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
 
 
 def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                        cull: bool, hybrid: bool = False,
                        panel: int = PANEL, ablate: tuple = (),
-                       corr2_form: str = "dot", mxu_bf16: bool = False):
+                       corr2_form: str = "dot", mxu_bf16: bool = False,
+                       angle_form: str = "arccos"):
     # ``ablate`` is a TIMING-ONLY instrument (benchmarks/body_anatomy.py):
     # each named piece of the alive-panel work is skipped so its cost can
     # be measured by difference on the real chip.  Results are WRONG under
@@ -196,12 +245,23 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         oy = oy_ref[0, 0, base : base + width].reshape(-1, 1)
                         oz = oz_ref[0, 0, base : base + width].reshape(-1, 1)
                         dot = jnp.clip(ox * bx + oy * by + oz * bz, -1.0, 1.0)
-                        # arccos(dot) via the half-angle form
-                        # c = 2*arccos(cos(c/2)): cos(c/2) = sqrt((1+dot)/2)
-                        # keeps precision near c = 0.
-                        ang = 2.0 * _arccos_poly(
-                            jnp.sqrt(jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)), f32
-                        )
+                        if angle_form == "series":
+                            # theta = s * poly(s^2), s = sin(theta/2):
+                            # half the ops of the arccos form; wrapper
+                            # certifies radii <= 5000 km (see
+                            # _asin2_poly_u).
+                            su = (1.0 - dot) * 0.5
+                            ang = jnp.sqrt(su) * _asin2_poly_u(su, f32)
+                        else:
+                            # arccos(dot) via the half-angle form
+                            # c = 2*arccos(cos(c/2)):
+                            # cos(c/2) = sqrt((1+dot)/2) keeps precision
+                            # near c = 0.
+                            ang = 2.0 * _arccos_poly(
+                                jnp.sqrt(
+                                    jnp.clip((1.0 + dot) * 0.5, 0.0, 1.0)
+                                ), f32
+                            )
                         dist = EARTH_RADIUS_KM * ang
                     if localize and "weights" not in ablate:
                         r = dist * invrad_ref[
@@ -210,7 +270,8 @@ def _make_fused_kernel(bsz: int, localize: bool, vertical: bool,
                         w_panel = jnp.where(
                             invrad_ref[0, 0, base : base + width].reshape(-1, 1)
                             > 0,
-                            _gc_poly(r),
+                            _gc_poly(r, "poly" if angle_form == "series"
+                                     else "exact"),
                             1.0,
                         )
                         if vertical:
@@ -460,6 +521,11 @@ def _fused_impl(
     # Measured no-op at default matmul precision on TPU (the MXU already
     # ingests f32 dot inputs as bf16, bit-identically); see the kernel
     # comment and benchmarks/bf16_ab.py.
+    max_radius_km=None,  # host-known bound on the FINITE per-ob
+    # localization radii: when given and <= 5000 km, the weight chain
+    # uses the cheaper sin-series angle form (see _asin2_poly_u —
+    # measured weight chain = 36% of the pod body).  None = unknown ->
+    # full-range arccos form.
 ):
     """v4 phase 2: ALL obs blocks applied while each state tile stays in
     VMEM.  Drop-in for
@@ -649,9 +715,15 @@ def _fused_impl(
         shape, lambda t, b, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
+    angle_form = (
+        "series"
+        if (max_radius_km is not None
+            and float(max_radius_km) <= 5000.0)
+        else "arccos"
+    )
     out_mean, out_perts = pl.pallas_call(
         _make_fused_kernel(bsz, localize, vertical, cull, hybrid, panel,
-                           ablate, corr2_form, mxu_bf16),
+                           ablate, corr2_form, mxu_bf16, angle_form),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gtiles, nblocks),
@@ -974,7 +1046,8 @@ def _fused_grid_impl(
 
 _STATIC = ("localize", "block_size", "tile", "interpret", "vertical")
 _STATIC_FLAT = _STATIC + ("cull", "spatial_sort", "hybrid", "static_length",
-                          "panel", "ablate", "corr2_form", "mxu_bf16")
+                          "panel", "ablate", "corr2_form", "mxu_bf16",
+                          "max_radius_km")
 _STATIC_GRID = _STATIC + ("ngrid", "mxu_bf16")
 
 ensrf_blocked_body_pallas_fused_grid = jax.jit(

@@ -38,9 +38,11 @@ def _find(entries, **match):
 # (cited value, rel tolerance, doc location, results file, selector dict,
 #  value extractor)
 MANIFEST = [
-    # pod headline (README "Measured performance", bench.py protocol)
-    (0.778, 0.02, "README headline 0.775-0.778 s", "results_v5e_r5.json",
-     {"config": "4-pod-slice-headline"}, lambda e: e["tpu_seconds"]),
+    # pod headline (README "Measured performance", bench.py protocol;
+    # round-5 weight-chain optimization)
+    (0.681, 0.02, "README headline 0.681 s", "results_v5e_r5.json",
+     {"config": "weight-chain-opt"},
+     lambda e: e["headline_ab_seconds"]["asin_series_plus_gc_outer_poly"]),
     # demo-scale floor re-measure (r5)
     (0.053, 0.05, "demo floor 0.053 s", "results_v5e_r5.json",
      {"config": "0-demo"}, lambda e: e["seconds"]),

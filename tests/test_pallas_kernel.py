@@ -734,3 +734,33 @@ def test_fused_grid_mxu_bf16_close_to_f32():
     dp = np.abs(np.asarray(bp_b) - np.asarray(bp_f)).max()
     assert dm < 0.05 * max(inc, 1.0), (dm, inc)
     assert dp < 0.1, dp
+
+
+def test_fused_v4_series_angle_matches_arccos():
+    """The sin-series angle form (max_radius_km certified <= 5000 km)
+    must match the full-range arccos form to f32 weight noise."""
+    from efa_xray_tpu.ops.ensrf_pallas_fused import (
+        ensrf_blocked_body_pallas_fused,
+    )
+
+    bm, bp, tm, tp, blat, blon, obs = _setup(nobs=9)
+    tail = core.tail_scan(tm, tp, obs, localize=True)
+    ref = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=4,
+        tile=64, interpret=True,
+    )
+    got = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=4,
+        tile=64, interpret=True,
+        max_radius_km=float(np.max(np.asarray(obs.radii))),
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=1e-4)
+    # a radius beyond the series validity keeps the arccos form (bitwise)
+    far = ensrf_blocked_body_pallas_fused(
+        bm, bp, blat, blon, tail, obs, localize=True, block_size=4,
+        tile=64, interpret=True, max_radius_km=9000.0,
+    )
+    np.testing.assert_array_equal(np.asarray(far[0]), np.asarray(ref[0]))
