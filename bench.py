@@ -233,7 +233,8 @@ def phase_tpu(nstate=10_000_000, nmems=80, nobs=10_000, block_size=128,
 
             tail = core.tail_scan_blocked(tm, tp, obs, localize=localize,
                                           fast_geometry=True, panel=512,
-                                          pallas_apply=True)
+                                          pallas_apply=True,
+                                          max_radius_km=max_radius)
             bm2, bp2 = _fused_impl(
                 bm, bp, blat, blon, tail, obs,
                 localize=localize, block_size=block_size, tile=tile,

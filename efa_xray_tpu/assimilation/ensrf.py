@@ -388,6 +388,7 @@ class EnSRF(Assimilation):
                 pallas_apply=self._tail_pallas(interpret),
                 interpret=interpret,
                 pallas_tile=self._tile(),
+                max_radius_km=self.max_finite_radius(),
                 **tail_hkw,
                 **tail_vkw,
             )
@@ -579,6 +580,7 @@ class EnSRF(Assimilation):
                 pallas_apply=self._tail_pallas(interpret),
                 interpret=interpret,
                 pallas_tile=self._tile(),
+                max_radius_km=self.max_finite_radius(),
             )
         else:
             # Mirror the one-shot XLA path's phase 1 (plain per-ob scan;

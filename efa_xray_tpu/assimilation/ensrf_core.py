@@ -596,7 +596,11 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       interpret: bool = False,
                       pallas_tile: int = 16384,
                       varloc=None,  # [nv(+1), nvars] cross-variable factors
-                      ob_var=None  # [No] int32
+                      ob_var=None,  # [No] int32
+                      max_radius_km=None,  # host-known bound on finite
+                      # radii: lets the fused Pallas apply pick the
+                      # cheaper sin-series weight form (see
+                      # ops/ensrf_pallas_fused._asin2_poly_u)
                       ) -> TailSolution:
     """Hierarchical (panel-blocked) phase 1 — same outputs as
     :func:`tail_scan`, exact up to fp reassociation.
@@ -795,6 +799,7 @@ def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                 tile=pallas_tile,
                 interpret=interpret,
                 vertical=(localize and vertical),
+                max_radius_km=max_radius_km,
             )
             tm2 = jax.lax.dynamic_update_slice_in_dim(
                 tm2, sol.tail_mean, base, axis=0)
