@@ -95,11 +95,17 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
     # arrays become constant literals in the compiled program — global
     # allocations that can never be freed (measured: 4 x 2 GB padded
     # constants at the pod-slice size).
+    # host-known radius bound -> the fused kernels pick the cheaper
+    # sin-series weight form (ops/ensrf_pallas_fused._asin2_poly_u)
+    max_radius = float(np.max(np.asarray(obs.radii)[
+        np.isfinite(np.asarray(obs.radii))], initial=0.0)) or None
+
     def step_impl(bm, bp, tm, tp, blat, blon, bvert, obs):
         tail = core.tail_scan_blocked(tm, tp, obs, localize=True,
                                       fast_geometry=(kernel != "xla"),
                                       vertical=vertical, panel=512,
-                                      pallas_apply=(kernel != "xla"))
+                                      pallas_apply=(kernel != "xla"),
+                                      max_radius_km=max_radius)
         if kernel == "v4g":
             from efa_xray_tpu.ops.ensrf_pallas_fused import _fused_grid_impl
 
@@ -115,6 +121,7 @@ def _timed_update(prior, state_lat, state_lon, obs, block_size=128, iters=3,
                 bm, bp, blat, blon, tail, obs, body_vert=bvert,
                 localize=True, block_size=block_size, tile=tile,
                 vertical=vertical, mxu_bf16=mxu_bf16,
+                max_radius_km=max_radius,
             )
         elif kernel == "v3":
             from efa_xray_tpu.ops.ensrf_pallas import ensrf_blocked_body_pallas

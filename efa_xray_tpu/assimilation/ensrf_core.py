@@ -583,7 +583,7 @@ def _panel_solve_pallas(tm, tp, pob: ObsArrays, pxyz, localize: bool,
     jax.jit,
     static_argnames=("localize", "unbiased", "fast_geometry", "vertical",
                      "panel", "hybrid_alpha", "pallas_apply", "interpret",
-                     "pallas_tile"),
+                     "pallas_tile", "max_radius_km"),
 )
 def tail_scan_blocked(tail_mean, tail_perts, obs: ObsArrays,
                       localize: bool = True, unbiased: bool = False,

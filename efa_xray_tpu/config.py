@@ -134,6 +134,11 @@ class FilterConfig:
     # (headline 0.033 -> 0.048 s).  Kept for interpret-mode/CPU
     # experiments (where dots are true f32) and for runs that pin
     # ``matmul_precision="highest"`` but want these two dots fast.
+    # KNOWN ISSUE (r5): on the current Mosaic toolchain the explicit
+    # bf16-input dots fail verification at some shapes ("matmul acc to
+    # be 32-bit", seen at the 1e7x80 pod shape in
+    # benchmarks/body_anatomy.py) even though accumulation is f32 —
+    # leave False on real TPUs unless re-validated on your jax version.
     mxu_bf16: bool = False
     # What an f32 matmul MEANS on the MXU for this filter's traces.
     # Applied as a ``jax.default_matmul_precision`` context around every

@@ -47,11 +47,11 @@ MANIFEST = [
     (0.053, 0.05, "demo floor 0.053 s", "results_v5e_r5.json",
      {"config": "0-demo"}, lambda e: e["seconds"]),
     # chunked capacity, Hilbert-sorted (README/recipes r5)
-    (2.81, 0.02, "capacity 200k chunked 2.81 s", "results_v5e_r5.json",
+    (2.32, 0.03, "capacity 200k chunked 2.32 s", "results_v5e_r5.json",
      {"config": "12b-obs-capacity-chunked"},
      lambda e: next(p["seconds"] for p in e["points"]
                     if p["nobs"] == 200_000 and p.get("obs_order") == "hilbert")),
-    (8.35, 0.02, "capacity 500k chunked 8.35 s", "results_v5e_r5.json",
+    (7.42, 0.03, "capacity 500k chunked 7.42 s", "results_v5e_r5.json",
      {"config": "12b-obs-capacity-chunked"},
      lambda e: next(p["seconds"] for p in e["points"]
                     if p["nobs"] == 500_000 and p.get("obs_order") == "hilbert")),
