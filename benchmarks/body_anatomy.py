@@ -32,6 +32,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import os as _os
 import sys as _sys
@@ -57,10 +58,15 @@ def measure_body(nstate, nmems, nobs, tile, iters, ablate=(), dtype=None,
             sqrt_coef=tail.sqrt_coef, tail_mean=tail.tail_mean,
             tail_perts=tail.tail_perts, diags=tail.diags)
 
+    # Production radius hint: the weight chain measured here is the one
+    # EnSRF actually runs (sin-series + fitted GC outer since round 5).
+    max_radius = float(np.max(np.asarray(obs.radii)))
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def body_step(bm, bp):
         return _fused_impl(bm, bp, blat, blon, tail, obs, localize=True,
-                           block_size=128, tile=tile, ablate=ablate)
+                           block_size=128, tile=tile, ablate=ablate,
+                           max_radius_km=max_radius)
 
     t, _ = _chain_time(lambda a, b: body_step(a, b), (bm, bp),
                        lambda c: jnp.sum(c[0].astype(jnp.float32))
