@@ -71,6 +71,9 @@ MANIFEST = [
     (8.08, 0.03, "capacity 500k one-shot 8.08 s", "results_v5e_r5.json",
      {"config": "12-obs-capacity-point", "nobs": 500_000},
      lambda e: e["ensrf_seconds"]),
+    # L96 cycling (README round-3 narrative, corrected r5)
+    (0.9024, 0.02, "README L96 30-cycle RMSE 0.90", "results_v5e_r5.json",
+     {"config": "1-lorenz96"}, lambda e: e["mean_analysis_rmse_last30"]),
     # LETKF numbers still cited from r3 (README solver section)
     (1.8319, 0.02, "README LETKF pod host-topk 1.83 s",
      "results_v5e_r3.json", {"config": "letkf-host-topk-pod"},
