@@ -610,3 +610,32 @@ def test_host_candidates_wide_group_fallback():
         true_topk = set(np.argsort(d, kind="stable")[:k])
         grp = p // geff
         assert true_topk <= set(cand[grp][mask[grp]]), p
+
+
+def test_letkf_obs_order_hilbert_caller_order_diagnostics():
+    """obs_order='hilbert' lives in the Assimilation base: LETKF (and
+    EnKF) also return diagnostics in the caller's order.  The LETKF
+    analyzes all obs at once, so the posterior must be IDENTICAL under
+    any obs permutation (no serial order dependence)."""
+    from efa_xray_tpu.assimilation.letkf import LETKF
+    from efa_xray_tpu.config import FilterConfig
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=10, seed=3)
+    obs = make_demo_obs(state, nobs=11, radius=2000.0, seed=4)
+    cfg = FilterConfig(localization="GC", dtype="float64",
+                       letkf_k_obs=8, letkf_patch_size=2)
+    cfg_h = FilterConfig(localization="GC", dtype="float64",
+                         letkf_k_obs=8, letkf_patch_size=2,
+                         obs_order="hilbert")
+    post, b = LETKF(state, list(obs), config=cfg, verbose=False).update()
+    post_h, b_h = LETKF(state, list(obs), config=cfg_h,
+                        verbose=False).update()
+    np.testing.assert_allclose(np.asarray(post_h.data),
+                               np.asarray(post.data),
+                               rtol=1e-10, atol=1e-10)
+    for f in ("prior_mean", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b_h, f), dtype=np.float64),
+            np.asarray(getattr(b, f), dtype=np.float64),
+            rtol=1e-9, atol=1e-10)
