@@ -145,3 +145,37 @@ def test_vertical_fused_v4_interpret_agrees():
     np.testing.assert_allclose(
         np.asarray(p2.data), np.asarray(p1.data), atol=2e-4
     )
+
+
+def test_vertical_chunked_matches_one_shot():
+    """The r5 chunked driver (tail-once + chunked body) must carry the
+    vertical factors: chunked == one-shot with mixed vertical radii."""
+    rng = np.random.default_rng(7)
+    state = make_level_state(nmems=12, seed=5)
+    s = state.structure
+    obs = []
+    for i in range(11):
+        obs.append(Observation(
+            value=float(271.0 + rng.normal(0, 1)),
+            obtype="T_500" if i % 2 else "T_850",
+            time=s.times64()[i % 2],
+            error=1.0,
+            lat=float(rng.uniform(43, 49)),
+            lon=float(rng.uniform(231, 243)),
+            vert=float(rng.choice([500.0, 850.0])),
+            assimilate_this=(i % 4 != 0),
+            localize_radius=3000.0,
+            vert_localize_radius=float(rng.choice([150.0, 400.0, np.inf])),
+        ))
+    one, b1 = EnSRF(state, obs, config=FilterConfig(
+        localization="GC", dtype="float64"), verbose=False).update()
+    many, b2 = EnSRF(state, obs, config=FilterConfig(
+        localization="GC", dtype="float64", obs_chunk=4),
+        verbose=False).update()
+    np.testing.assert_allclose(np.asarray(many.data), np.asarray(one.data),
+                               rtol=1e-10, atol=1e-10)
+    for f in ("prior_mean", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b2, f), dtype=np.float64),
+            np.asarray(getattr(b1, f), dtype=np.float64),
+            rtol=1e-10, atol=1e-10)
