@@ -16,6 +16,7 @@ Execution is TPU-native: the per-observation Python loop becomes either a
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -27,6 +28,15 @@ from efa_xray_tpu.assimilation.assimilation import Assimilation
 from efa_xray_tpu.config import FilterConfig
 from efa_xray_tpu.observation.observation import ObservationBatch
 from efa_xray_tpu.state.ensemble import EnsembleState
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _slice_chunk(tail, obs_p, start, chunk: int):
+    """One compiled slicer serves every chunk of every update: the start
+    index is traced, only the chunk width is static (module-level so the
+    jit cache persists across filter instances/cycles)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
+    return jax.tree.map(sl, tail), jax.tree.map(sl, obs_p)
 
 
 class EnSRF(Assimilation):
@@ -593,15 +603,9 @@ class EnSRF(Assimilation):
                 vertical=vertical,
             )
 
-        # One compiled slicer serves every chunk: the start is traced.
-        @jax.jit
-        def slice_chunk(tail, obs_p, start):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
-            return jax.tree.map(sl, tail), jax.tree.map(sl, obs_p)
-
         bm, bp = body_mean, body_perts
         for i in range(nchunks):
-            tail_i, obs_i = slice_chunk(tail, obs_p, i * chunk)
+            tail_i, obs_i = _slice_chunk(tail, obs_p, i * chunk, chunk)
             bm, bp = self._body_apply(
                 bm, bp, body_lat, body_lon, tail_i, obs_i,
                 body_vert, vertical, interpret,
