@@ -575,3 +575,33 @@ def test_obs_order_hilbert_matches_presorted_and_returns_caller_order():
     assert obs[0].prior_mean == pytest.approx(float(b_h.prior_mean[0]))
     assert not obs[0].assimilated  # flagged off above
     assert obs[1].assimilated
+
+
+def test_obs_order_composes_with_obs_chunk():
+    """obs_order='hilbert' + obs_chunk: the chunked driver runs on the
+    sorted batch and the diagnostics still come back in caller order,
+    equal to the caller-sorted one-shot reference."""
+    from efa_xray_tpu.assimilation.ensrf import EnSRF
+    from efa_xray_tpu.config import FilterConfig
+    from efa_xray_tpu.observation.observation import ObservationBatch
+    from conftest import make_demo_obs, make_demo_state
+
+    state = make_demo_state(nmems=8, seed=6)
+    obs = make_demo_obs(state, nobs=13, radius=2000.0, seed=7)
+    batch = ObservationBatch.coerce(obs)
+    srt, order = batch.spatial_sort()
+    ref, bref = EnSRF(state, srt, config=FilterConfig(
+        localization="GC", dtype="float64"), verbose=False).update()
+    bref = bref.take(np.argsort(order))
+
+    got, bgot = EnSRF(state, obs, config=FilterConfig(
+        localization="GC", dtype="float64", obs_order="hilbert",
+        obs_chunk=4), verbose=False).update()
+    np.testing.assert_allclose(np.asarray(got.data), np.asarray(ref.data),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(bgot.values), batch.values)
+    for f in ("prior_mean", "post_mean", "post_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(bgot, f), dtype=np.float64),
+            np.asarray(getattr(bref, f), dtype=np.float64),
+            rtol=1e-10, atol=1e-10)
