@@ -219,6 +219,23 @@ def run_trial(seed, idx):
             block_size=t["block_size"], **kw)
         checks["sharded vs serial"] = rmse(posterior(mbm, mbp), post_serial)
 
+        # chunked body sweep (the r5 obs-chunked driver's algebra:
+        # tail solved once, pre-solved sequence applied to the body in
+        # slices) == serial, for a random chunk width incl. ragged tails
+        if not (t["vertical"] or t["hybrid"] or t["varloc"]):
+            chunk = int(rng.integers(1, t["no"] + 2))
+            tail = core.tail_scan(tm, tp, obs, localize=t["localize"],
+                                  unbiased=t["unbiased"])
+            cbm, cbp = bm, bp
+            for i0 in range(0, t["no"], chunk):
+                cut = lambda a: a[i0:min(i0 + chunk, t["no"])]
+                cbm, cbp = core.ensrf_blocked_body(
+                    cbm, cbp, args[4], args[5],
+                    jax.tree.map(cut, tail), jax.tree.map(cut, obs),
+                    localize=t["localize"], block_size=t["block_size"])
+            checks["chunked body vs serial"] = rmse(
+                posterior(cbm, cbp), post_serial)
+
     bad = {k: v for k, v in checks.items() if not (v <= 1e-9)}
     return t, checks, bad
 
