@@ -214,6 +214,227 @@ def update_inflation_rows(
     return lam, sd
 
 
+
+
+# ---------------------------------------------------------------------------
+# Colored (batched) Anderson update — SURVEY.md §5.7's "non-overlapping
+# localization regions" trick, exact here because the inflation update is
+# purely ROW-LOCAL (no obs-space tail couples observations): two obs whose
+# Gaspari-Cohn supports are disjoint update disjoint rows, so they commute
+# bit-for-bit.  Color the obs so no two same-colored supports overlap;
+# each color is then ONE vectorized full-field update with per-row ob
+# attributes — ~1e2 steps instead of ~1e4 at the production scale.  (A
+# gather/scatter WINDOWED scan was implemented and measured first: 1.11 s
+# vs the full scan's 0.76 s at config-13 scale — TPU lane gathers cost
+# more than the elementwise work they save; results_v5e_r5.json
+# inflation-learning-opt.)
+#
+# The result equals the sequential scan in the COLOR order (colors
+# ascending, caller order within a color) — a valid serial order like any
+# other; the Anderson update, like the filter itself, is weakly
+# order-dependent.
+# ---------------------------------------------------------------------------
+
+import collections as _collections
+import hashlib as _hashlib
+
+_COLOR_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_COLOR_CACHE_MAX = 8
+
+
+def build_obs_coloring(row_lats, row_lons, obs_lats, obs_lons, radii,
+                       max_colors_fraction: float = 0.25,
+                       slack_km: float = 2.0):
+    """Host-side obs coloring + per-(color, row) ob assignment.
+
+    Returns ``(order [No], color_sizes [C], row_ob [C, rows] int32)`` or
+    ``None`` when coloring cannot help (non-finite radii, or more than
+    ``max_colors_fraction * No`` colors — overlap too dense to batch).
+
+    ``order`` lists obs colors-ascending (caller order within a color);
+    ``row_ob[c, g]`` is the LOCAL index (into color c's slice of
+    ``order``) of the unique same-colored ob whose support covers row g,
+    or -1.  Cached per (coords, radii) digest — stationary networks build
+    once, like the forward-operator taps."""
+    row_lats = np.asarray(row_lats, np.float64)
+    row_lons = np.asarray(row_lons, np.float64)
+    obs_lats = np.asarray(obs_lats, np.float64)
+    obs_lons = np.asarray(obs_lons, np.float64)
+    radii = np.asarray(radii, np.float64)
+    if not np.isfinite(radii).all():
+        return None
+    nobs = obs_lats.shape[0]
+    nrows = row_lats.shape[0]
+
+    h = _hashlib.sha1()
+    for a in (row_lats, row_lons, obs_lats, obs_lons, radii):
+        h.update(np.ascontiguousarray(a).tobytes())
+    key = (h.hexdigest(), float(max_colors_fraction), float(slack_km))
+    if key in _COLOR_CACHE:
+        _COLOR_CACHE.move_to_end(key)
+        return _COLOR_CACHE[key]
+
+    from scipy.spatial import cKDTree
+
+    def unit(lat, lon):
+        la, lo = np.radians(lat), np.radians(lon)
+        cl = np.cos(la)
+        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], -1)
+
+    oxyz = unit(obs_lats, obs_lons)
+    tree = cKDTree(oxyz)
+    # conflict iff great-circle dist < 2 (r_i + r_j) (+slack): supports
+    # are open disks of radius 2 r each.
+    rmax = float(radii.max())
+    ang_i = np.minimum(2.0 * (radii + rmax + slack_km) / 6371.0, np.pi)
+    chord_i = 2.0 * np.sin(ang_i / 2.0)
+    colors = np.full(nobs, -1, np.int64)
+    neigh = tree.query_ball_point(oxyz, chord_i, workers=-1)
+    for i in range(nobs):
+        used = set()
+        for j in neigh[i]:
+            if j == i or colors[j] < 0:
+                continue
+            # exact pairwise test (the query radius over-approximates)
+            dot = float(np.clip(np.dot(oxyz[i], oxyz[j]), -1.0, 1.0))
+            if 6371.0 * np.arccos(dot) < 2.0 * (radii[i] + radii[j]) + slack_km:
+                used.add(int(colors[j]))
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    ncolors = int(colors.max()) + 1
+    if ncolors > max_colors_fraction * max(nobs, 4):
+        out = None
+        _COLOR_CACHE[key] = out
+        return out
+
+    order = np.argsort(colors, kind="stable").astype(np.int64)
+    color_sizes = np.bincount(colors, minlength=ncolors)
+
+    # per-(color, row) unique covering ob (uniqueness: same-colored
+    # supports are disjoint).  Assign by per-OB support ball queries on a
+    # rows tree — a nearest-ob query would mis-assign with mixed radii (a
+    # row can sit outside its nearest ob's support yet inside a farther,
+    # wider ob's).
+    rtree = cKDTree(unit(row_lats, row_lons))
+    row_ob = np.full((ncolors, nrows), -1, np.int32)
+    ang_o = np.minimum((2.0 * radii + slack_km) / 6371.0, np.pi)
+    chord_o = 2.0 * np.sin(ang_o / 2.0)
+    off = 0
+    for c in range(ncolors):
+        idx = order[off : off + color_sizes[c]]
+        for local, j in enumerate(idx):
+            rows_in = rtree.query_ball_point(oxyz[j], chord_o[j])
+            row_ob[c, rows_in] = local
+        off += color_sizes[c]
+    # Device-resident row map: [C, rows] int32 is 56 MB at the production
+    # scale, and the tunneled host->device path runs ~40 MB/s — upload
+    # once per network, not once per cycle.
+    out = (order, color_sizes.astype(np.int64), jnp.asarray(row_ob))
+    _COLOR_CACHE[key] = out
+    while len(_COLOR_CACHE) > _COLOR_CACHE_MAX:
+        _COLOR_CACHE.popitem(last=False)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("evolve_sd",))
+def update_inflation_rows_colored(
+    lam,  # [..., rows]
+    lam_sd,
+    row_lats,  # [rows]
+    row_lons,  # [rows]
+    row_ob,  # [C, rows] int32 local covering-ob index per color (-1 = none)
+    ob_attrs,  # [C, n_max, 6] padded per-color ob tables:
+    # (lat, lon, radius, d2, sp2, so2); padding rows are all-zero
+    ob_use,  # [C, n_max] bool (assim AND not padding)
+    lambda_min=1.0,
+    lambda_max=1e6,
+    evolve_sd: bool = False,
+    sd_min=0.0,
+):
+    """Colored form of :func:`update_inflation_rows`: one vectorized
+    full-field update per color (same-colored supports are disjoint, so
+    their sequential updates commute exactly).  Equals the sequential
+    scan over the color-reordered batch up to fp contraction."""
+
+    def row_attrs(attrs, use, rob):
+        # one-hot MXU gather: [rows, n_max] @ [n_max, 7] — small-table
+        # lane gathers are slow on TPU, this is a trivial matmul.
+        n_max = attrs.shape[0]
+        onehot = (rob[:, None] == jnp.arange(n_max, dtype=jnp.int32)[None, :])
+        cols = jnp.concatenate(
+            [attrs, use[:, None].astype(attrs.dtype)], axis=1
+        )  # [n_max, 7]
+        g = jnp.dot(onehot.astype(attrs.dtype), cols,
+                    preferred_element_type=attrs.dtype)  # [rows, 7]
+        covered = (rob >= 0) & (g[:, 6] > 0.5)
+        return g, covered
+
+    def step(carry, xs):
+        rob, attrs, use = xs
+        g, covered = row_attrs(attrs, use, rob)
+        gamma = jnp.where(
+            covered,
+            gaspari_cohn(
+                haversine((row_lats, row_lons), (g[:, 0], g[:, 1])),
+                jnp.where(g[:, 2] > 0, g[:, 2], jnp.inf),
+            ),
+            0.0,
+        )
+        if evolve_sd:
+            lam, sd = carry
+            new = _anderson_update(lam, sd, gamma, g[:, 3], g[:, 4], g[:, 5],
+                                   lambda_min=lambda_min,
+                                   lambda_max=lambda_max)
+            new_sd = _anderson_sd_update(new, lam, sd, gamma, g[:, 3],
+                                         g[:, 4], g[:, 5], sd_min=sd_min)
+            return (jnp.where(covered, new, lam),
+                    jnp.where(covered, new_sd, sd)), None
+        lam = carry
+        new = _anderson_update(lam, lam_sd, gamma, g[:, 3], g[:, 4], g[:, 5],
+                               lambda_min=lambda_min, lambda_max=lambda_max)
+        return jnp.where(covered, new, lam), None
+
+    if evolve_sd:
+        sd0 = jnp.broadcast_to(
+            jnp.asarray(lam_sd, dtype=lam.dtype), lam.shape
+        ).astype(lam.dtype)
+        (lam, sd), _ = jax.lax.scan(step, (lam, sd0),
+                                    xs=(row_ob, ob_attrs, ob_use))
+        return lam, sd
+    lam, _ = jax.lax.scan(step, lam, xs=(row_ob, ob_attrs, ob_use))
+    return lam
+
+
+def pack_color_tables(order, color_sizes, obs_lats, obs_lons, radii,
+                      innovations, prior_vars, ob_err_vars, assim,
+                      dtype=np.float64):
+    """Pad per-color ob attribute tables for
+    :func:`update_inflation_rows_colored`: ``(ob_attrs [C, n_max, 6],
+    ob_use [C, n_max])``."""
+    order = np.asarray(order)
+    sizes = np.asarray(color_sizes)
+    n_max = int(sizes.max())
+    C = sizes.shape[0]
+    attrs = np.zeros((C, n_max, 6), dtype)
+    use = np.zeros((C, n_max), bool)
+    cols = np.stack([
+        np.asarray(obs_lats, dtype), np.asarray(obs_lons, dtype),
+        np.asarray(radii, dtype),
+        np.asarray(innovations, dtype) ** 2,
+        np.asarray(prior_vars, dtype), np.asarray(ob_err_vars, dtype),
+    ], axis=1)[order]
+    am = np.asarray(assim, bool)[order]
+    off = 0
+    for c in range(C):
+        n = int(sizes[c])
+        attrs[c, :n] = cols[off : off + n]
+        use[c, :n] = am[off : off + n]
+        off += n
+    return attrs, use
+
+
 class AdaptiveInflation:
     """Adaptive inflation state: per-variable (mean, std) fields of shape
     ``[ntimes, ny, nx]`` on the prior's grid."""
@@ -371,11 +592,7 @@ class AdaptiveInflation:
                  for v in s.var_names]
             ).reshape(nvars, 1, 1).astype(lam.dtype)
 
-        out = update_inflation_rows(
-            lam,
-            lam_sd,
-            glat.astype(lam.dtype),
-            glon.astype(lam.dtype),
+        common = (
             jnp.asarray(obs_lats, dtype=lam.dtype),
             jnp.asarray(obs_lons, dtype=lam.dtype),
             jnp.asarray(obs_radii, dtype=lam.dtype),
@@ -383,11 +600,35 @@ class AdaptiveInflation:
             jnp.asarray(prior_vars, dtype=lam.dtype),
             jnp.asarray(ob_err_vars, dtype=lam.dtype),
             jnp.asarray(mask),
-            lambda_min=lambda_min,
-            lambda_max=lambda_max,
-            evolve_sd=evolve_sd,
-            sd_min=sd_min,
         )
+        kw = dict(lambda_min=lambda_min, lambda_max=lambda_max,
+                  evolve_sd=evolve_sd, sd_min=sd_min)
+        # Colored batched form when every radius is finite and the
+        # support-overlap graph colors sparsely (measured: the full-field
+        # per-ob scan was 86% of the config-13 analysis cost).
+        coloring = build_obs_coloring(
+            s.lat.ravel(), s.lon.ravel(), obs_lats, obs_lons, obs_radii
+        )
+        if coloring is not None:
+            order, sizes, row_ob = coloring
+            attrs, use = pack_color_tables(
+                order, sizes, obs_lats, obs_lons, obs_radii,
+                innovations, prior_vars, ob_err_vars, mask,
+            )
+            out = update_inflation_rows_colored(
+                lam, lam_sd,
+                glat.astype(lam.dtype), glon.astype(lam.dtype),
+                row_ob,  # device-cached with the coloring
+                jnp.asarray(attrs, dtype=lam.dtype),
+                jnp.asarray(use),
+                **kw,
+            )
+        else:
+            out = update_inflation_rows(
+                lam, lam_sd,
+                glat.astype(lam.dtype), glon.astype(lam.dtype),
+                *common, **kw,
+            )
         lam, sd = out if evolve_sd else (out, None)
         if damp < 1.0:
             lam = jnp.maximum(1.0 + damp * (lam - 1.0), lambda_min)

@@ -60,6 +60,10 @@ MANIFEST = [
      "results_v5e_r5.json",
      {"config": "13-cycled-production", "adaptive_damp": 0.7},
      lambda e: e["spread_over_rmse_2nd_half"]),
+    (0.570, 0.03, "README cycle total 0.57 s", "results_v5e_r5.json",
+     {"config": "13-cycled-production", "adaptive_damp": 0.7},
+     lambda e: min(x["late_cycle_total_seconds"]
+                   for x in [e] if "late_cycle_total_seconds" in x)),
     (1.124, 0.02, "recipes spread/RMSE 1.12 at damp 0.75/cap 2.0",
      "results_v5e_r5.json",
      {"config": "13-cycled-production", "adaptive_damp": 0.75},
