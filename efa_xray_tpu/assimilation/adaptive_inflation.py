@@ -269,7 +269,11 @@ def build_obs_coloring(row_lats, row_lons, obs_lats, obs_lons, radii,
     h = _hashlib.sha1()
     for a in (row_lats, row_lons, obs_lats, obs_lons, radii):
         h.update(np.ascontiguousarray(a).tobytes())
-    key = (h.hexdigest(), float(max_colors_fraction), float(slack_km))
+    # The cached row map is DEVICE-resident: key on the default backend
+    # too, so a host-fastpath (cpu) build never collides with a TPU run
+    # of the same network (cross-device operands raise in jax).
+    key = (h.hexdigest(), float(max_colors_fraction), float(slack_km),
+           jax.default_backend())
     if key in _COLOR_CACHE:
         _COLOR_CACHE.move_to_end(key)
         return _COLOR_CACHE[key]
